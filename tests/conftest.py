@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """Session-scoped Ray: ONE init for the whole pytest run."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()
+
+
+def normalize_numbers(obj, ndigits: int = 6):
+    """Round floats and collapse int/float so docs merged in different orders
+    (different float summation order) compare equal."""
+    if isinstance(obj, bool):
+        return obj
+    if isinstance(obj, (int, float)):
+        r = round(float(obj), ndigits)
+        return int(r) if r == int(r) else r
+    if isinstance(obj, dict):
+        return {k: normalize_numbers(v, ndigits) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [normalize_numbers(v, ndigits) for v in obj]
+    return obj
