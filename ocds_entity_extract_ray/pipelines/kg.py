@@ -1,0 +1,122 @@
+"""The flagship KG-construction pipeline (SURVEY §7.1):
+
+pages.parquet (url, warc_ts, html, text, lang)
+  -> mention detect+link   actor-pool map_batches (broadcast classifier /
+                           product index; map-side partial combine)
+  -> canonicalize          hash-bucketed groupby final combine (ONE shuffle)
+  -> entities              write_parquet partitioned by table + manifest
+  -> triples               flat emission, subject-hash partitioned write
+                           + manifest
+  (-> extract_text         stateless map_batches branch, byte-identity
+                           invariant; exercised by tests and text queries)
+
+Everything streams: no take_all/to_pandas/materialize on the big path; the
+only all-to-all exchange is the bucket groupby over pre-combined partials.
+Stage outputs are checkpoints — a rerun over the same input skips
+completed stages via manifests (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import ray.data
+
+from ..sources.readers import read_pages
+from ..stages.canonicalize import canonicalize
+from ..stages.mentions import extract_mentions
+from ..stages.triples_stage import materialize_triples
+from ..state import manifest as mf
+
+
+def build_entities(
+    pages: ray.data.Dataset,
+    classifier_list: dict | None = None,
+    product_index: dict | None = None,
+    *,
+    concurrency=(2, 8),
+    batch_size: int = 256,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    mentions = extract_mentions(
+        pages,
+        classifier_list,
+        product_index,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_buckets=num_buckets,
+    )
+    return canonicalize(mentions)
+
+
+def run_kg(
+    pages_path: str,
+    out_dir: str,
+    classifier_list: dict | None = None,
+    product_index: dict | None = None,
+    *,
+    concurrency=(2, 8),
+    batch_size: int = 256,
+    num_buckets: int = 64,
+    triple_parts: int = 32,
+    resume: bool = True,
+) -> dict:
+    """End-to-end run with per-stage metrics. Returns the run report
+    {docs, entities, triples, secs, docs_per_sec, triples_per_sec, ...}."""
+    fp = mf.input_fingerprint(pages_path)
+    entities_dir = os.path.join(out_dir, "entities")
+    triples_dir = os.path.join(out_dir, "triples")
+
+    report: dict = {"pages_path": pages_path, "out_dir": out_dir}
+
+    t0 = time.monotonic()
+    if resume and mf.is_complete(entities_dir, fp):
+        report["entities_resumed"] = True
+        ent_manifest = mf.read_manifest(entities_dir)
+    else:
+        pages = read_pages(pages_path, columns=["url", "html"])
+        n_docs = pages.count()
+        entities = build_entities(
+            pages,
+            classifier_list,
+            product_index,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            num_buckets=num_buckets,
+        )
+        entities.write_parquet(entities_dir, partition_cols=["table"], mode="overwrite")
+        secs = time.monotonic() - t0
+        ent_manifest = mf.write_manifest(
+            entities_dir,
+            fp,
+            {"docs": n_docs, "secs": round(secs, 3), "docs_per_sec": round(n_docs / secs, 1)},
+        )
+        report["docs"] = n_docs
+    report["entities"] = ent_manifest["total_rows"]
+    report["entities_metrics"] = ent_manifest["metrics"]
+
+    t1 = time.monotonic()
+    ent_fp = mf.input_fingerprint(entities_dir)
+    if resume and mf.is_complete(triples_dir, ent_fp):
+        report["triples_resumed"] = True
+        tri_manifest = mf.read_manifest(triples_dir)
+    else:
+        entities_ds = ray.data.read_parquet(entities_dir)
+        triples = materialize_triples(entities_ds, num_parts=triple_parts)
+        triples.write_parquet(triples_dir, partition_cols=["part"], mode="overwrite")
+        secs = time.monotonic() - t1
+        tri_manifest = mf.write_manifest(
+            triples_dir,
+            ent_fp,
+            {"secs": round(secs, 3)},
+        )
+    report["triples"] = tri_manifest["total_rows"]
+
+    total_secs = time.monotonic() - t0
+    report["secs"] = round(total_secs, 3)
+    docs = report.get("docs") or ent_manifest["metrics"].get("docs") or 0
+    if docs and total_secs > 0:
+        report["docs_per_sec"] = round(docs / total_secs, 1)
+        report["triples_per_sec"] = round(report["triples"] / total_secs, 1)
+    return report

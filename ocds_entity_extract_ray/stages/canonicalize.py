@@ -1,0 +1,76 @@
+"""Canonicalization: the cross-document groupby (SURVEY §2.5 A1-A7).
+
+Two-stage aggregation replaces the reference's driver-heap upserts
+(/root/reference/index.js:48-55,90):
+
+1. map-side partial combine inside the mention stage (one state row per
+   key per batch — bounds any key's row count to the number of input
+   blocks, which is what defuses head-entity skew: a key sighted in 10^9
+   pages still arrives here as <= #blocks partials, SURVEY §7.4.3);
+2. hash-bucketed final combine: ``groupby('bucket').map_groups`` where one
+   Python call merges an ENTIRE bucket (a dict-merge over all its keys)
+   and renders final docs — one shuffle on a small int key, no per-entity
+   task overhead, bucket count configurable for cluster width.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import ray.data
+
+from ..extraction.render import render_entity
+from ..extraction.state import loads_state, merge_state
+from ..functions.hashing import canonical_json
+
+ENTITY_SCHEMA = pa.schema(
+    [
+        ("table", pa.string()),
+        ("id", pa.string()),
+        ("name", pa.string()),
+        ("class0", pa.string()),
+        ("doc", pa.string()),
+        ("_id", pa.string()),
+    ]
+)
+
+
+def merge_bucket(group: pa.Table) -> pa.Table:
+    """Merge and render every entity key inside one hash bucket."""
+    merged: dict = {}
+    keys = group["key"].to_pylist()
+    states = group["state"].to_pylist()
+    for k, blob in zip(keys, states):
+        st = loads_state(blob)
+        if k in merged:
+            merge_state(merged[k], st)
+        else:
+            merged[k] = st
+
+    tables, ids, names, class0s, docs, hashes = [], [], [], [], [], []
+    for st in merged.values():
+        doc = render_entity(st)
+        tables.append(st["table"])
+        ids.append(st["id"])
+        names.append(doc.get("name") or doc.get("description"))
+        cls = doc.get("classification") or []
+        class0s.append(cls[0] if cls else None)
+        hashes.append(doc["_id"])
+        docs.append(canonical_json(doc))
+    return pa.table(
+        {
+            "table": pa.array(tables, pa.string()),
+            "id": pa.array(ids, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "class0": pa.array(class0s, pa.string()),
+            "doc": pa.array(docs, pa.string()),
+            "_id": pa.array(hashes, pa.string()),
+        }
+    )
+
+
+def canonicalize(mentions: ray.data.Dataset) -> ray.data.Dataset:
+    """(bucket, key, state) -> entity rows. The groupby is the pipeline's
+    single all-to-all exchange, over pre-combined partials only."""
+    return mentions.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")

@@ -1,0 +1,111 @@
+"""Mention-detection stage: the stateful actor-pool map_batches.
+
+Generalizes the reference's per-record dispatcher (extractEntities,
+/root/reference/lib/extract.js:5-37) + classification cascade (M2) into a
+callable CLASS for ``map_batches(..., concurrency=N)``: broadcast state
+(classifier-override dict, product index — the reference's driver-heap
+dicts, index.js:57,34-37) is deserialized ONCE per actor in ``__init__``,
+and each ``__call__`` performs map-side partial aggregation so a batch
+emits at most one state row per entity key (the first half of the
+two-stage salted aggregation, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import ray.data
+
+from ..extraction.emit import emit_record
+from ..extraction.state import dumps_state, merge_state, state_key
+from ..functions.hashing import stable_bucket
+from ..functions.textextract import extract_jsonld_blocks
+
+MENTION_SCHEMA = pa.schema(
+    [("bucket", pa.int32()), ("key", pa.string()), ("state", pa.string())]
+)
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+class MentionExtractor:
+    """Actor-pool stage: pages batch -> partially-combined mention states."""
+
+    def __init__(
+        self,
+        classifier_list: dict | None = None,
+        product_index: dict | None = None,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
+    ):
+        # once per actor (model-load equivalent), NOT per batch
+        self.classifier_list = classifier_list
+        self.product_index = product_index or {}
+        self.num_buckets = num_buckets
+
+    def _emit_from_pages(self, batch: pa.Table):
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        for url, html in zip(urls, htmls):
+            for block in extract_jsonld_blocks(html):
+                try:
+                    record = json.loads(block)
+                except json.JSONDecodeError:
+                    continue
+                yield from emit_record(record, url, self.classifier_list, self.product_index)
+
+    def _emit_from_records(self, batch: pa.Table):
+        ocids = batch["ocid"].to_pylist()
+        blobs = batch["record_json"].to_pylist()
+        for ocid, blob in zip(ocids, blobs):
+            record = json.loads(blob)
+            yield from emit_record(record, ocid, self.classifier_list, self.product_index)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        states = (
+            self._emit_from_records(batch)
+            if "record_json" in batch.schema.names
+            else self._emit_from_pages(batch)
+        )
+        # map-side partial combine: one merged state per key per batch
+        combined: dict = {}
+        for st in states:
+            k = state_key(st)
+            if k in combined:
+                merge_state(combined[k], st)
+            else:
+                combined[k] = st
+        keys = list(combined.keys())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [stable_bucket(k, self.num_buckets) for k in keys], pa.int32()
+                ),
+                "key": pa.array(keys, pa.string()),
+                "state": pa.array([dumps_state(combined[k]) for k in keys], pa.string()),
+            }
+        )
+
+
+def extract_mentions(
+    ds: ray.data.Dataset,
+    classifier_list: dict | None,
+    product_index: dict | None,
+    *,
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 256,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={
+            "classifier_list": classifier_list,
+            "product_index": product_index,
+            "num_buckets": num_buckets,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
