@@ -1,44 +1,102 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship KG pipeline on a deterministic synthetic pages
+  corpus (sf0.001 scale) — pages -> mention detect (actor pool) ->
+  canonicalize (hash-bucketed groupby) -> entities Dataset.
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 + the training-data ops (dedup / similarity / text
+  analysis / windows).
+- ``oracle_sql()``: DuckDB twins for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_DOCS_PER_SF = 200_000  # sf0.001 -> 200 pages, sf0.01 -> 2k, sf0.1 -> 20k
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir or "")))
+    try:
+        return float(m.group(1)) if m else 0.001
+    except ValueError:
+        return 0.001
+
+
+def _corpus(n: int) -> str:
+    from ocds_entity_extract_ray.sources.readers import generate_pages
+
+    out = f"/tmp/ocds_ray_corpus/pages_{n}"
+    return generate_pages(out, n, shard_rows=max(200, n // 64))
+
+
+def _kg_inputs():
+    from ocds_entity_extract_ray.functions.classify import build_classifier_list_from_text
+    from ocds_entity_extract_ray.sources.synth import classifier_csv, product_index
+
+    return build_classifier_list_from_text([classifier_csv()]), product_index()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns the entities Dataset."""
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import read_pages
+
+    pages_dir = _corpus(200)
+    clist, pidx = _kg_inputs()
+    pages = read_pages(pages_dir, columns=["url", "html"])
+    return build_entities(pages, clist, pidx, concurrency=2, num_buckets=16)
+
+
+def _kg_triples(sf_dir: str):
+    """Rows-only flagship query: triples at a corpus size scaled to sf."""
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    clist, pidx = _kg_inputs()
+    pages = read_pages(pages_dir, columns=["url", "html"])
+    entities = build_entities(pages, clist, pidx, concurrency=(2, 8), num_buckets=64)
+    return materialize_triples(entities)
+
+
+def _kg_text_hashes(sf_dir: str):
+    """Rows-only: the byte-identity invariant surface — per-url sha256 of
+    the extracted text (input_hint)."""
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.extract_text import extract_text
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    ds = extract_text(read_pages(pages_dir, columns=["url", "html"]))
+    return ds.select_columns(["url", "text_sha256"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocds_entity_extract_ray.pipelines.relational import (
+        ROWS_ONLY_QUERIES,
+        SQL_QUERIES,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, (fn, _sql) in SQL_QUERIES.items():
+        out[name] = fn
+    out.update(ROWS_ONLY_QUERIES)
+    out["kg_triples"] = _kg_triples
+    out["kg_text_hashes"] = _kg_text_hashes
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocds_entity_extract_ray.pipelines.relational import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline KG pipeline + representative relational queries
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line:
+{"metric": ..., "value": <headline secs>, "unit": "sec",
+ "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ..., ...}
+
+--scaling: run the same job twice in FRESH processes at num_cpus=8 and 32
+on the same input and report both throughputs + scaling efficiency
+(the sandbox protocol for the north_rule's two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS_PER_SF = 200_000  # sf0.1 -> 20k synthetic pages
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_revenue",
+    "q_events_tumbling",
+    "q_sessions",
+    "q_token_stats",
+    "q_exact_dedup_stats",
+    "q_ann_topk",
+    "q_embedding_near_dups",
+    "q_minhash_dup_pairs",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from ocds_entity_extract_ray.functions.classify import build_classifier_list_from_text
+    from ocds_entity_extract_ray.pipelines.kg import run_kg
+    from ocds_entity_extract_ray.pipelines.relational import ROWS_ONLY_QUERIES, SQL_QUERIES
+    from ocds_entity_extract_ray.sources.readers import generate_pages
+    from ocds_entity_extract_ray.sources.synth import classifier_csv, product_index
+
+    sf = _sf_of(SF_DIR)
+    n_docs = max(500, int(CORPUS_DOCS_PER_SF * sf))
+    pages_dir = f"/tmp/ocds_ray_corpus/pages_{n_docs}"
+    generate_pages(pages_dir, n_docs, shard_rows=max(250, n_docs // 128))
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(pages_dir).count()
+
+    out_dir = "/tmp/ocds_ray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    clist = build_classifier_list_from_text([classifier_csv()])
+    t0 = time.monotonic()
+    report = run_kg(
+        pages_dir,
+        out_dir,
+        clist,
+        product_index(),
+        concurrency=(2, max(2, NUM_CPUS // 2)),
+        batch_size=256,
+        num_buckets=max(64, NUM_CPUS * 4),
+        resume=False,
+    )
+    kg_secs = time.monotonic() - t0
+
+    queries: dict[str, float] = {"kg_pipeline": round(kg_secs, 3)}
+    registry = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
+    registry.update(ROWS_ONLY_QUERIES)
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        tq = time.monotonic()
+        res = fn(SF_DIR)
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()
+        queries[name] = round(time.monotonic() - tq, 3)
+
+    result = {
+        "metric": "kg_pipeline_secs (pages->entities->triples) + per-query secs",
+        "value": round(kg_secs, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "docs": report.get("docs"),
+        "entities": report.get("entities"),
+        "triples": report.get("triples"),
+        "docs_per_sec": round(report.get("docs", 0) / kg_secs, 1),
+        "triples_per_sec": round(report.get("triples", 0) / kg_secs, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job + input at num_cpus=8 and num_cpus=32 in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo, hi = run(lo_cpus), run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "kg_pipeline scaling efficiency (N=8 -> 4N=32 cpus, fresh processes, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,74 @@
+"""Join operators (SURVEY §2.4 → Ray Data).
+
+The reference's only joins are broadcast-dict lookups (J1/J2) and
+intra-record provenance (J3). The generalized engine needs real relational
+joins for the conformance queries:
+
+- ``broadcast_hash_join``: small side ``ray.put`` ONCE, fetched once per
+  worker process (module-level cache), pandas hash-merge per batch — no
+  shuffle, the right pattern for dimension tables at any scale.
+- large×large: use ``Dataset.join`` (hash-partitioned; Ray >= 2.46) with an
+  explicit ``num_partitions`` sized to the cluster.
+- semi/anti against a SMALL key set: ``semi_join_filter`` broadcasts the key
+  set and filters inside map_batches (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _fetch(ref) -> pd.DataFrame:
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def broadcast_hash_join(
+    ds: ray.data.Dataset,
+    small: pa.Table | pd.DataFrame,
+    left_on: list[str] | str,
+    right_on: list[str] | str | None = None,
+    how: str = "inner",
+    suffixes: tuple = ("", "_r"),
+) -> ray.data.Dataset:
+    """Join a big Dataset against a small in-memory table without shuffling
+    the big side. ``small`` is put in the object store once; every task
+    reads it from the local object store (zero re-ship per batch)."""
+    small_df = small.to_pandas() if isinstance(small, pa.Table) else small
+    ref = ray.put(small_df)
+    left_keys = [left_on] if isinstance(left_on, str) else list(left_on)
+    right_keys = (
+        left_keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = _fetch(ref)
+        return batch.merge(
+            rhs, how=how, left_on=left_keys, right_on=right_keys, suffixes=suffixes
+        )
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def semi_join_filter(
+    ds: ray.data.Dataset, keys, on: str, anti: bool = False
+) -> ray.data.Dataset:
+    """Semi/anti join against a broadcast key set (ray_guide: 'broadcast the
+    key set and filter inside map_batches')."""
+    ref = ray.put(frozenset(keys))
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        keyset = _fetch(ref)
+        mask = batch[on].isin(keyset)
+        return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(flt, batch_format="pandas")

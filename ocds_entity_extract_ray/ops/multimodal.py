@@ -1,0 +1,129 @@
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The actual codecs are NOT in this container, so the decode kernels are
+STUBBED — ``decode=\"fake\"`` runs a deterministic pure-python fake (real
+schema, real plumbing, testable), ``decode=\"real\"`` raises
+NotImplementedError at the exact seam where PIL/libav would plug in. The
+Ray side — actor-pool stage, batch sizing for large binaries, output
+schema — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+MEDIA_COLUMNS = ("media_id", "media_type", "payload", "meta_json")
+
+
+class ImageFeaturizer:
+    """Actor-pool stage: binary image payload -> fixed-dim feature vector.
+
+    __init__ is where a real model would load (once per actor);
+    __call__ handles one batch. Small batch_size: payloads are large.
+    """
+
+    def __init__(self, dim: int = 16, decode: str = "fake"):
+        self.dim = dim
+        self.decode = decode
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "image decode requires PIL/torchvision — not in this container; "
+                "plug the real decoder here"
+            )
+        # deterministic fake: hash-derived pseudo-pixels
+        h = hashlib.blake2b(payload or b"", digest_size=self.dim).digest()
+        return np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = [self._decode(p) for p in batch["payload"]]
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(),
+                "feature": [f.tolist() for f in feats],
+                "feat_norm": [round(float(np.linalg.norm(f)), 6) for f in feats],
+            }
+        )
+
+
+class FrameSampler:
+    """Video payload -> every Nth 'frame' (stubbed: fixed-size byte slices).
+    Output explodes rows (one per sampled frame) — the real flat_map shape."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4, decode: str = "fake"):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.decode = decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.decode == "real":
+            raise NotImplementedError("video decode requires libav — plug in here")
+        out = {"media_id": [], "frame_idx": [], "frame_sha": []}
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            payload = payload or b""
+            frames = [
+                payload[i : i + self.frame_bytes]
+                for i in range(0, len(payload), self.frame_bytes)
+            ]
+            for idx in range(0, len(frames), self.stride):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["frame_sha"].append(hashlib.sha256(frames[idx]).hexdigest()[:16])
+        return pd.DataFrame(out)
+
+
+def featurize_images(
+    ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 32, dim: int = 16
+) -> ray.data.Dataset:
+    """Actor-pool plumbing: small batches (large binary payloads), state in
+    __init__."""
+    return ds.map_batches(
+        ImageFeaturizer,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    *,
+    concurrency=2,
+    batch_size: int = 8,
+    frame_bytes: int = 32,
+    stride: int = 2,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synthetic_media(n: int = 64) -> pd.DataFrame:
+    """Deterministic fake media table for tests/demos."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.blake2b(f"media:{i}".encode(), digest_size=32).digest() * (
+            4 + i % 5
+        )
+        rows.append(
+            {
+                "media_id": i,
+                "media_type": ["image", "audio", "video"][i % 3],
+                "payload": payload,
+                "meta_json": '{"w": 64, "h": 64}',
+            }
+        )
+    return pd.DataFrame(rows)

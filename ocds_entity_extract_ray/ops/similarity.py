@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``cosine_topk``: brute-force baseline — per-batch numpy matmul against a
+  broadcast query matrix (ray.put once, fetched once per worker), partial
+  top-k per batch, merged tiny at the driver. Streams the corpus.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets;
+  only the query's bucket (and neighbors) are scanned.
+- ``embedding_near_dup_pairs``: cosine near-dup over all pairs within LSH
+  buckets (embedding-based near-dup from the training-data checklist).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .joins import _fetch
+
+
+def _round6(x):
+    """Half-away-from-zero at 6 decimals (DuckDB ROUND convention)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _to_matrix(series) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def cosine_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Top-k by cosine similarity to ``query``. Per-batch partial top-k
+    keeps the shuffle at k rows per block."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    ref = ray.put((qn, frozenset(exclude_ids or ())))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv, excl = _fetch(ref)
+        m = _to_matrix(batch[vec_col])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        s = (m @ qv) / norms
+        out = pd.DataFrame({id_col: batch[id_col].to_numpy(), "score": s})
+        if excl:
+            out = out[~out[id_col].isin(excl)]
+        return out.nlargest(min(k, len(out)), "score")
+
+    partials = ds.map_batches(score, batch_format="pandas")
+    # merged candidate set is tiny (k per block)
+    result = partials.to_pandas().nlargest(k, "score")
+    result["score"] = _round6(result["score"])
+    return (
+        result.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def lsh_bucket_of(vec: np.ndarray, planes: np.ndarray) -> int:
+    bits = (planes @ np.asarray(vec, dtype=np.float64)) > 0
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def lsh_bucketed_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose LSH bucket is within Hamming
+    distance 1 of the query's bucket (recall/speed trade controlled by
+    n_planes). At cluster scale the corpus would be PRE-partitioned by
+    bucket so non-matching partitions are pruned at the read."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(dim or q.shape[0], n_planes)
+    qb = lsh_bucket_of(q, planes)
+    near = {qb} | {qb ^ (1 << i) for i in range(n_planes)}
+    ref = ray.put((planes, frozenset(near)))
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        pl, nb = _fetch(ref)
+        m = _to_matrix(batch[vec_col])
+        bits = (m @ pl.T) > 0
+        buckets = bits @ (1 << np.arange(pl.shape[0]))
+        return batch[pd.Series(buckets, index=batch.index).isin(nb)]
+
+    return cosine_topk(
+        ds.map_batches(flt, batch_format="pandas"), q, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def embedding_near_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+) -> ray.data.Dataset:
+    """All pairs with cosine >= threshold. n_planes=0 compares within one
+    global bucket (exact, quadratic — test scale); n_planes>0 buckets by
+    random hyperplanes first (approximate, the 100 TB path: candidates only
+    within a bucket)."""
+    planes = _hyperplanes(64, n_planes) if n_planes else None
+    ref = ray.put(planes)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = _fetch(ref)
+        if pl is None:
+            b = np.zeros(len(batch), dtype=np.int64)
+        else:
+            m = _to_matrix(batch[vec_col])
+            bits = (m @ pl.T) > 0
+            b = bits @ (1 << np.arange(pl.shape[0]))
+        return pd.DataFrame(
+            {"bucket": b, id_col: batch[id_col].to_numpy(), vec_col: batch[vec_col]}
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _to_matrix(group[vec_col])[order]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia].astype("int64"),
+                "id_b": ids[ib].astype("int64"),
+                "score": _round6(sims[ia, ib]),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

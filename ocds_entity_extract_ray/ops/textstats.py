@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash + winnowing), simhash.
+
+All pure per-doc functions wrapped in vectorized ``map_batches`` stages —
+compiled regexes and stopword tables are module-level (built once per
+worker process at import).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import ray.data
+
+_TOKEN_RE = re.compile(r"\S+")
+_WORD_RE = re.compile(r"[a-zA-ZÀ-ɏ]+")
+_PUNCT_RE = re.compile(r"[.,;:!?¡¿\"'()\[\]{}«»]")
+
+# tiny per-language stopword tables (public common-word lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "with", "on", "as"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "las", "por", "con", "para"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "une", "du", "que", "pour"},
+    "de": {"der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des", "im", "ein"},
+    "zh": set(),
+}
+
+
+def token_count(text: str) -> int:
+    """Whitespace tokens (the \\S+ convention — matches DuckDB's
+    regexp_extract_all(text,'\\S+') length)."""
+    return len(_TOKEN_RE.findall(text or ""))
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """A BPE-ish proxy: word + non-word symbol pieces (GPT-2-style pretoken
+    split approximated by word/number/punct runs)."""
+    return len(re.findall(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]", text or ""))
+
+
+def quality_stats(text: str) -> dict:
+    """Length / punctuation / stopword ratios (heuristic quality scoring)."""
+    t = text or ""
+    n_chars = len(t)
+    words = [w.lower() for w in _WORD_RE.findall(t)]
+    n_words = len(words)
+    n_stop = sum(1 for w in words if any(w in sw for sw in _STOPWORDS.values()))
+    n_punct = len(_PUNCT_RE.findall(t))
+    mean_word_len = (sum(map(len, words)) / n_words) if n_words else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_tokens": token_count(t),
+        "n_words": n_words,
+        "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def detect_lang(text: str) -> str:
+    """Stopword-vote language ID; 'und' when no vote. Deterministic."""
+    words = [w.lower() for w in _WORD_RE.findall(text or "")]
+    if not words:
+        return "und"
+    scores = {
+        lang: sum(1 for w in words if w in sw)
+        for lang, sw in _STOPWORDS.items()
+        if sw
+    }
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best if scores[best] > 0 else "und"
+
+
+def _h64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features."""
+    v = [0] * 64
+    for w in _WORD_RE.findall((text or "").lower()):
+        h = _h64(w.encode("utf-8"))
+        for b in range(64):
+            v[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if v[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Rolling-hash k-gram fingerprints with winnowing (min-in-window),
+    the standard local document fingerprinting scheme."""
+    t = (text or "").lower()
+    if len(t) < k:
+        return []
+    grams = [_h64(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)]
+    out = []
+    prev = None
+    for i in range(max(1, len(grams) - window + 1)):
+        m = min(grams[i : i + window])
+        if m != prev:
+            out.append(m)
+            prev = m
+    return out
+
+
+# --- Dataset-level stages ----------------------------------------------------
+
+
+def add_text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].map(quality_stats)
+        for f in ("n_chars", "n_tokens", "n_words"):
+            batch[f] = s.map(lambda d, f=f: d[f]).astype("int64")
+        for f in ("stopword_ratio", "punct_ratio", "mean_word_len"):
+            batch[f] = s.map(lambda d, f=f: d[f])
+        return batch
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def add_langid(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: b.assign(lang_pred=b[text_col].map(detect_lang)),
+        batch_format="pandas",
+    )
+
+
+def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    def sh(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = batch[text_col].map(lambda t: format(simhash64(t), "016x"))
+        return batch
+
+    return ds.map_batches(sh, batch_format="pandas")

@@ -1,0 +1,749 @@
+"""Relational conformance queries: each entry is a Ray-Data-native pipeline
+over the driver's testdata tables plus (where SQL-expressible) an exactly
+matching DuckDB oracle (SURVEY §2.8, §5.4 — the driver compares row count +
+schema + order-insensitive value hash at sf0.01).
+
+Float discipline: aggregate sums are rounded to whole units in BOTH engines
+(accumulated fp error across different summation orders is ~1e-6 absolute
+here, so integer rounding is stable); ratios are computed FROM the rounded
+sums so both engines divide identical operands. Counts cast to int64
+(DuckDB sums of ints are HUGEINT otherwise). Timestamps normalized to
+microsecond precision on the Ray side to match DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.laundry import simple_name
+from ..ops.joins import broadcast_hash_join, semi_join_filter
+from ..ops.similarity import cosine_topk, embedding_near_dup_pairs
+from ..ops.textstats import (
+    add_langid,
+    add_simhash,
+    add_text_stats,
+    winnowing_fingerprints,
+)
+from ..ops.windows import sessionize, tumbling_window_agg
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+def _small(sf_dir: str, name: str, columns=None) -> pa.Table:
+    return pq.read_table(_t(sf_dir, name), columns=columns)
+
+
+def _us(df: pd.DataFrame, *cols: str) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+
+def _round(x, decimals: int = 0):
+    """Half-away-from-zero rounding, matching DuckDB's ROUND (numpy/pandas
+    round half to even, which diverges on exact .5 sums)."""
+    scale = 10.0 ** decimals
+    if isinstance(x, pd.Series):
+        return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    return float(np.sign(x) * np.floor(abs(x) * scale + 0.5) / scale)
+
+
+# --- TPC-H-flavored ----------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-02")].copy()
+        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["charge"] = b["disc_price"] * (1 + b["l_tax"])
+        return b
+
+    out = (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        out[c] = _round(out[c])
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 0) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 0) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
+       COUNT(*)::BIGINT AS count_order,
+       ROUND(SUM(l_quantity), 0) / COUNT(*) AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def f_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["o_orderdate"] < pd.Timestamp("1998-01-01")]
+
+    orders_b = broadcast_hash_join(
+        orders.map_batches(f_orders, batch_format="pandas"),
+        cust.select(["c_custkey"]),
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def f_li(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > pd.Timestamp("1998-01-01")].copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_orderkey", "revenue"]]
+
+    li_f = li.map_batches(f_li, batch_format="pandas")
+    joined = li_f.join(
+        orders_b, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = _round(agg["revenue"])
+    out = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return _us(out.reset_index(drop=True), "o_orderdate")
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _small(sf_dir, "nation").to_pandas()
+    region = _small(sf_dir, "region").to_pandas()
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nr = nr[nr["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def f_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return b[
+            (b["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["o_orderdate"] < pd.Timestamp("1998-01-01"))
+        ][["o_orderkey", "o_custkey"]]
+
+    orders_c = broadcast_hash_join(
+        orders.map_batches(f_orders, batch_format="pandas"),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+    joined = li_s.join(
+        orders_c, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def f_same_nation(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"] == b["c_nationkey"]].copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["s_nationkey", "revenue"]]
+
+    per_nation = (
+        joined.map_batches(f_same_nation, batch_format="pandas")
+        .groupby("s_nationkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = per_nation.merge(nr, left_on="s_nationkey", right_on="n_nationkey")[
+        ["n_name", "revenue"]
+    ]
+    out["revenue"] = _round(out["revenue"])
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["l_shipdate"] < pd.Timestamp("1997-01-01"))
+            & (b["l_discount"] >= 0.03)
+            & (b["l_discount"] <= 0.07)
+            & (b["l_quantity"] < 24)
+        )
+        b = b[m].copy()
+        b["revenue"] = b["l_extendedprice"] * b["l_discount"]
+        return b[["revenue"]]
+
+    total = ds.map_batches(f, batch_format="pandas").sum("revenue")
+    return pd.DataFrame({"revenue": [_round(float(total))]})
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 0) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    li_r = li.map_batches(
+        lambda b: b[b["l_returnflag"] == "R"][["l_orderkey"]], batch_format="pandas"
+    )
+    semi = orders.join(
+        li_r, "left_semi", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    out = semi.groupby("o_orderpriority").aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_top_suppliers(sf_dir: str) -> pd.DataFrame:
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_suppkey", "revenue"]]
+
+    agg = (
+        li.map_batches(rev, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(sup, left_on="l_suppkey", right_on="s_suppkey")[
+        ["s_suppkey", "s_name", "revenue"]
+    ]
+    out["revenue"] = _round(out["revenue"])
+    return (
+        out.sort_values(["revenue", "s_suppkey"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+
+
+Q_TOP_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name ORDER BY revenue DESC, s_suppkey LIMIT 5
+"""
+
+
+def q_filter_sort_limit(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (
+        orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out
+
+
+Q_FILTER_SORT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
+    vals = sorted(_read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+Q_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def q_customers_per_nation(sf_dir: str) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = broadcast_hash_join(cust, nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = joined.groupby("n_name").aggregate(Count(alias_name="n_customers")).to_pandas()
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q_CUST_NATION_SQL = """
+SELECT n_name, COUNT(*)::BIGINT AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_minmax_orderdate(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+    agg = orders.aggregate(
+        Min("o_orderdate", alias_name="first_order"),
+        Max("o_orderdate", alias_name="last_order"),
+        Count(alias_name="n_orders"),
+    )
+    out = pd.DataFrame([agg])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return _us(out, "first_order", "last_order")
+
+
+Q_MINMAX_SQL = """
+SELECT MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+       COUNT(*)::BIGINT AS n_orders FROM orders
+"""
+
+
+def q_union_extreme_parts(sf_dir: str) -> pd.DataFrame:
+    part = _read(sf_dir, "part", columns=["p_brand", "p_size"])
+    small_p = part.map_batches(lambda b: b[b["p_size"] < 10], batch_format="pandas")
+    large_p = part.map_batches(lambda b: b[b["p_size"] > 40], batch_format="pandas")
+    out = (
+        small_p.union(large_p)
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"))
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+Q_UNION_SQL = """
+SELECT p_brand, COUNT(*)::BIGINT AS n_parts FROM (
+  SELECT * FROM part WHERE p_size < 10
+  UNION ALL SELECT * FROM part WHERE p_size > 40
+) GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_semi_customers_with_orders(sf_dir: str) -> pd.DataFrame:
+    orders = _small(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    semi = semi_join_filter(cust, orders["o_custkey"].to_pylist(), on="c_custkey")
+    out = semi.groupby("c_mktsegment").aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q_SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_anti_customers_without_urgent(sf_dir: str) -> pd.DataFrame:
+    orders = _small(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(pa.compute.equal(orders["o_orderpriority"], "1-URGENT"))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    anti = semi_join_filter(cust, urgent["o_custkey"].to_pylist(), on="c_custkey", anti=True)
+    out = anti.to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=str)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def q_avg_acctbal_by_segment(sf_dir: str) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+    out = (
+        cust.groupby("c_mktsegment")
+        .aggregate(Sum("c_acctbal", alias_name="sum_bal"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_bal"] = _round(out["sum_bal"])
+    out["avg_acctbal"] = out["sum_bal"] / out["n"]
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q_AVG_SQL = """
+SELECT c_mktsegment, ROUND(SUM(c_acctbal), 0) AS sum_bal, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(c_acctbal), 0) / COUNT(*) AS avg_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- events (stream-shaped) --------------------------------------------------
+
+
+def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = tumbling_window_agg(events, freq="h").to_pandas()
+    out["sum_value"] = _round(out["sum_value"])
+    out = _us(out, "window_start")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+Q_TUMBLING_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*)::BIGINT AS n_events, ROUND(SUM(value), 0) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+
+def q_sessions(sf_dir: str) -> pd.DataFrame:
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = sessionize(events, gap_minutes=30).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, (SUM(new_s) + 1)::BIGINT AS n_sessions, COUNT(*)::BIGINT AS n_events
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_event_hist(sf_dir: str) -> pd.DataFrame:
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = (
+        events.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = _round(out["sum_value"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_EVENT_HIST_SQL = """
+SELECT event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value), 0) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- documents (text) --------------------------------------------------------
+
+
+def q_lang_hist(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    out = docs.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+Q_LANG_HIST_SQL = (
+    "SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_tokens"] = b["text"].str.count(r"\S+").astype("int64")
+        return b[["lang", "n_tokens", "n_chars"]]
+
+    out = (
+        docs.map_batches(toks, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "total_tokens", "total_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+Q_TOKEN_STATS_SQL = """
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(array_length(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens,
+       SUM(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_exact_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    n_distinct = exact_dedup(docs).count()
+    return pd.DataFrame({"n_docs": [n_docs], "n_distinct": [n_distinct]}).astype("int64")
+
+
+Q_EXACT_DEDUP_SQL = """
+SELECT COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT text)::BIGINT AS n_distinct
+FROM documents
+"""
+
+
+def q_slugify_nations(sf_dir: str) -> pd.DataFrame:
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    out = nation.map_batches(
+        lambda b: b.assign(slug=b["n_name"].map(simple_name)), batch_format="pandas"
+    ).to_pandas()
+    out["n_nationkey"] = out["n_nationkey"].astype("int32")
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
+Q_SLUGIFY_SQL = """
+SELECT n_nationkey, n_name,
+       trim(regexp_replace(lower(n_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+FROM nation ORDER BY n_nationkey
+"""
+
+
+# --- embeddings --------------------------------------------------------------
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vec(sf_dir)
+    out = cosine_topk(ds, q, k=10, exclude_ids={0})
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+Q_ANN_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS score
+FROM embeddings WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_norms(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def norms(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        return pd.DataFrame({"label": b["label"].to_numpy(), "norm": np.linalg.norm(m, axis=1)})
+
+    out = (
+        ds.map_batches(norms, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("norm", alias_name="sum_norm"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_norm"] = _round(out["sum_norm"])
+    return out.sort_values("label").reset_index(drop=True)
+
+
+Q_EMB_NORMS_SQL = """
+SELECT label, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 0) AS sum_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.35).to_pandas()
+    return (
+        out[["id_a", "id_b", "score"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+Q_EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+# --- rows-only (not SQL-expressible) ----------------------------------------
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_text_stats(docs).to_pandas()
+    out = out.drop(columns=["text"])
+    for c in ("stopword_ratio", "punct_ratio", "mean_word_len"):
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = add_langid(docs).to_pandas().drop(columns=["text"])
+    out["match"] = out["lang_pred"] == out["lang"]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_simhash(docs).to_pandas().drop(columns=["text"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "n_fingerprints": [
+                    len(winnowing_fingerprints(t)) for t in b["text"]
+                ],
+            }
+        ).astype({"doc_id": "int64", "n_fingerprints": "int64"})
+
+    return docs.map_batches(fp, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(docs, threshold=0.7).to_pandas()
+    cols = ["id_a", "id_b", "jaccard"]
+    out = out[cols] if len(out) else pd.DataFrame(columns=cols)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import simhash_dup_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_dup_pairs(docs, max_hamming=3).to_pandas()
+    cols = ["id_a", "id_b", "hamming"]
+    out = out[cols] if len(out) else pd.DataFrame(columns=cols)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --- registry ----------------------------------------------------------------
+
+SQL_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "q6_revenue": (q6_revenue, Q6_SQL),
+    "q_top_suppliers": (q_top_suppliers, Q_TOP_SUPPLIERS_SQL),
+    "q_filter_sort_limit": (q_filter_sort_limit, Q_FILTER_SORT_SQL),
+    "q_distinct_segments": (q_distinct_segments, Q_DISTINCT_SQL),
+    "q_customers_per_nation": (q_customers_per_nation, Q_CUST_NATION_SQL),
+    "q_minmax_orderdate": (q_minmax_orderdate, Q_MINMAX_SQL),
+    "q_union_extreme_parts": (q_union_extreme_parts, Q_UNION_SQL),
+    "q_semi_customers_with_orders": (q_semi_customers_with_orders, Q_SEMI_SQL),
+    "q_anti_customers_without_urgent": (q_anti_customers_without_urgent, Q_ANTI_SQL),
+    "q_avg_acctbal_by_segment": (q_avg_acctbal_by_segment, Q_AVG_SQL),
+    "q_events_tumbling": (q_events_tumbling, Q_TUMBLING_SQL),
+    "q_sessions": (q_sessions, Q_SESSIONS_SQL),
+    "q_event_hist": (q_event_hist, Q_EVENT_HIST_SQL),
+    "q_lang_hist": (q_lang_hist, Q_LANG_HIST_SQL),
+    "q_token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),
+    "q_exact_dedup_stats": (q_exact_dedup_stats, Q_EXACT_DEDUP_SQL),
+    "q_slugify_nations": (q_slugify_nations, Q_SLUGIFY_SQL),
+    "q_ann_topk": (q_ann_topk, Q_ANN_SQL),
+    "q_embedding_norms": (q_embedding_norms, Q_EMB_NORMS_SQL),
+    "q_embedding_near_dups": (q_embedding_near_dups, Q_EMB_NEAR_DUP_SQL),
+}
+
+ROWS_ONLY_QUERIES: dict = {
+    "q_doc_quality": q_doc_quality,
+    "q_langid": q_langid,
+    "q_simhash": q_simhash,
+    "q_fingerprints": q_fingerprints,
+    "q_minhash_dup_pairs": q_minhash_dup_pairs,
+    "q_simhash_dup_pairs": q_simhash_dup_pairs,
+}

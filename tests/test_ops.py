@@ -1,0 +1,145 @@
+"""Training-data ops: dedup family, similarity search, multimodal plumbing
+(tested on planted synthetic corpora with known ground truth)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from ocds_entity_extract_ray.ops.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_dup_pairs,
+)
+from ocds_entity_extract_ray.ops.multimodal import (
+    featurize_images,
+    sample_frames,
+    synthetic_media,
+)
+from ocds_entity_extract_ray.ops.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the data pipeline "
+    "streams arrow batches through the object store with backpressure and "
+    "spills blocks to disk when memory fills up"
+)
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(ray_session):
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document number {i} about topic {i * 7}: " + BASE[: 50 + i]})
+    # exact duplicates: 100/101/102 share text; 103 dups 0
+    rows.append({"doc_id": 100, "text": "exact duplicate payload alpha"})
+    rows.append({"doc_id": 101, "text": "exact duplicate payload alpha"})
+    rows.append({"doc_id": 102, "text": "exact duplicate payload alpha"})
+    rows.append({"doc_id": 103, "text": rows[0]["text"]})
+    # near duplicates: 200 vs 201 differ by one word
+    rows.append({"doc_id": 200, "text": BASE})
+    rows.append({"doc_id": 201, "text": BASE.replace("lazy", "sleepy")})
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(doc_corpus):
+    kept = exact_dedup(doc_corpus).to_pandas()
+    assert len(kept) == 46 - 3  # 46 rows, 3 redundant copies removed
+    ids = set(kept["doc_id"])
+    assert 100 in ids and 101 not in ids and 102 not in ids
+    assert 0 in ids and 103 not in ids
+
+
+def test_exact_dup_groups(doc_corpus):
+    groups = exact_dup_groups(doc_corpus).to_pandas().sort_values("doc_id")
+    assert list(groups["doc_id"]) == [0, 100]
+    assert list(groups["n_copies"]) == [2, 3]
+
+
+def test_ngram_jaccard_kernel():
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+    assert 0.0 < ngram_jaccard(BASE, BASE.replace("lazy", "sleepy")) < 1.0
+
+
+def test_minhash_lsh_finds_planted_near_dups(doc_corpus):
+    pairs = minhash_lsh_pairs(doc_corpus, threshold=0.75).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (200, 201) in got  # the planted near-dup (true Jaccard 0.8125)
+    assert (100, 101) in got and (100, 102) in got  # exact dups too
+    # the prefix-sharing "unique" docs sit near Jaccard 0.5 — all excluded
+    # by the exact-verify threshold (LSH candidates alone would admit them)
+    assert not any(a < 100 and b < 100 for a, b in got if (a, b) != (0, 103))
+    assert (0, 103) in got  # planted exact dup of doc 0
+
+
+def test_simhash_finds_planted_near_dups(doc_corpus):
+    pairs = simhash_dup_pairs(doc_corpus, max_hamming=6).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (200, 201) in got
+    assert (100, 101) in got
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(ray_session):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 32).astype(np.float32)
+    vecs[150] = vecs[10] + rng.randn(32).astype(np.float32) * 0.01  # planted near-dup
+    return ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(200, dtype="int64"), "embedding": [v.tolist() for v in vecs]})
+    ), vecs
+
+
+def test_cosine_topk_matches_numpy(vec_corpus):
+    ds, vecs = vec_corpus
+    q = vecs[10].astype(np.float64)
+    got = cosine_topk(ds, q, k=5, exclude_ids={10})
+    m = vecs.astype(np.float64)
+    sims = (m @ (q / np.linalg.norm(q))) / np.linalg.norm(m, axis=1)
+    order = [i for i in np.argsort(-sims) if i != 10][:5]
+    assert list(got["vec_id"]) == order
+    assert got["vec_id"].iloc[0] == 150  # the planted neighbor wins
+
+
+def test_lsh_bucketed_topk_recalls_planted_neighbor(vec_corpus):
+    ds, vecs = vec_corpus
+    got = lsh_bucketed_topk(ds, vecs[10].astype(np.float64), k=5, n_planes=3, dim=32)
+    # approximate path must still find the near-identical planted vector
+    # (same bucket by construction: angle ~0.01 rad)
+    assert 150 in set(got["vec_id"])
+
+
+def test_embedding_near_dup_pairs(vec_corpus):
+    ds, _ = vec_corpus
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])} == {(10, 150)}
+
+
+def test_multimodal_plumbing(ray_session):
+    media = ray.data.from_pandas(synthetic_media(24))
+    feats = featurize_images(media, concurrency=2, batch_size=8).to_pandas()
+    assert len(feats) == 24
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic fake decode
+    feats2 = featurize_images(ray.data.from_pandas(synthetic_media(24))).to_pandas()
+    assert list(feats.sort_values("media_id")["feat_norm"]) == list(
+        feats2.sort_values("media_id")["feat_norm"]
+    )
+
+    frames = sample_frames(media, concurrency=2).to_pandas()
+    assert len(frames) > 24  # explodes rows
+    assert {"media_id", "frame_idx", "frame_sha"} == set(frames.columns)
+
+
+def test_multimodal_real_decode_is_gated(ray_session):
+    from ocds_entity_extract_ray.ops.multimodal import ImageFeaturizer
+
+    with pytest.raises(NotImplementedError):
+        ImageFeaturizer(decode="real")._decode(b"payload")

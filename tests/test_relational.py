@@ -1,0 +1,63 @@
+"""Relational conformance: every SQL-oracled query must match DuckDB
+EXACTLY (the driver hashes values order-insensitively, so this test mimics
+that: same row count, same column set, identical values after row sort)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocds_entity_extract_ray.pipelines.relational import ROWS_ONLY_QUERIES, SQL_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(SQL_QUERIES))
+def test_sql_query_matches_duckdb(ray_session, duck, name):
+    fn, sql = SQL_QUERIES[name]
+    ray_df = fn(SF_DIR)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    duck_df = duck.sql(sql).df()
+
+    assert len(ray_df) == len(duck_df), f"{name}: row count {len(ray_df)} vs {len(duck_df)}"
+    assert sorted(ray_df.columns) == sorted(duck_df.columns), f"{name}: columns"
+    a, b = _normalize(ray_df), _normalize(duck_df)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_QUERIES))
+def test_rows_only_query_runs_and_is_deterministic(ray_session, name):
+    fn = ROWS_ONLY_QUERIES[name]
+    df1 = fn(SF_DIR)
+    df2 = fn(SF_DIR)
+    if not isinstance(df1, pd.DataFrame):
+        df1, df2 = df1.to_pandas(), df2.to_pandas()
+    pd.testing.assert_frame_equal(_normalize(df1), _normalize(df2), check_dtype=False)
