@@ -52,7 +52,7 @@ def entry() -> Any:
     pages_dir = _corpus(200)
     clist, pidx = _kg_inputs()
     pages = read_pages(pages_dir, columns=["url", "html"])
-    return build_entities(pages, clist, pidx, concurrency=2, num_buckets=16)
+    return build_entities(pages, clist, pidx, num_buckets=16)
 
 
 def _kg_triples(sf_dir: str):
@@ -65,7 +65,7 @@ def _kg_triples(sf_dir: str):
     pages_dir = _corpus(n)
     clist, pidx = _kg_inputs()
     pages = read_pages(pages_dir, columns=["url", "html"])
-    entities = build_entities(pages, clist, pidx, concurrency=(2, 8), num_buckets=64)
+    entities = build_entities(pages, clist, pidx, num_buckets=64)
     return materialize_triples(entities)
 
 

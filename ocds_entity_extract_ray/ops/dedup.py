@@ -36,16 +36,23 @@ def text_hash(t: str) -> str:
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Keep one representative (min id) per distinct text: hash-partition +
-    per-group first (A7 pattern generalized to documents)."""
+    """Keep one representative (min id) per distinct text: content-hash per
+    batch, hash-bucketed shuffle, vectorized drop-duplicates per bucket
+    (A7 pattern generalized to documents; one Python call per BUCKET)."""
+    from .agg import bucketed_map_groups
+
     hashed = ds.map_batches(
         lambda b: b.assign(_h=b[text_col].map(text_hash)), batch_format="pandas"
     )
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col).drop(columns=["_h"])
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.sort_values(id_col, kind="mergesort")
+            .drop_duplicates("_h", keep="first")
+            .drop(columns=["_h"])
+        )
 
-    return hashed.groupby("_h").map_groups(first, batch_format="pandas")
+    return bucketed_map_groups(hashed, "_h", per_bucket, num_buckets=64)
 
 
 def exact_dup_groups(
@@ -57,16 +64,16 @@ def exact_dup_groups(
         batch_format="pandas",
     )
 
-    def agg(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({id_col: [], "n_copies": []}).astype(
-                {id_col: "int64", "n_copies": "int64"}
-            )
-        return pd.DataFrame(
-            {id_col: [group[id_col].min()], "n_copies": [len(group)]}
-        ).astype({id_col: "int64", "n_copies": "int64"})
+    from .agg import bucketed_map_groups
 
-    return hashed.groupby("_h").map_groups(agg, batch_format="pandas")
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("_h", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
+        )
+        g = g[g["n_copies"] > 1].drop(columns=["_h"])
+        return g.astype({id_col: "int64", "n_copies": "int64"})
+
+    return bucketed_map_groups(hashed, "_h", per_bucket, num_buckets=64)
 
 
 # --- shingling / MinHash ------------------------------------------------------
@@ -150,11 +157,14 @@ def minhash_lsh_pairs(
 
     banded = ds.map_batches(to_bands, batch_format="pandas")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["_id"].tolist()
-        texts = group["_text"].tolist()
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # only band-hash groups with >1 member can produce candidates
+        dup_mask = bucket.duplicated(["band", "band_hash"], keep=False)
+        cand = bucket[dup_mask]
         out = {"id_a": [], "id_b": [], "jaccard": []}
-        if len(ids) > 1:
+        for (_band, _bh), grp in cand.groupby(["band", "band_hash"], sort=False):
+            ids = grp["_id"].to_numpy()
+            texts = grp["_text"].to_numpy()
             order = np.argsort(ids)
             for i in range(len(order)):
                 for j in range(i + 1, len(order)):
@@ -164,17 +174,19 @@ def minhash_lsh_pairs(
                         out["id_a"].append(ids[ia])
                         out["id_b"].append(ids[ib])
                         out["jaccard"].append(round(jac, 6))
-        return pd.DataFrame(out).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+        return pd.DataFrame(out).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    from .agg import bucketed_map_groups
+
+    pairs = bucketed_map_groups(banded, "band_hash", per_bucket, num_buckets=64)
 
     # a pair can surface from several bands -> dedup on (id_a, id_b)
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def dedup_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(["id_a", "id_b"])
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return bucketed_map_groups(pairs, "id_a", dedup_pairs, num_buckets=16)
 
 
 def simhash_dup_pairs(
@@ -200,25 +212,27 @@ def simhash_dup_pairs(
                 out["_sh"].append(sh)
         return pd.DataFrame(out)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        dup_mask = bucket.duplicated(["chunk", "chunk_val"], keep=False)
+        cand = bucket[dup_mask]
         out = {"id_a": [], "id_b": [], "hamming": []}
-        recs = sorted(zip(group["_id"], group["_sh"]))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = bin(recs[i][1] ^ recs[j][1]).count("1")
-                if d <= max_hamming:
-                    out["id_a"].append(recs[i][0])
-                    out["id_b"].append(recs[j][0])
-                    out["hamming"].append(d)
+        for (_c, _v), grp in cand.groupby(["chunk", "chunk_val"], sort=False):
+            recs = sorted(zip(grp["_id"], grp["_sh"]))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = bin(recs[i][1] ^ recs[j][1]).count("1")
+                    if d <= max_hamming:
+                        out["id_a"].append(recs[i][0])
+                        out["id_b"].append(recs[j][0])
+                        out["hamming"].append(d)
         return pd.DataFrame(out).astype(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
 
-    pairs = (
-        ds.map_batches(to_chunks, batch_format="pandas")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from .agg import bucketed_map_groups
+
+    chunked = ds.map_batches(to_chunks, batch_format="pandas")
+    pairs = bucketed_map_groups(chunked, "chunk_val", per_bucket, num_buckets=32)
+    return bucketed_map_groups(
+        pairs, "id_a", lambda b: b.drop_duplicates(["id_a", "id_b"]), num_buckets=16
     )

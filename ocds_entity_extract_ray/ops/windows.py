@@ -1,15 +1,18 @@
 """Stream-shaped operators over the events table (ray_guide: Ray Data has
-no event-time windows; treat the input as a partitioned log — groupby key,
-sort by ts within the group, window with pandas inside map_groups).
+no event-time windows; treat the input as a partitioned log — hash-bucket
+by key, sort within the bucket, window with vectorized pandas).
 
-Ordering assumption: all windows/sessions for one key fit one group; at
-cluster scale the events table is hash-partitioned by key and each group is
-processed whole (documented partitioning assumption, SURVEY §2.8)."""
+Ordering assumption: all events of one key land in one bucket (hash
+partitioning guarantees it); at cluster scale the events table would be
+pre-partitioned by key hash so the bucketing shuffle is free.
+"""
 
 from __future__ import annotations
 
 import pandas as pd
 import ray.data
+
+from .agg import bucketed_map_groups, grouped_agg
 
 
 def tumbling_window_agg(
@@ -19,35 +22,28 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     freq: str = "h",
-) -> ray.data.Dataset:
-    """Count + sum per (key, tumbling window). A pre-aggregation inside
-    map_batches shrinks the shuffle to one row per (key, window) per block
-    before the global groupby."""
+    final: str = "driver",
+) -> pd.DataFrame:
+    """Count + sum per (key, tumbling window). Map-side partials shrink the
+    exchange to one row per (key, window) per block; the final combine is
+    driver-side for modest window counts (set final='bucketed' for huge
+    key x window domains)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[[key_col, ts_col, value_col]].copy()
         b["window_start"] = b[ts_col].dt.floor(freq)
-        g = (
-            b.groupby([key_col, "window_start"], as_index=False)
-            .agg(n_events=(value_col, "size"), sum_value=(value_col, "sum"))
-        )
-        return g
+        return b
 
-    partials = events.map_batches(partial, batch_format="pandas")
-
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [group[key_col].iloc[0]],
-                "window_start": [group["window_start"].iloc[0]],
-                "n_events": [int(group["n_events"].sum())],
-                "sum_value": [float(group["sum_value"].sum())],
-            }
-        )
-
-    return partials.groupby([key_col, "window_start"]).map_groups(
-        final, batch_format="pandas"
+    out = grouped_agg(
+        events,
+        [key_col, "window_start"],
+        {"n_events": (value_col, "count"), "sum_value": (value_col, "sum")},
+        pre=pre,
+        final=final,
     )
+    if isinstance(out, pd.DataFrame):
+        out["n_events"] = out["n_events"].astype("int64")
+    return out
 
 
 def sessionize(
@@ -57,19 +53,22 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: int = 30,
 ) -> ray.data.Dataset:
-    """Session counts per key: sort a key's events by ts, close a session
-    when the gap exceeds ``gap_minutes``. Output (key, n_sessions, n_events)."""
+    """Per-key session counts with a gap rule: hash-bucket by key (one
+    shuffle on a small int), then ONE vectorized pandas pass per bucket —
+    sort by (key, ts), mark gap>threshold boundaries, sum per key."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group[ts_col].sort_values()
-        n_sessions = int((ts.diff() > gap).sum()) + 1 if len(ts) else 0
-        return pd.DataFrame(
-            {
-                key_col: [group[key_col].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(group)],
-            }
-        ).astype({key_col: "int64", "n_sessions": "int64", "n_events": "int64"})
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([key_col, ts_col], kind="mergesort")
+        new_key = b[key_col] != b[key_col].shift()
+        gap_break = (b[ts_col] - b[ts_col].shift() > gap) & ~new_key
+        out = (
+            pd.DataFrame(
+                {key_col: b[key_col], "_start": (new_key | gap_break).astype("int64")}
+            )
+            .groupby(key_col, as_index=False)
+            .agg(n_sessions=("_start", "sum"), n_events=("_start", "size"))
+        )
+        return out.astype({key_col: "int64", "n_sessions": "int64", "n_events": "int64"})
 
-    return events.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed_map_groups(events, key_col, per_bucket, num_buckets=32)

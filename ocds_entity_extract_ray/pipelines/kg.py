@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import time
 
+import pyarrow.dataset as pads
 import ray.data
 
 from ..sources.readers import read_pages
@@ -30,14 +31,21 @@ from ..stages.triples_stage import materialize_triples
 from ..state import manifest as mf
 
 
+def _metadata_row_count(path: str) -> int:
+    """Row count from Parquet footers only — no Ray job, no data read."""
+    frags = pads.dataset(path, format="parquet").get_fragments()
+    return sum(f.metadata.num_rows if f.metadata else f.count_rows() for f in frags)
+
+
 def build_entities(
     pages: ray.data.Dataset,
     classifier_list: dict | None = None,
     product_index: dict | None = None,
     *,
-    concurrency=(2, 8),
-    batch_size: int = 256,
+    concurrency=None,
+    batch_size: int = 512,
     num_buckets: int = 64,
+    compute: str = "tasks",
 ) -> ray.data.Dataset:
     mentions = extract_mentions(
         pages,
@@ -46,6 +54,7 @@ def build_entities(
         concurrency=concurrency,
         batch_size=batch_size,
         num_buckets=num_buckets,
+        compute=compute,
     )
     return canonicalize(mentions)
 
@@ -56,11 +65,12 @@ def run_kg(
     classifier_list: dict | None = None,
     product_index: dict | None = None,
     *,
-    concurrency=(2, 8),
-    batch_size: int = 256,
+    concurrency=None,
+    batch_size: int = 512,
     num_buckets: int = 64,
     triple_parts: int = 32,
     resume: bool = True,
+    compute: str = "tasks",
 ) -> dict:
     """End-to-end run with per-stage metrics. Returns the run report
     {docs, entities, triples, secs, docs_per_sec, triples_per_sec, ...}."""
@@ -76,7 +86,7 @@ def run_kg(
         ent_manifest = mf.read_manifest(entities_dir)
     else:
         pages = read_pages(pages_path, columns=["url", "html"])
-        n_docs = pages.count()
+        n_docs = _metadata_row_count(pages_path)
         entities = build_entities(
             pages,
             classifier_list,
@@ -84,7 +94,10 @@ def run_kg(
             concurrency=concurrency,
             batch_size=batch_size,
             num_buckets=num_buckets,
+            compute=compute,
         )
+        entities = entities.materialize()  # entity table is tiny vs input;
+        # keeping it pinned lets the triples stage chain without a re-read job
         entities.write_parquet(entities_dir, partition_cols=["table"], mode="overwrite")
         secs = time.monotonic() - t0
         ent_manifest = mf.write_manifest(
@@ -102,7 +115,10 @@ def run_kg(
         report["triples_resumed"] = True
         tri_manifest = mf.read_manifest(triples_dir)
     else:
-        entities_ds = ray.data.read_parquet(entities_dir)
+        if report.get("entities_resumed"):
+            entities_ds = ray.data.read_parquet(entities_dir)
+        else:
+            entities_ds = entities
         triples = materialize_triples(entities_ds, num_parts=triple_parts)
         triples.write_parquet(triples_dir, partition_cols=["part"], mode="overwrite")
         secs = time.monotonic() - t1

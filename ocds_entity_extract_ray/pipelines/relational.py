@@ -20,9 +20,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.laundry import simple_name
+from ..ops.agg import grouped_agg
 from ..ops.joins import broadcast_hash_join, semi_join_filter
 from ..ops.similarity import cosine_topk, embedding_near_dup_pairs
 from ..ops.textstats import (
@@ -86,17 +86,17 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         b["charge"] = b["disc_price"] * (1 + b["l_tax"])
         return b
 
-    out = (
-        ds.map_batches(derive, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Count(alias_name="count_order"),
-        )
-        .to_pandas()
+    out = grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "sum_charge": ("charge", "sum"),
+            "count_order": ("l_quantity", "count"),
+        },
+        pre=derive,
     )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
         out[c] = _round(out[c])
@@ -146,13 +146,28 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
     joined = li_f.join(
         orders_b, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
-    agg = (
-        joined.groupby(["l_orderkey", "o_orderdate"])
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+    # high-cardinality groupby: map-side partials -> bucketed combine ->
+    # per-bucket top-10 -> tiny driver merge (scales: shuffle carries one
+    # row per (order, block); driver sees 10 rows per bucket)
+    per_order = grouped_agg(
+        joined,
+        ["l_orderkey", "o_orderdate"],
+        {"revenue": ("revenue", "sum")},
+        final="bucketed",
+        num_buckets=16,
     )
-    agg["revenue"] = _round(agg["revenue"])
-    out = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.copy()
+        bucket["revenue"] = _round(bucket["revenue"])
+        return bucket.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+
+    cand = per_order.map_batches(topk, batch_format="pandas").to_pandas()
+    out = cand.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
     return _us(out.reset_index(drop=True), "o_orderdate")
 
 
@@ -203,11 +218,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
         return b[["s_nationkey", "revenue"]]
 
-    per_nation = (
-        joined.map_batches(f_same_nation, batch_format="pandas")
-        .groupby("s_nationkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+    per_nation = grouped_agg(
+        joined, ["s_nationkey"], {"revenue": ("revenue", "sum")}, pre=f_same_nation
     )
     out = per_nation.merge(nr, left_on="s_nationkey", right_on="n_nationkey")[
         ["n_name", "revenue"]
@@ -246,8 +258,10 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
         b["revenue"] = b["l_extendedprice"] * b["l_discount"]
         return b[["revenue"]]
 
-    total = ds.map_batches(f, batch_format="pandas").sum("revenue")
-    return pd.DataFrame({"revenue": [_round(float(total))]})
+    parts = ds.map_batches(
+        lambda b: pd.DataFrame({"revenue": [f(b)["revenue"].sum()]}), batch_format="pandas"
+    ).to_pandas()
+    return pd.DataFrame({"revenue": [_round(float(parts["revenue"].sum()))]})
 
 
 Q6_SQL = """
@@ -267,7 +281,7 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
     semi = orders.join(
         li_r, "left_semi", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
     )
-    out = semi.groupby("o_orderpriority").aggregate(Count(alias_name="n")).to_pandas()
+    out = grouped_agg(semi, ["o_orderpriority"], {"n": ("o_orderkey", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
@@ -288,12 +302,7 @@ def q_top_suppliers(sf_dir: str) -> pd.DataFrame:
         b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
         return b[["l_suppkey", "revenue"]]
 
-    agg = (
-        li.map_batches(rev, batch_format="pandas")
-        .groupby("l_suppkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
-    )
+    agg = grouped_agg(li, ["l_suppkey"], {"revenue": ("revenue", "sum")}, pre=rev)
     sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
     out = agg.merge(sup, left_on="l_suppkey", right_on="s_suppkey")[
         ["s_suppkey", "s_name", "revenue"]
@@ -341,7 +350,7 @@ def q_customers_per_nation(sf_dir: str) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = _small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     joined = broadcast_hash_join(cust, nation, left_on="c_nationkey", right_on="n_nationkey")
-    out = joined.groupby("n_name").aggregate(Count(alias_name="n_customers")).to_pandas()
+    out = grouped_agg(joined, ["n_name"], {"n_customers": ("c_custkey", "count")})
     out["n_customers"] = out["n_customers"].astype("int64")
     return out.sort_values("n_name").reset_index(drop=True)
 
@@ -355,13 +364,23 @@ GROUP BY n_name ORDER BY n_name
 
 def q_minmax_orderdate(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", columns=["o_orderdate"])
-    agg = orders.aggregate(
-        Min("o_orderdate", alias_name="first_order"),
-        Max("o_orderdate", alias_name="last_order"),
-        Count(alias_name="n_orders"),
+    parts = orders.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "first_order": [b["o_orderdate"].min()],
+                "last_order": [b["o_orderdate"].max()],
+                "n_orders": [len(b)],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "first_order": [parts["first_order"].min()],
+            "last_order": [parts["last_order"].max()],
+            "n_orders": [int(parts["n_orders"].sum())],
+        }
     )
-    out = pd.DataFrame([agg])
-    out["n_orders"] = out["n_orders"].astype("int64")
     return _us(out, "first_order", "last_order")
 
 
@@ -375,12 +394,7 @@ def q_union_extreme_parts(sf_dir: str) -> pd.DataFrame:
     part = _read(sf_dir, "part", columns=["p_brand", "p_size"])
     small_p = part.map_batches(lambda b: b[b["p_size"] < 10], batch_format="pandas")
     large_p = part.map_batches(lambda b: b[b["p_size"] > 40], batch_format="pandas")
-    out = (
-        small_p.union(large_p)
-        .groupby("p_brand")
-        .aggregate(Count(alias_name="n_parts"))
-        .to_pandas()
-    )
+    out = grouped_agg(small_p.union(large_p), ["p_brand"], {"n_parts": ("p_size", "count")})
     out["n_parts"] = out["n_parts"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
 
@@ -397,7 +411,7 @@ def q_semi_customers_with_orders(sf_dir: str) -> pd.DataFrame:
     orders = _small(sf_dir, "orders", columns=["o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     semi = semi_join_filter(cust, orders["o_custkey"].to_pylist(), on="c_custkey")
-    out = semi.groupby("c_mktsegment").aggregate(Count(alias_name="n")).to_pandas()
+    out = grouped_agg(semi, ["c_mktsegment"], {"n": ("c_custkey", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
@@ -429,10 +443,8 @@ ORDER BY c_custkey
 
 def q_avg_acctbal_by_segment(sf_dir: str) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
-    out = (
-        cust.groupby("c_mktsegment")
-        .aggregate(Sum("c_acctbal", alias_name="sum_bal"), Count(alias_name="n"))
-        .to_pandas()
+    out = grouped_agg(
+        cust, ["c_mktsegment"], {"sum_bal": ("c_acctbal", "sum"), "n": ("c_acctbal", "count")}
     )
     out["sum_bal"] = _round(out["sum_bal"])
     out["avg_acctbal"] = out["sum_bal"] / out["n"]
@@ -452,7 +464,7 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
     events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-    out = tumbling_window_agg(events, freq="h").to_pandas()
+    out = tumbling_window_agg(events, freq="h")
     out["sum_value"] = _round(out["sum_value"])
     out = _us(out, "window_start")
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
@@ -485,10 +497,8 @@ FROM d GROUP BY user_id ORDER BY user_id
 
 def q_event_hist(sf_dir: str) -> pd.DataFrame:
     events = _read(sf_dir, "events", columns=["event_type", "value"])
-    out = (
-        events.groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+    out = grouped_agg(
+        events, ["event_type"], {"n": ("value", "count"), "sum_value": ("value", "sum")}
     )
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = _round(out["sum_value"])
@@ -506,7 +516,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def q_lang_hist(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["lang"])
-    out = docs.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    out = grouped_agg(docs, ["lang"], {"n_docs": ("lang", "count")})
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
@@ -524,15 +534,15 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
         b["n_tokens"] = b["text"].str.count(r"\S+").astype("int64")
         return b[["lang", "n_tokens", "n_chars"]]
 
-    out = (
-        docs.map_batches(toks, batch_format="pandas")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_tokens", alias_name="total_tokens"),
-            Sum("n_chars", alias_name="total_chars"),
-        )
-        .to_pandas()
+    out = grouped_agg(
+        docs,
+        ["lang"],
+        {
+            "n_docs": ("n_tokens", "count"),
+            "total_tokens": ("n_tokens", "sum"),
+            "total_chars": ("n_chars", "sum"),
+        },
+        pre=toks,
     )
     for c in ("n_docs", "total_tokens", "total_chars"):
         out[c] = out[c].astype("int64")
@@ -612,11 +622,8 @@ def q_embedding_norms(sf_dir: str) -> pd.DataFrame:
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
         return pd.DataFrame({"label": b["label"].to_numpy(), "norm": np.linalg.norm(m, axis=1)})
 
-    out = (
-        ds.map_batches(norms, batch_format="pandas")
-        .groupby("label")
-        .aggregate(Count(alias_name="n"), Sum("norm", alias_name="sum_norm"))
-        .to_pandas()
+    out = grouped_agg(
+        ds, ["label"], {"n": ("norm", "count"), "sum_norm": ("norm", "sum")}, pre=norms
     )
     out["n"] = out["n"].astype("int64")
     out["sum_norm"] = _round(out["sum_norm"])

@@ -20,7 +20,7 @@ import ray.data
 from ..extraction.emit import emit_record
 from ..extraction.state import dumps_state, merge_state, state_key
 from ..functions.hashing import stable_bucket
-from ..functions.textextract import extract_jsonld_blocks
+from ..functions.textextract import extract_jsonld_blocks_bytes
 
 MENTION_SCHEMA = pa.schema(
     [("bucket", pa.int32()), ("key", pa.string()), ("state", pa.string())]
@@ -47,7 +47,7 @@ class MentionExtractor:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         for url, html in zip(urls, htmls):
-            for block in extract_jsonld_blocks(html):
+            for block in extract_jsonld_blocks_bytes(html):
                 try:
                     record = json.loads(block)
                 except json.JSONDecodeError:
@@ -92,20 +92,50 @@ def extract_mentions(
     classifier_list: dict | None,
     product_index: dict | None,
     *,
-    concurrency: int | tuple = (2, 8),
-    batch_size: int = 256,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 512,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    compute: str = "tasks",
 ) -> ray.data.Dataset:
+    """Two execution modes for the stateful stage:
+
+    - compute='tasks' (default): broadcast state is ray.put ONCE and fetched
+      once per worker process (module-level cache) — right when the state is
+      a dict/lookup table: elastic task pool, zero actor-startup latency.
+    - compute='actors': callable-class actor pool — right when per-worker
+      setup is heavy (model load, GPU init); pass ``concurrency`` to size
+      the pool. This is the north-star shape for a real NER/link scorer.
+    """
+    if compute == "actors":
+        return ds.map_batches(
+            MentionExtractor,
+            fn_constructor_kwargs={
+                "classifier_list": classifier_list,
+                "product_index": product_index,
+                "num_buckets": num_buckets,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency or (2, 8),
+            num_cpus=1,
+        )
+
+    import ray
+
+    from ..ops.joins import _fetch
+
+    ref = ray.put((classifier_list, product_index or {}, num_buckets))
+
+    def mention_task(batch: pa.Table) -> pa.Table:
+        cl, pi, nb = _fetch(ref)
+        return MentionExtractor(cl, pi, nb)(batch)
+
+    kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(
-        MentionExtractor,
-        fn_constructor_kwargs={
-            "classifier_list": classifier_list,
-            "product_index": product_index,
-            "num_buckets": num_buckets,
-        },
+        mention_task,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=1,
+        **kwargs,
     )

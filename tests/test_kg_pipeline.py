@@ -51,7 +51,7 @@ def test_kg_pipeline_matches_oracle(ray_session, pages_dir, tmp_path):
     clist = build_classifier_list_from_text([classifier_csv()])
     pidx = product_index()
     out = str(tmp_path / "kg")
-    report = run_kg(pages_dir, out, clist, pidx, concurrency=2, num_buckets=8)
+    report = run_kg(pages_dir, out, clist, pidx, concurrency=2, num_buckets=8, compute="actors")
     assert report["docs"] == N
     assert report["entities"] > 0 and report["triples"] > 0
 
@@ -85,8 +85,8 @@ def test_kg_pipeline_resume(ray_session, pages_dir, tmp_path):
     out = str(tmp_path / "kg")
     clist = build_classifier_list_from_text([classifier_csv()])
     pidx = product_index()
-    r1 = run_kg(pages_dir, out, clist, pidx, concurrency=2, num_buckets=8)
-    r2 = run_kg(pages_dir, out, clist, pidx, concurrency=2, num_buckets=8)
+    r1 = run_kg(pages_dir, out, clist, pidx, num_buckets=8)
+    r2 = run_kg(pages_dir, out, clist, pidx, num_buckets=8)
     assert r2.get("entities_resumed") and r2.get("triples_resumed")
     assert r2["entities"] == r1["entities"] and r2["triples"] == r1["triples"]
 
