@@ -69,6 +69,20 @@ def _kg_triples(sf_dir: str):
     return materialize_triples(entities)
 
 
+def _kg_triples_from_records(sf_dir: str):
+    """Rows-only: same KG pipeline fed from the struct/JSON OCDS-records
+    materialization (source S1 variant) instead of web pages."""
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import generate_records, read_records
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    rec_dir = generate_records(f"/tmp/ocds_ray_corpus/records_{n}", n, shard_rows=max(200, n // 64))
+    clist, pidx = _kg_inputs()
+    entities = build_entities(read_records(rec_dir), clist, pidx, num_buckets=64)
+    return materialize_triples(entities)
+
+
 def _kg_text_hashes(sf_dir: str):
     """Rows-only: the byte-identity invariant surface — per-url sha256 of
     the extracted text (input_hint)."""
@@ -92,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out[name] = fn
     out.update(ROWS_ONLY_QUERIES)
     out["kg_triples"] = _kg_triples
+    out["kg_triples_from_records"] = _kg_triples_from_records
     out["kg_text_hashes"] = _kg_text_hashes
     return out
 

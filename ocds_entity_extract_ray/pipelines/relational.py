@@ -754,3 +754,94 @@ ROWS_ONLY_QUERIES: dict = {
     "q_minhash_dup_pairs": q_minhash_dup_pairs,
     "q_simhash_dup_pairs": q_simhash_dup_pairs,
 }
+
+
+def q_asof_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase event matched to the user's latest
+    earlier-or-equal view event (custom temporal-join operator,
+    ops/asof.py; oracle: DuckDB ASOF JOIN)."""
+    from ..ops.asof import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = events.map_batches(
+        lambda b: b[b["event_type"] == "purchase"][["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    views = events.map_batches(
+        lambda b: b[b["event_type"] == "view"][["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+        num_buckets=16,
+    ).to_pandas()
+    out = out.dropna(subset=["event_id_right"])  # inner semantics, match SQL
+    for c in ("event_id", "event_id_right", "user_id"):
+        out[c] = out[c].astype("int64")
+    out = _us(out, "ts")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_ASOF_SQL = """
+SELECT p.user_id, p.ts, p.event_id, v.event_id AS event_id_right
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders by totalprice within each market segment (grouped
+    ranking via hash-bucketed map_groups)."""
+    from ..ops.agg import bucketed_map_groups
+
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return b.groupby("c_mktsegment", sort=False).head(3)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]
+        ]
+
+    out = bucketed_map_groups(joined, "c_mktsegment", per_bucket, num_buckets=8).to_pandas()
+    return out.sort_values(["c_mktsegment", "o_orderkey"]).reset_index(drop=True)
+
+
+Q_TOPK_GROUP_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rn <= 3 ORDER BY c_mktsegment, o_orderkey
+"""
+
+
+def q_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Seeded random sample (rows-only: sampling is engine-specific)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    sampled = orders.random_sample(0.1, seed=42)
+    n = sampled.count()
+    return pd.DataFrame({"n_sampled": [int(n)]})
+
+
+SQL_QUERIES.update(
+    {
+        "q_asof_purchase_view": (q_asof_purchase_view, Q_ASOF_SQL),
+        "q_topk_per_group": (q_topk_per_group, Q_TOPK_GROUP_SQL),
+    }
+)
+ROWS_ONLY_QUERIES["q_sample_orders"] = q_sample_orders
