@@ -17,9 +17,15 @@ _ZERO3 = {"buyer": 0, "supplier": 0, "funder": 0}
 
 
 def _num(x: float) -> int | float:
-    """JS numbers print ints without decimals; keep whole floats as ints so
-    value-hash comparisons are stable."""
-    return int(x) if float(x).is_integer() else float(x)
+    """Canonical number rendering: whole floats as ints (JS print parity),
+    fractional floats rounded to 12 significant digits so the content hash
+    is stable under any float-summation order (merge-tree fp noise is
+    ~1e-14 relative; 12 sig digits leaves a 100x margin up to ~1e10
+    contributions per key — beyond that, exclude counters from _id)."""
+    x = float(f"{float(x):.12g}")  # canonicalize BEFORE the int check so a
+    # sum that lands at 3071.9999999998 in one merge order and 3072.0 in
+    # another renders identically
+    return int(x) if x.is_integer() else x
 
 
 def _counter(state: dict, prefix: str, slots: dict) -> dict:

@@ -27,7 +27,7 @@ def _count_files(path: str) -> int:
 
 
 def read_pages(
-    path: str, columns: list[str] | None = None, *, num_blocks: int | None = None
+    path: str | list[str], columns: list[str] | None = None, *, num_blocks: int | None = None
 ) -> ray.data.Dataset:
     """Pages table (url, warc_ts, html, text, lang). Prune columns at the
     read — the KG pipeline only needs (url, html).
@@ -37,7 +37,7 @@ def read_pages(
     downstream stage starves behind its sequential block stream (measured
     3.5x on the mention stage)."""
     if num_blocks is None:
-        num_blocks = _count_files(path)
+        num_blocks = len(path) if isinstance(path, list) else _count_files(path)
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
 
 

@@ -47,12 +47,17 @@ def test_records_path_equals_pages_path(corpora):
     a = set(zip(from_pages["table"], from_pages["id"]))
     b = set(zip(from_records["table"], from_records["id"]))
     assert a == b
-    # doc payloads identical too (order keys differ url vs ocid, but both
-    # sort identically because the url embeds the ocid)
+    # doc payloads identical too after float normalization (summation order
+    # differs between runs; order keys url vs ocid sort identically because
+    # the url embeds the ocid)
+    from .conftest import normalize_numbers
+
     da = {(t, i): d for t, i, d in zip(from_pages["table"], from_pages["id"], from_pages["doc"])}
     db = {(t, i): d for t, i, d in zip(from_records["table"], from_records["id"], from_records["doc"])}
-    same = sum(1 for k in da if da[k] == db[k])
-    assert same / len(da) >= 0.99
+    for k in da:
+        xa = normalize_numbers({f: v for f, v in json.loads(da[k]).items() if f != "_id"})
+        xb = normalize_numbers({f: v for f, v in json.loads(db[k]).items() if f != "_id"})
+        assert xa == xb, k
 
 
 def test_ndjson_sink(corpora, tmp_path):
@@ -89,7 +94,9 @@ def test_ndjson_sink(corpora, tmp_path):
     )
     assert entities_table_counts(entities2) == {t: n for t, n in counts.items()}
 
-    # deterministic: second write produces byte-identical files
+    # deterministic: a second independent build+write produces byte-identical
+    # files (render canonicalizes float precision, so _id is stable under
+    # any merge order)
     out2 = str(tmp_path / "ndjson2")
     write_ndjson_tables(entities2, out2)
     for t in TABLE_ORDER:
@@ -138,3 +145,30 @@ def test_asof_join_matches_pandas(ray_session):
         expect[["k", "ts", "lv", "rv_right"]].astype({"rv_right": "float64"}),
         check_dtype=False,
     )
+
+
+def test_resumable_sharded_kg(corpora, tmp_path):
+    """Shard-granular resume: first run computes all shards; a rerun skips
+    every shard; deleting ONE shard manifest recomputes only that shard —
+    with identical final triples each time."""
+    import pyarrow.dataset as pads
+
+    from ocds_entity_extract_ray.pipelines.kg_resumable import run_kg_resumable
+
+    pages_dir, _ = corpora
+    clist = build_classifier_list_from_text([classifier_csv()])
+    out = str(tmp_path / "kg_shard")
+    r1 = run_kg_resumable(pages_dir, out, clist, product_index(), num_shards=4, num_buckets=8)
+    assert r1["shards_computed"] == 4 and r1["shards_resumed"] == 0
+
+    r2 = run_kg_resumable(pages_dir, out, clist, product_index(), num_shards=4, num_buckets=8)
+    assert r2["shards_computed"] == 0 and r2["shards_resumed"] == 4
+    assert (r1["entities"], r1["triples"]) == (r2["entities"], r2["triples"])
+
+    os.remove(os.path.join(out, "mentions", "shard=2", "_MANIFEST.json"))
+    r3 = run_kg_resumable(pages_dir, out, clist, product_index(), num_shards=4, num_buckets=8)
+    assert r3["shards_computed"] == 1 and r3["shards_resumed"] == 3
+    assert (r3["entities"], r3["triples"]) == (r1["entities"], r1["triples"])
+
+    tri = pads.dataset(out + "/triples", format="parquet", partitioning="hive").to_table()
+    assert tri.num_rows == r1["triples"]
