@@ -106,6 +106,59 @@ def lsh_bucketed_topk(
     )
 
 
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int = 13, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means (seeded init, fixed iterations) for the IVF
+    coarse quantizer — trained driver-side on a small sample."""
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = sample[mask].mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer trained
+    on a driver-side sample; only vectors whose nearest centroid is among
+    the query's ``nprobe`` closest are scanned. At cluster scale the corpus
+    would be PRE-partitioned by centroid id so non-probed partitions are
+    pruned at the read (the IVF scale path, complementing the LSH one)."""
+    sample_df = ds.limit(train_sample).to_pandas()
+    sample = _to_matrix(sample_df[vec_col])
+    cents = _kmeans_fit(sample, n_centroids, seed)
+
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probed = frozenset(np.argsort(qd)[:nprobe].tolist())
+    ref = ray.put((cents, probed))
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        cs, pr = _fetch(ref)
+        m = _to_matrix(batch[vec_col])
+        d = ((m[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        return batch[pd.Series(assign, index=batch.index).isin(pr)]
+
+    return cosine_topk(
+        ds.map_batches(flt, batch_format="pandas"), q, k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     *,

@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from .synth import PAGES_SCHEMA, pages_batch, records_json_batch
+from .synth import PAGES_SCHEMA, pages_batch, records_json_batch, records_struct_batch
 
 
 def _count_files(path: str) -> int:
@@ -110,6 +110,42 @@ def generate_records(
     with open(marker, "w") as fh:
         fh.write(str(n))
     return out_dir
+
+
+def generate_records_struct(
+    out_dir: str, n: int, *, shard_rows: int = 2000, overwrite: bool = False
+) -> str:
+    """FIXTURES F2: struct-typed Parquet mirror of the record documents."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not overwrite and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == str(n):
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = max(1, (n + shard_rows - 1) // shard_rows)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = []
+        for shard in batch["id"].to_pylist():
+            lo = shard * shard_rows
+            hi = min(n, lo + shard_rows)
+            out.append(records_struct_batch(lo, hi))
+        return pa.concat_tables(out)
+
+    (
+        ray.data.range(n_shards, override_num_blocks=n_shards)
+        .map_batches(gen, batch_size=1, batch_format="pyarrow")
+        .write_parquet(out_dir, max_rows_per_file=shard_rows, mode="overwrite")
+    )
+    with open(marker, "w") as fh:
+        fh.write(str(n))
+    return out_dir
+
+
+def read_records_struct(path: str) -> ray.data.Dataset:
+    """Struct-typed records source. The nested columns stay Arrow all the
+    way to the mention stage, which converts per batch and strips nulls."""
+    return ray.data.read_parquet(path, override_num_blocks=_count_files(path))
 
 
 def load_small_table(path: str) -> pa.Table:

@@ -398,6 +398,16 @@ def pages_batch(lo: int, hi: int) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
+def records_struct_batch(lo: int, hi: int) -> pa.Table:
+    """FIXTURES F2 struct-typed materialization: fully nested Arrow schema
+    (nullable everywhere); absent dict fields become struct nulls and are
+    restored by ocds_schema.strip_nones on read."""
+    from .ocds_schema import OCDS_RECORDS_SCHEMA
+
+    rows = [make_record(i) for i in range(lo, hi)]
+    return pa.Table.from_pylist(rows, schema=OCDS_RECORDS_SCHEMA)
+
+
 def records_json_batch(lo: int, hi: int) -> pa.Table:
     """ocds_records materialization: (ocid, record_json). JSON (not deep
     structs) keeps absent-vs-null semantics identical to the reference's

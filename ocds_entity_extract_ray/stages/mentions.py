@@ -61,12 +61,23 @@ class MentionExtractor:
             record = json.loads(blob)
             yield from emit_record(record, ocid, self.classifier_list, self.product_index)
 
+    def _emit_from_struct_records(self, batch: pa.Table):
+        from ..sources.ocds_schema import strip_nones
+
+        for row in batch.to_pylist():
+            record = strip_nones(row)
+            yield from emit_record(
+                record, record.get("ocid") or "", self.classifier_list, self.product_index
+            )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        states = (
-            self._emit_from_records(batch)
-            if "record_json" in batch.schema.names
-            else self._emit_from_pages(batch)
-        )
+        names = batch.schema.names
+        if "record_json" in names:
+            states = self._emit_from_records(batch)
+        elif "compiledRelease" in names:
+            states = self._emit_from_struct_records(batch)
+        else:
+            states = self._emit_from_pages(batch)
         # map-side partial combine: one merged state per key per batch
         combined: dict = {}
         for st in states:

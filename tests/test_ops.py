@@ -143,3 +143,15 @@ def test_multimodal_real_decode_is_gated(ray_session):
 
     with pytest.raises(NotImplementedError):
         ImageFeaturizer(decode="real")._decode(b"payload")
+
+
+def test_ivf_topk_recalls_planted_neighbor(vec_corpus):
+    from ocds_entity_extract_ray.ops.similarity import ivf_topk
+
+    ds, vecs = vec_corpus
+    got = ivf_topk(ds, vecs[10].astype("float64"), k=5, n_centroids=8, nprobe=3)
+    # the near-identical planted vector lands in the same centroid cell
+    assert 150 in set(got["vec_id"])
+    # deterministic across invocations
+    got2 = ivf_topk(ds, vecs[10].astype("float64"), k=5, n_centroids=8, nprobe=3)
+    assert list(got["vec_id"]) == list(got2["vec_id"])

@@ -1,0 +1,164 @@
+"""Hypothesis property tests: the merge algebra's laws under arbitrary
+generated states, and normalizer invariants (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import copy
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocds_entity_extract_ray.extraction.state import (
+    merge_state,
+    new_state,
+)
+from ocds_entity_extract_ray.functions.laundry import (
+    clean_country,
+    collapse_ws,
+    is_company,
+    launder,
+    simple_name,
+)
+from ocds_entity_extract_ray.functions.products import get_product_id, strip_dots
+
+# --- generated states --------------------------------------------------------
+
+_fields = st.sampled_from(["a", "b", "c", "d"])
+_sortkey = st.tuples(
+    st.text(alphabet="abc0123456789", min_size=1, max_size=6),
+    st.integers(0, 99),
+    st.integers(-1, 1),
+).map(list)
+
+
+@st.composite
+def states(draw):
+    st_ = new_state("orgs", "x")
+    for f in draw(st.lists(_fields, max_size=4)):
+        st_["sums"][f] = draw(st.integers(-1000, 1000))
+    for f in draw(st.lists(_fields, max_size=3)):
+        st_["mins"][f] = draw(st.text("0123456789", min_size=4, max_size=4))
+    for f in draw(st.lists(_fields, max_size=3)):
+        st_["maxs"][f] = draw(st.text("0123456789", min_size=4, max_size=4))
+    for f in draw(st.lists(_fields, max_size=2)):
+        st_["flags"][f] = draw(st.booleans())
+    for slot in draw(st.lists(_fields, max_size=2)):
+        st_["first"][slot] = [draw(_sortkey), {"v": draw(st.integers(0, 9))}]
+    for slot in draw(st.lists(_fields, max_size=2)):
+        st_["last"][slot] = [draw(_sortkey), draw(st.integers(0, 9))]
+    for f in draw(st.lists(_fields, max_size=2)):
+        members = {}
+        for mk in draw(st.lists(st.text("xyz", min_size=1, max_size=2), max_size=3)):
+            members[mk] = [draw(_sortkey), {"m": mk}]
+        st_["sets"][f] = members
+    return st_
+
+
+def _tag(state: dict, tag: int) -> dict:
+    """Append a unique per-state element to every sortkey: the engine's
+    sortkeys ([order_key, seq]) are globally unique by construction (url/
+    ocid unique per record, seq monotonic within), so tie-breaking between
+    DIFFERENT payloads can never occur; the generator must respect that
+    invariant or commutativity trivially fails on artificial ties."""
+    for slot, (sk, v) in state["first"].items():
+        state["first"][slot] = [list(sk) + [tag], v]
+    for slot, (sk, v) in state["last"].items():
+        state["last"][slot] = [list(sk) + [tag], v]
+    for f, members in state["sets"].items():
+        for mk, (sk, v) in members.items():
+            members[mk] = [list(sk) + [tag], v]
+    return state
+
+
+def _canon(s) -> str:
+    from .conftest import normalize_numbers
+
+    # int/float duality (0 vs 0.0) is a representation artifact the render
+    # layer canonicalizes; normalize before comparing
+    return json.dumps(normalize_numbers(s), sort_keys=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(states(), states())
+def test_merge_commutative(a, b):
+    a, b = _tag(a, 1), _tag(b, 2)
+    ab = merge_state(copy.deepcopy(a), copy.deepcopy(b))
+    ba = merge_state(copy.deepcopy(b), copy.deepcopy(a))
+    assert _canon(ab) == _canon(ba)
+
+
+@settings(max_examples=200, deadline=None)
+@given(states(), states(), states())
+def test_merge_associative(a, b, c):
+    a, b, c = _tag(a, 1), _tag(b, 2), _tag(c, 3)
+    left = merge_state(merge_state(copy.deepcopy(a), copy.deepcopy(b)), copy.deepcopy(c))
+    right = merge_state(copy.deepcopy(a), merge_state(copy.deepcopy(b), copy.deepcopy(c)))
+    assert _canon(left) == _canon(right)
+
+
+@settings(max_examples=100, deadline=None)
+@given(states())
+def test_merge_identity_element(a):
+    out = merge_state(copy.deepcopy(a), new_state("orgs", "x"))
+    assert _canon(out) == _canon(a)
+
+
+@settings(max_examples=100, deadline=None)
+@given(states())
+def test_merge_idempotent_for_non_sums(a):
+    """Merging a state with itself only doubles the sums — every other
+    section is idempotent (required: a retried task must not perturb
+    first/last/sets/flags beyond the documented counter caveat handled by
+    shard-level manifests)."""
+    doubled = merge_state(copy.deepcopy(a), copy.deepcopy(a))
+    for section in ("mins", "maxs", "flags", "first", "last", "sets"):
+        assert _canon(doubled[section]) == _canon(a[section])
+    for k, v in a["sums"].items():
+        assert doubled["sums"][k] == 2 * v
+
+
+# --- normalizer invariants ---------------------------------------------------
+
+_texts = st.text(min_size=0, max_size=60)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts)
+def test_simple_name_idempotent_and_clean(s):
+    out = simple_name(s)
+    assert simple_name(out) == out
+    assert out == "" or out.strip("-") == out
+    assert all(c.islower() or c.isdigit() or c == "-" for c in out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts)
+def test_launder_idempotent(s):
+    assert launder(launder(s)) == launder(s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_collapse_ws_idempotent(s):
+    assert collapse_ws(collapse_ws(s)) == collapse_ws(s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_is_company_total(s):
+    assert is_company(s) in (True, False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="0123456789", min_size=0, max_size=20))
+def test_product_id_preserves_digits(s):
+    """Dot insertion never changes the digit content (dot-insensitive
+    compare invariant, extract.js:1302)."""
+    assert strip_dots(get_product_id(s)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sampled_from(["MX", "mx", "US", "GB", "ZZ"]))
+def test_clean_country_2char_uppercases(code):
+    assert clean_country(code) == code.upper()

@@ -172,3 +172,39 @@ def test_resumable_sharded_kg(corpora, tmp_path):
 
     tri = pads.dataset(out + "/triples", format="parquet", partitioning="hive").to_table()
     assert tri.num_rows == r1["triples"]
+
+
+def test_struct_records_path(ray_session, tmp_path):
+    """FIXTURES F2: the struct-typed nested-Arrow materialization flows
+    through the same pipeline and produces the identical entity set (nested
+    columns stay Arrow to the stage; strip_nones restores absent-vs-null)."""
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import (
+        generate_records,
+        generate_records_struct,
+        read_records,
+        read_records_struct,
+    )
+
+    sdir = str(tmp_path / "struct")
+    jdir = str(tmp_path / "json")
+    generate_records_struct(sdir, N, shard_rows=50)
+    generate_records(jdir, N, shard_rows=50)
+
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+    from_struct = build_entities(read_records_struct(sdir), clist, pidx, num_buckets=8).to_pandas()
+    from_json = build_entities(read_records(jdir), clist, pidx, num_buckets=8).to_pandas()
+
+    assert set(zip(from_struct["table"], from_struct["id"])) == set(
+        zip(from_json["table"], from_json["id"])
+    )
+    # byte-identical docs: strip_nones makes the Arrow round trip lossless
+    ds_ = {(t, i): d for t, i, d in zip(from_struct["table"], from_struct["id"], from_struct["doc"])}
+    dj = {(t, i): d for t, i, d in zip(from_json["table"], from_json["id"], from_json["doc"])}
+    from .conftest import normalize_numbers
+
+    for k in ds_:
+        xa = normalize_numbers({f: v for f, v in json.loads(ds_[k]).items() if f != "_id"})
+        xb = normalize_numbers({f: v for f, v in json.loads(dj[k]).items() if f != "_id"})
+        assert xa == xb, k
