@@ -205,19 +205,23 @@ def simhash_dup_pairs(
         out = {"chunk": [], "chunk_val": [], "_id": [], "_sh": []}
         for did, text in zip(batch[id_col], batch[text_col]):
             sh = simhash64(text)
+            # store as SIGNED int64 (values >= 2^63 would silently become
+            # float64 through the pandas->Arrow boundary and break XOR)
+            sh_signed = sh - (1 << 64) if sh >= (1 << 63) else sh
             for c in range(4):
                 out["chunk"].append(c)
                 out["chunk_val"].append((sh >> (16 * c)) & 0xFFFF)
                 out["_id"].append(did)
-                out["_sh"].append(sh)
-        return pd.DataFrame(out)
+                out["_sh"].append(sh_signed)
+        return pd.DataFrame(out).astype({"_sh": "int64"})
 
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         dup_mask = bucket.duplicated(["chunk", "chunk_val"], keep=False)
         cand = bucket[dup_mask]
         out = {"id_a": [], "id_b": [], "hamming": []}
+        mask = (1 << 64) - 1
         for (_c, _v), grp in cand.groupby(["chunk", "chunk_val"], sort=False):
-            recs = sorted(zip(grp["_id"], grp["_sh"]))
+            recs = sorted(zip(grp["_id"], (int(v) & mask for v in grp["_sh"])))
             for i in range(len(recs)):
                 for j in range(i + 1, len(recs)):
                     d = bin(recs[i][1] ^ recs[j][1]).count("1")
