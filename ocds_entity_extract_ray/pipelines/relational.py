@@ -446,15 +446,17 @@ def q_avg_acctbal_by_segment(sf_dir: str) -> pd.DataFrame:
     out = grouped_agg(
         cust, ["c_mktsegment"], {"sum_bal": ("c_acctbal", "sum"), "n": ("c_acctbal", "count")}
     )
-    out["sum_bal"] = _round(out["sum_bal"])
-    out["avg_acctbal"] = out["sum_bal"] / out["n"]
+    # acctbal is exact 2-decimal: compare integer cents (boundary-free)
+    out["sum_bal_cents"] = _round(out["sum_bal"] * 100)
+    out["avg_acctbal"] = out["sum_bal_cents"] / 100 / out["n"]
     out["n"] = out["n"].astype("int64")
+    out = out.drop(columns=["sum_bal"])
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
 Q_AVG_SQL = """
-SELECT c_mktsegment, ROUND(SUM(c_acctbal), 0) AS sum_bal, COUNT(*)::BIGINT AS n,
-       ROUND(SUM(c_acctbal), 0) / COUNT(*) AS avg_acctbal
+SELECT c_mktsegment, ROUND(SUM(c_acctbal) * 100, 0) AS sum_bal_cents, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(c_acctbal) * 100, 0) / 100 / COUNT(*) AS avg_acctbal
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
@@ -465,14 +467,18 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
     events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     out = tumbling_window_agg(events, freq="h")
-    out["sum_value"] = _round(out["sum_value"])
+    # event values are exact 2-decimal; sums are integer CENTS — rounding
+    # scaled cents is boundary-free (a unit-rounded sum can land exactly on
+    # .5 and flip with summation order)
+    out["sum_value_cents"] = _round(out["sum_value"] * 100)
+    out = out.drop(columns=["sum_value"])
     out = _us(out, "window_start")
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
 Q_TUMBLING_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       COUNT(*)::BIGINT AS n_events, ROUND(SUM(value), 0) AS sum_value
+       COUNT(*)::BIGINT AS n_events, ROUND(SUM(value) * 100, 0) AS sum_value_cents
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, window_start
 """
@@ -501,12 +507,13 @@ def q_event_hist(sf_dir: str) -> pd.DataFrame:
         events, ["event_type"], {"n": ("value", "count"), "sum_value": ("value", "sum")}
     )
     out["n"] = out["n"].astype("int64")
-    out["sum_value"] = _round(out["sum_value"])
+    out["sum_value_cents"] = _round(out["sum_value"] * 100)
+    out = out.drop(columns=["sum_value"])
     return out.sort_values("event_type").reset_index(drop=True)
 
 
 Q_EVENT_HIST_SQL = """
-SELECT event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value), 0) AS sum_value
+SELECT event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value) * 100, 0) AS sum_value_cents
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -845,3 +852,173 @@ SQL_QUERIES.update(
     }
 )
 ROWS_ONLY_QUERIES["q_sample_orders"] = q_sample_orders
+
+
+def q_min_acctbal_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Q2-flavored correlated min: suppliers holding the minimum acctbal of
+    their nation (grouped min -> broadcast filter, no correlated rescan)."""
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    mins = grouped_agg(sup, ["s_nationkey"], {"min_bal": ("s_acctbal", "min")})
+    joined = broadcast_hash_join(sup, mins, left_on="s_nationkey")
+    out = joined.map_batches(
+        lambda b: b[b["s_acctbal"] == b["min_bal"]][["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]],
+        batch_format="pandas",
+    ).to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q_MIN_ACCTBAL_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier s
+WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s.s_nationkey)
+ORDER BY s_suppkey
+"""
+
+
+def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """Q7-flavored shipping volume between (supplier nation, customer
+    nation) pairs by ship year."""
+    sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_c = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+    joined = li_s.join(
+        orders_c, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["ship_year"] = b["l_shipdate"].dt.year.astype("int64")
+        b["volume"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["s_nationkey", "c_nationkey", "ship_year", "volume"]]
+
+    out = grouped_agg(
+        joined,
+        ["s_nationkey", "c_nationkey", "ship_year"],
+        {"volume": ("volume", "sum"), "n_items": ("volume", "count")},
+        pre=pre,
+    )
+    out["volume"] = _round(out["volume"])
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(["s_nationkey", "c_nationkey", "ship_year"]).reset_index(drop=True)
+
+
+Q7_SQL = """
+SELECT s_nationkey, c_nationkey, year(l_shipdate)::BIGINT AS ship_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS volume,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY s_nationkey, c_nationkey, ship_year
+ORDER BY s_nationkey, c_nationkey, ship_year
+"""
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q10-flavored: top-20 customers by revenue of returned lineitems."""
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def pre_li(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"].copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_orderkey", "revenue"]]
+
+    li_r = li.map_batches(pre_li, batch_format="pandas")
+    joined = li_r.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    per_cust = grouped_agg(joined, ["o_custkey"], {"revenue": ("revenue", "sum")})
+    per_cust["revenue"] = _round(per_cust["revenue"])
+    out = per_cust.merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="mergesort").head(20)
+    return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding window (size 2h, step 1h): each event contributes to the two
+    hourly windows covering it — emitted twice map-side, then the same
+    two-stage aggregation as tumbling."""
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        base = b[["event_type", "ts", "value"]].copy()
+        base["window_start"] = base["ts"].dt.floor("h")
+        prev = base.copy()
+        prev["window_start"] = prev["window_start"] - pd.Timedelta(hours=1)
+        return pd.concat([base, prev], ignore_index=True)
+
+    out = grouped_agg(
+        events,
+        ["event_type", "window_start"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        pre=pre,
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value_cents"] = _round(out["sum_value"] * 100)
+    out = out.drop(columns=["sum_value"])
+    out = _us(out, "window_start")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+Q_SLIDING_SQL = """
+SELECT event_type, window_start, COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value) * 100, 0) AS sum_value_cents
+FROM (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+) GROUP BY event_type, window_start ORDER BY event_type, window_start
+"""
+
+
+def q_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Integer-bucket histogram of event values per type (bucket = floor
+    of value/50) — exact in both engines."""
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket_id"] = np.floor(b["value"] / 50.0).astype("int64")
+        return b
+
+    out = grouped_agg(events, ["event_type", "bucket_id"], {"n": ("value", "count")}, pre=pre)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "bucket_id"]).reset_index(drop=True)
+
+
+Q_HISTOGRAM_SQL = """
+SELECT event_type, floor(value / 50.0)::BIGINT AS bucket_id, COUNT(*)::BIGINT AS n
+FROM events GROUP BY event_type, bucket_id ORDER BY event_type, bucket_id
+"""
+
+
+SQL_QUERIES.update(
+    {
+        "q_min_acctbal_suppliers": (q_min_acctbal_suppliers, Q_MIN_ACCTBAL_SQL),
+        "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+        "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+        "q_sliding_window": (q_sliding_window, Q_SLIDING_SQL),
+        "q_value_histogram": (q_value_histogram, Q_HISTOGRAM_SQL),
+    }
+)

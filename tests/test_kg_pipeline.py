@@ -107,3 +107,47 @@ def test_text_extraction_byte_identity(ray_session, pages_dir):
         text, sha = got[row["url"]]
         assert text == expected  # byte-identical
         assert sha == text_sha256(expected)
+
+
+def test_head_key_skew(ray_session, tmp_path):
+    """Extreme head-entity skew: ONE institution sighted in every record of
+    a 2000-doc corpus. The map-side partial combine bounds that key's
+    shuffle rows to <= #blocks, so the hot key cannot melt a reducer; the
+    counters still sum exactly (validated against the sequential oracle)."""
+    import pyarrow as pa
+
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.synth import PAGES_SCHEMA, make_record, render_page
+    from ocds_entity_extract_ray.oracle.reference_extractor import run_reference
+    from ocds_entity_extract_ray.extraction.triples import oracle_entities_by_table
+
+    n = 800
+    records = []
+    for i in range(n):
+        rec = make_record(i)
+        # force every record's buyer to the same hot institution id/name
+        buyer = rec["compiledRelease"]["parties"][0]
+        buyer["id"], buyer["name"] = "inst-hot", "Secretaría Caliente"
+        for rel in rec["releases"]:
+            rel["parties"][0]["id"], rel["parties"][0]["name"] = "inst-hot", "Secretaría Caliente"
+        records.append(rec)
+
+    rows = [render_page(i, rec) for i, rec in enumerate(records)]
+    pages_dir = str(tmp_path / "hot")
+    pa.parquet.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), pages_dir + ".parquet")
+
+    import ray.data
+
+    pages = ray.data.read_parquet(pages_dir + ".parquet", override_num_blocks=16)
+    df = build_entities(pages, None, {}, num_buckets=8, batch_size=64).to_pandas()
+    hot = json.loads(df[(df["table"] == "orgs") & (df["id"] == "inst-hot")]["doc"].iloc[0])
+
+    oracle = oracle_entities_by_table(
+        run_reference(sorted(records, key=lambda r: r["ocid"]), None, {})
+    )
+    o_hot = next(d for d in oracle["orgs"] if d["id"] == "inst-hot")
+    for f in ("contract_count", "purchase_count"):
+        assert hot[f] == o_hot[f]
+    for f in ("contract_amount", "purchase_amount"):
+        for slot in hot[f]:
+            assert abs(hot[f][slot] - o_hot[f][slot]) <= max(1e-6 * abs(o_hot[f][slot]), 1e-6)
