@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_DOCS_PER_SF = 4_000_000  # sf0.1 -> 400k synthetic pages
+CORPUS_DOCS_PER_SF = 8_000_000  # sf0.1 -> 800k synthetic pages
 
 
 def _sf_of(sf_dir: str) -> float:

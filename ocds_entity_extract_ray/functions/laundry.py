@@ -14,6 +14,7 @@ salted groupby-aggregate, so determinism here is a correctness requirement.
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 
@@ -30,6 +31,7 @@ def remove_diacritics(s: str) -> str:
     )
 
 
+@functools.lru_cache(maxsize=65536)
 def simple_name(s: str | None) -> str:
     """Slugify: lowercase, diacritics removed, non-alphanumeric runs -> '-',
     trimmed. Contract of ``laundry.simpleName`` (extract.js:419,530,755,883)."""
@@ -40,6 +42,7 @@ def simple_name(s: str | None) -> str:
     return t
 
 
+@functools.lru_cache(maxsize=65536)
 def launder(s: str | None) -> str:
     """Canonical display normalization: uppercase, diacritics removed,
     punctuation stripped, whitespace collapsed.
@@ -98,6 +101,7 @@ _COMPANY_KEYWORDS = {
 }
 
 
+@functools.lru_cache(maxsize=65536)
 def company_type(name: str | None) -> str:
     """Legal-form slug of a company name, '' if none.
     Contract of ``laundry.companyType`` (extract.js:732): non-empty result
@@ -111,6 +115,7 @@ def company_type(name: str | None) -> str:
     return ""
 
 
+@functools.lru_cache(maxsize=65536)
 def is_company(name: str | None) -> bool:
     """Heuristic company-vs-person classifier, fallback arm of the
     classification cascade (extract.js:28). True iff the name carries a legal
@@ -151,6 +156,7 @@ _COUNTRY_TO_ISO2 = {
 }
 
 
+@functools.lru_cache(maxsize=65536)
 def clean_country(name: str | None) -> str:
     """Country name or variant -> ISO-2 code.
     Contract of ``laundry.cleanCountry`` (extract.js:418,529,754,899,944).
