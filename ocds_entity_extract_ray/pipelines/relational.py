@@ -1022,3 +1022,74 @@ SQL_QUERIES.update(
         "q_value_histogram": (q_value_histogram, Q_HISTOGRAM_SQL),
     }
 )
+
+
+def q_word_count(sf_dir: str) -> pd.DataFrame:
+    """The canonical distributed wordcount over documents: per-batch partial
+    counts (vectorized explode+value_counts) -> two-stage combine -> global
+    top-50."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    out = grouped_agg(docs, ["word"], {"n": ("n", "sum")}, pre=pre)
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .head(50)
+        .reset_index(drop=True)
+    )
+
+
+Q_WORD_COUNT_SQL = """
+SELECT w AS word, COUNT(*)::BIGINT AS n
+FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+GROUP BY w ORDER BY n DESC, word LIMIT 50
+"""
+
+
+def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles (p25/p50/p75) of event value per type:
+    hash-bucketed per-key collection + deterministic index pick (matches
+    DuckDB quantile_disc: element at ceil(q * n) - 1)."""
+    from ..ops.agg import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in bucket.groupby("event_type", sort=False):
+            v = np.sort(grp["value"].to_numpy())
+            n = len(v)
+            def disc(q):  # DuckDB quantile_disc convention: ceil(q*n)-1
+                return v[max(0, int(np.ceil(q * n)) - 1)]
+
+            rows.append(
+                {"event_type": et, "p25": disc(0.25), "p50": disc(0.50), "p75": disc(0.75), "n": n}
+            )
+        return pd.DataFrame(rows)
+
+    out = bucketed_map_groups(events, "event_type", per_bucket, num_buckets=8).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.75) AS p75,
+       COUNT(*)::BIGINT AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+SQL_QUERIES.update(
+    {
+        "q_word_count": (q_word_count, Q_WORD_COUNT_SQL),
+        "q_value_quantiles": (q_value_quantiles, Q_QUANTILES_SQL),
+    }
+)
