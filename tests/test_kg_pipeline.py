@@ -151,3 +151,38 @@ def test_head_key_skew(ray_session, tmp_path):
     for f in ("contract_amount", "purchase_amount"):
         for slot in hot[f]:
             assert abs(hot[f][slot] - o_hot[f][slot]) <= max(1e-6 * abs(o_hot[f][slot]), 1e-6)
+
+
+def test_malformed_pages_are_skipped(ray_session, tmp_path):
+    """Garbage html, truncated JSON-LD, empty payloads: the pipeline skips
+    them and processes the valid remainder (no task failure, counts right)."""
+    import pyarrow as pa
+
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.synth import PAGES_SCHEMA, make_record, render_page
+
+    rows = [render_page(i, make_record(i)) for i in range(50)]
+    rows.append({"url": "https://bad.example/1", "warc_ts": rows[0]["warc_ts"],
+                 "html": b"\xff\xfe\x00garbage not html", "text": "", "lang": "xx"})
+    rows.append({"url": "https://bad.example/2", "warc_ts": rows[0]["warc_ts"],
+                 "html": b'<script type="application/ld+json">{"truncated": </script>', "text": "", "lang": "xx"})
+    rows.append({"url": "https://bad.example/3", "warc_ts": rows[0]["warc_ts"],
+                 "html": b"", "text": "", "lang": "xx"})
+    path = str(tmp_path / "mixed.parquet")
+    pa.parquet.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA), path)
+
+    import ray.data
+
+    df = build_entities(
+        ray.data.read_parquet(path, override_num_blocks=4), None, {}, num_buckets=8
+    ).to_pandas()
+    assert len(df) > 0
+    # same entities as the clean 50-page corpus alone
+    clean = str(tmp_path / "clean.parquet")
+    pa.parquet.write_table(
+        pa.Table.from_pylist(rows[:50], schema=PAGES_SCHEMA), clean
+    )
+    df_clean = build_entities(
+        ray.data.read_parquet(clean, override_num_blocks=4), None, {}, num_buckets=8
+    ).to_pandas()
+    assert set(zip(df["table"], df["id"])) == set(zip(df_clean["table"], df_clean["id"]))
