@@ -51,11 +51,9 @@ def grouped_agg(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if pre is not None:
             batch = pre(batch)
-        if not len(batch):
-            cols = {k: batch[k] for k in keys}
-            for out, (col, _how) in specs.items():
-                cols[out] = pd.Series(dtype="float64")
-            return pd.DataFrame(cols)
+        # pandas groupby handles the empty frame and keeps the NATURAL
+        # output dtypes (int64 for counts) — a special-cased float64 empty
+        # would mix block schemas for the same column
         return batch.groupby(keys, as_index=False, sort=False).agg(
             **{out: (col, _AGG_HOW[how]) for out, (col, how) in specs.items()}
         )

@@ -58,8 +58,9 @@ def asof_join(
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         lhs = bucket[bucket["_side"] == "l"][[key_col, ts_col, *left_cols]]
         rhs = bucket[bucket["_side"] == "r"][[key_col, ts_col, *r_renamed]]
-        if not len(lhs):
-            return lhs
+        # merge even when lhs is empty: merge_asof emits the FULL output
+        # schema with inherited dtypes, keeping block schemas identical
+        # across buckets (a right-only bucket must not drop *_right cols)
         lhs = lhs.sort_values(ts_col, kind="mergesort")
         rhs = rhs.sort_values(ts_col, kind="mergesort")
         return pd.merge_asof(

@@ -16,6 +16,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -98,6 +99,7 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 _MERSENNE = (1 << 61) - 1
 
 
+@functools.lru_cache(maxsize=16)
 def _minhash_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)

@@ -21,11 +21,14 @@ import ray
 import ray.data
 
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 32  # bounded: long-lived workers see many broadcasts
 
 
 def _fetch(ref) -> pd.DataFrame:
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _BROADCAST_CACHE:
+        if len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))  # FIFO evict
         _BROADCAST_CACHE[key] = ray.get(ref)
     return _BROADCAST_CACHE[key]
 

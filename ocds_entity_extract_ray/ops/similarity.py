@@ -52,11 +52,16 @@ def cosine_topk(
         out = pd.DataFrame({id_col: batch[id_col].to_numpy(), "score": s})
         if excl:
             out = out[~out[id_col].isin(excl)]
-        return out.nlargest(min(k, len(out)), "score")
+        # deterministic tie-break (score desc, id asc) so ties straddling
+        # the per-block cut can't flip with block arrival order
+        return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
 
     partials = ds.map_batches(score, batch_format="pandas")
     # merged candidate set is tiny (k per block)
-    result = partials.to_pandas().nlargest(k, "score")
+    pdf = partials.to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    result = pdf.sort_values(["score", id_col], ascending=[False, True]).head(k)
     result["score"] = _round6(result["score"])
     return (
         result.sort_values(["score", id_col], ascending=[False, True])
@@ -171,15 +176,14 @@ def embedding_near_dup_pairs(
     global bucket (exact, quadratic — test scale); n_planes>0 buckets by
     random hyperplanes first (approximate, the 100 TB path: candidates only
     within a bucket)."""
-    planes = _hyperplanes(64, n_planes) if n_planes else None
-    ref = ray.put(planes)
-
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        pl = _fetch(ref)
-        if pl is None:
+        if not n_planes:
             b = np.zeros(len(batch), dtype=np.int64)
         else:
             m = _to_matrix(batch[vec_col])
+            # planes derived deterministically from (dim, seed) — identical
+            # in every task regardless of embedding dimensionality
+            pl = _hyperplanes(m.shape[1], n_planes)
             bits = (m @ pl.T) > 0
             b = bits @ (1 << np.arange(pl.shape[0]))
         return pd.DataFrame(

@@ -84,7 +84,16 @@ def run_kg_resumable(
     report["map_secs"] = round(time.monotonic() - t0, 3)
 
     t1 = time.monotonic()
-    state_files = _input_files(mentions_root)
+    # read ONLY this run's shard dirs — a previous run with more shards may
+    # have left orphaned shard=K dirs that must not leak into the reduce
+    import shutil
+
+    for stale in os.listdir(mentions_root) if os.path.isdir(mentions_root) else []:
+        if stale.startswith("shard=") and int(stale.split("=")[1]) >= num_shards:
+            shutil.rmtree(os.path.join(mentions_root, stale))
+    state_files = []
+    for k in range(num_shards):
+        state_files.extend(_input_files(os.path.join(mentions_root, f"shard={k}")))
     all_states = ray.data.read_parquet(
         state_files, override_num_blocks=max(1, len(state_files))
     )

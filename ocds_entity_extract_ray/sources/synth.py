@@ -139,8 +139,17 @@ def _contact(idx: int) -> dict:
     return {"id": f"func-{idx:04d}", "name": name}
 
 
+@__import__("functools").lru_cache(maxsize=1)
+def _catalog_cached() -> tuple:
+    return tuple(_build_product_catalog())
+
+
 def product_catalog() -> list[dict]:
     """FIXTURES F3: the broadcast cbmei-style product index."""
+    return [dict(p) for p in _catalog_cached()]
+
+
+def _build_product_catalog() -> list[dict]:
     out = []
     for idx in range(N_PRODUCTS):
         word = _PRODUCT_WORDS[idx % len(_PRODUCT_WORDS)]
@@ -272,7 +281,7 @@ def make_record(i: int) -> dict:
     base_day = datetime.date(2017, 1, 1) + datetime.timedelta(days=i % 1400)
     contracts = []
     n_con = rng.randint(1, 2)
-    catalog = product_catalog()
+    catalog = _catalog_cached()  # built once per process, read-only here
     for ci in range(n_con):
         contract: dict = {
             "id": f"{ocid}-con-{ci}",
@@ -363,8 +372,9 @@ def render_page(i: int, record: dict) -> dict:
     buyer = cr["parties"][0]["name"]
     suppliers = [p["name"] for p in cr["parties"][1:] if "supplier" in (p.get("roles") or [])]
     amount = sum((c.get("value") or {}).get("amount", 0) for c in cr.get("contracts") or [])
+    lang = "es" if rng.random() < 0.9 else "en"
     html = _PAGE_TEMPLATE.format(
-        lang="es" if rng.random() < 0.9 else "en",
+        lang=lang,
         ocid=record["ocid"],
         jsonld=json.dumps(record, ensure_ascii=False, sort_keys=True),
         buyer=buyer,
@@ -378,7 +388,7 @@ def render_page(i: int, record: dict) -> dict:
         "warc_ts": ts,
         "html": html.encode("utf-8"),
         "text": "",
-        "lang": "es" if rng.random() < 0.9 else "en",
+        "lang": lang,
     }
 
 

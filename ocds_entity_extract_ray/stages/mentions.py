@@ -49,10 +49,17 @@ class MentionExtractor:
         for url, html in zip(urls, htmls):
             for block in extract_jsonld_blocks_bytes(html):
                 try:
-                    record = json.loads(block)
+                    payload = json.loads(block)
                 except json.JSONDecodeError:
                     continue
-                yield from emit_record(record, url, self.classifier_list, self.product_index)
+                # real JSON-LD is often a top-level array; accept both and
+                # skip non-object payloads
+                records = payload if isinstance(payload, list) else [payload]
+                for record in records:
+                    if isinstance(record, dict):
+                        yield from emit_record(
+                            record, url, self.classifier_list, self.product_index
+                        )
 
     def _emit_from_records(self, batch: pa.Table):
         ocids = batch["ocid"].to_pylist()
