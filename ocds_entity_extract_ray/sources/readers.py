@@ -56,7 +56,7 @@ def generate_pages(
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == f"{n}:v2":
+            if fh.read().strip() == f"{n}:v3":
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -78,7 +78,7 @@ def generate_pages(
         .write_parquet(out_dir, max_rows_per_file=shard_rows, mode="overwrite")
     )
     with open(marker, "w") as fh:
-        fh.write(f"{n}:v2")
+        fh.write(f"{n}:v3")
     return out_dir
 
 
@@ -89,7 +89,7 @@ def generate_records(
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == f"{n}:v2":
+            if fh.read().strip() == f"{n}:v3":
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
     n_shards = max(1, (n + shard_rows - 1) // shard_rows)
@@ -108,7 +108,7 @@ def generate_records(
         .write_parquet(out_dir, max_rows_per_file=shard_rows, mode="overwrite")
     )
     with open(marker, "w") as fh:
-        fh.write(f"{n}:v2")
+        fh.write(f"{n}:v3")
     return out_dir
 
 
@@ -119,7 +119,7 @@ def generate_records_struct(
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == f"{n}:v2":
+            if fh.read().strip() == f"{n}:v3":
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
     n_shards = max(1, (n + shard_rows - 1) // shard_rows)
@@ -138,7 +138,7 @@ def generate_records_struct(
         .write_parquet(out_dir, max_rows_per_file=shard_rows, mode="overwrite")
     )
     with open(marker, "w") as fh:
-        fh.write(f"{n}:v2")
+        fh.write(f"{n}:v3")
     return out_dir
 
 

@@ -221,6 +221,34 @@ def make_record(i: int) -> dict:
         c = _contact(inst["contact_idx"])
         buyer_party["contactPoint"] = {"id": c["id"], "name": c["name"]}
 
+    # corner-case variants exercising less-traveled reference paths
+    # (SURVEY §1.1 dynamic-schema corners; deterministic by index)
+    corner = i % 41
+    if corner == 0 and buyer_party.get("details", {}).get("govLevel"):
+        # top-level govLevel wins over details.govLevel (extract.js:415)
+        buyer_party["govLevel"] = buyer_party["details"].pop("govLevel")
+    elif corner == 1:
+        # memberOf pointing at the party itself -> parent skipped (extract.js:334)
+        buyer_party["memberOf"] = [{"id": inst["id"], "name": inst["name"]}]
+    elif corner == 2:
+        # memberOf with empty id -> parent skipped (extract.js:334)
+        buyer_party["memberOf"] = [{"id": "", "name": "Sin Padre"}]
+    elif corner == 3:
+        # address-driven areas WITHOUT govLevel incl. locality (extract.js:940-981)
+        buyer_party["details"].pop("govLevel", None)
+        buyer_party["address"] = {
+            "countryName": "México",
+            "region": inst["state"],
+            "locality": inst["locality"],
+        }
+    elif corner == 4 and buyer_party.get("details", {}).get("govLevel"):
+        # non-MX institution with govLevel region -> slugged region id path
+        buyer_party["details"]["govLevel"] = "region"
+        buyer_party["address"] = {"countryName": "US", "region": "New Mexico"}
+    elif corner == 5:
+        # funder-first role on the buyer -> subclass 'banco' + funder counters
+        buyer_party["roles"] = ["funder", "buyer"]
+
     parties = [buyer_party]
     supplier_ids = []
     n_sup = rng.randint(1, 3)
@@ -326,18 +354,43 @@ def make_record(i: int) -> dict:
             )
 
     release_date = f"{base_day.isoformat()}T12:00:00Z"
+    release_contracts = [
+        {"id": c["id"], **({"items": c["items"]} if "items" in c else {})}
+        for c in contracts
+    ]
     releases = [
         {
             "date": release_date,
             "parties": parties,
-            "contracts": [
-                {"id": c["id"], **({"items": c["items"]} if "items" in c else {})}
-                for c in contracts
-            ],
+            "contracts": release_contracts,
             "source": source,
             "sourceRun": [{"id": f"run-{i % 20:03d}"}],
         }
     ]
+    if corner == 6:
+        # a second, EARLIER release carrying only the buyer (first-seen date
+        # min, extract.js:271-290) plus an extra source for the union paths
+        earlier = (base_day - datetime.timedelta(days=30)).isoformat()
+        releases.insert(
+            0,
+            {
+                "date": f"{earlier}T09:00:00Z",
+                "parties": [buyer_party],
+                "contracts": [],
+                "source": source + [{"id": "portal-alterno"}],
+                "sourceRun": [{"id": f"run-alt-{i % 7}"}],
+            },
+        )
+    elif corner == 7:
+        # a release WITHOUT a date (mergeDates null-skip divergence, SURVEY §7.4)
+        releases.append(
+            {
+                "parties": [buyer_party],
+                "contracts": [],
+                "source": source,
+                "sourceRun": [{"id": "run-undated"}],
+            }
+        )
 
     cr: dict = {"ocid": ocid, "source": source, "parties": parties, "contracts": contracts}
     if awards:

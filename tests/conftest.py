@@ -20,16 +20,17 @@ def ray_session():
     ray.shutdown()
 
 
-def normalize_numbers(obj, ndigits: int = 6):
-    """Round floats and collapse int/float so docs merged in different orders
-    (different float summation order) compare equal."""
+def normalize_numbers(obj, sig: int = 9):
+    """Canonicalize numbers to ``sig`` SIGNIFICANT digits (absolute-decimal
+    rounding breaks at 1e9 magnitudes where fp merge noise exceeds 1e-6) and
+    collapse int/float, so docs merged in different orders compare equal."""
     if isinstance(obj, bool):
         return obj
     if isinstance(obj, (int, float)):
-        r = round(float(obj), ndigits)
+        r = float(f"{float(obj):.{sig}g}")
         return int(r) if r == int(r) else r
     if isinstance(obj, dict):
-        return {k: normalize_numbers(v, ndigits) for k, v in obj.items()}
+        return {k: normalize_numbers(v, sig) for k, v in obj.items()}
     if isinstance(obj, list):
-        return [normalize_numbers(v, ndigits) for v in obj]
+        return [normalize_numbers(v, sig) for v in obj]
     return obj
