@@ -57,12 +57,12 @@ def get_party_sources(party: dict, releases) -> tuple[list, list]:
                 sid = (source or {}).get("id")
                 if sid not in seen_s:
                     seen_s.add(sid)
-                    sources.append({"id": sid})
+                    sources.append(dict(source))  # full object (extract.js:670)
             for run in release.get("sourceRun") or []:
                 rid = (run or {}).get("id")
                 if rid not in seen_r:
                     seen_r.add(rid)
-                    source_runs.append({"id": rid})
+                    source_runs.append(dict(run))  # full object (extract.js:680)
     return sources, source_runs
 
 
@@ -82,7 +82,7 @@ def get_product_sources(product_id, releases) -> list:
                 sid = (source or {}).get("id")
                 if sid not in seen:
                     seen.add(sid)
-                    sources.append({"id": sid})
+                    sources.append(dict(source))  # full object (extract.js:169)
     return sources
 
 
@@ -178,7 +178,10 @@ def get_buyer_contract_item_summary(cr, contract_ids, item_keys: set) -> tuple[i
 
 
 def _source_ids(sources) -> list:
-    return [{"id": (s or {}).get("id")} for s in sources or []]
+    """Creation-time snapshots keep the FULL source objects (the reference
+    Object.assigns the collected objects onto the doc; only later
+    mergeMetadata additions are stripped to {id}, extract.js:699)."""
+    return [dict(s) if s else {} for s in sources or []]
 
 
 # --- emission ---------------------------------------------------------------
@@ -263,7 +266,7 @@ def _emit_items(em: _Emitter, cr, releases, product_index: dict) -> set:
                 # base catalog sources rank just before this sighting
                 # (creation starts from the cbmei doc, extract.js:110-115)
                 for s in base.get("source") or []:
-                    add_set_member(st, "source", s.get("id"), [em.order_key, sk[1], -1], {"id": s.get("id")})
+                    add_set_member(st, "source", s.get("id"), [em.order_key, sk[1], -1], dict(s))
             else:
                 payload = {"id": item.get("id"), "description": item.get("description")}
                 cls_desc = (item.get("classification") or {}).get("description")
@@ -538,8 +541,7 @@ def _emit_area_with_counters(
     """Institution-path area sighting: creation WITH zeroed counters
     (createCountry/createState) + area-counter credit (extract.js:581-607)."""
     st = new_state("areas", area_id)
-    set_first(st, "create", em.sk(), payload)
-    st["flags"]["counters_init"] = True
+    set_first(st, "create", em.sk(), dict(payload, with_counters=True))
     add_sum(st, count_field + "_count.area", summary[0])
     add_sum(st, count_field + "_amount.area", summary[1])
     em.emit(st)

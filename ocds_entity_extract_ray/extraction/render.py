@@ -58,11 +58,11 @@ def _merged_sources(state: dict, payload: dict) -> list:
     for s in payload.get("source") or []:
         if s.get("id") not in seen:
             seen.add(s.get("id"))
-            out.append({"id": s.get("id")})
+            out.append(dict(s))  # creator snapshot keeps the FULL object
     for s in set_members_ordered(state, "source"):
         if s.get("id") not in seen:
             seen.add(s.get("id"))
-            out.append({"id": s.get("id")})
+            out.append({"id": s.get("id")})  # merged additions strip to {id}
     return out
 
 
@@ -166,13 +166,16 @@ def _render_area(state: dict) -> dict:
         doc["parent_name"] = payload.get("parent_name")
     if payload.get("other_names") is not None:
         doc["other_names"] = payload["other_names"]
-    # Lazy counters (extract.js:581-607): present only if the area was ever
-    # on an institution path (created with counters or credited).
-    if state["flags"].get("counters_init"):
-        doc["contract_count"] = {"area": _num(state["sums"].get("contract_count.area", 0))}
-        doc["contract_amount"] = {"area": _num(state["sums"].get("contract_amount.area", 0))}
-        doc["purchase_count"] = {"area": _num(state["sums"].get("purchase_count.area", 0))}
-        doc["purchase_amount"] = {"area": _num(state["sums"].get("purchase_amount.area", 0))}
+    # Lazy counters (extract.js:581-607): an area CREATED on the institution
+    # path carries all four zeroed families; an area created counter-less
+    # (person/company side-effect) materializes only the prefix families
+    # that actually credited it (the sums keys mark each credit, including
+    # zero-valued ones).
+    full = bool(payload.get("with_counters"))
+    for prefix in ("contract", "purchase"):
+        if full or f"{prefix}_count.area" in state["sums"]:
+            doc[f"{prefix}_count"] = {"area": _num(state["sums"].get(f"{prefix}_count.area", 0))}
+            doc[f"{prefix}_amount"] = {"area": _num(state["sums"].get(f"{prefix}_amount.area", 0))}
     doc["source"] = payload.get("source") or []
     doc["sourceRun"] = payload.get("sourceRun") or []
     doc["_id"] = content_hash(doc)

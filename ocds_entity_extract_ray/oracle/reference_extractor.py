@@ -9,6 +9,11 @@ in SURVEY §7.4): dates compare lexicographically on uniform ISO strings
 (vs Date.parse), and null dates are skipped rather than poisoning the min.
 Everything else, including the order-dependent company->institution
 promotion drops (extract.js:303-325), is ported as-is.
+
+Additional documented normalizations shared with the engine: missing/None
+entity ids coerce to "" (JS would stringify undefined into ids like
+'undefined_PARENT'), and explicit-null details.classification is treated as
+absent (JS hasOwnProperty would produce subclassification [null]).
 """
 
 from __future__ import annotations
@@ -64,7 +69,9 @@ def extract_entities(cr, releases, entities, classifier_list, product_index):
     items = _extract_items(cr, releases, entities, product_index)
     for party in cr.get("parties") or []:
         sources, source_runs = get_party_sources(party, releases)
-        metadata = {"source": _ids(sources), "sourceRun": _ids(source_runs)}
+        # creation-time snapshots keep the FULL source objects (Object.assign
+        # of the collected objects, extract.js:12); merges strip to {id}
+        metadata = {"source": sources, "sourceRun": source_runs}
         cls = classify_party(party, classifier_list)
         if cls == "institution":
             _handle_institution(cr, releases, party, entities, items, metadata)
@@ -72,10 +79,6 @@ def extract_entities(cr, releases, entities, classifier_list, product_index):
             _handle_company(cr, releases, party, entities, items, metadata)
         else:
             _handle_person(cr, releases, party, entities, items, metadata)
-
-
-def _ids(sources):
-    return [{"id": (s or {}).get("id")} for s in sources or []]
 
 
 def _merge_metadata(doc, metadata):
@@ -138,7 +141,7 @@ def _extract_items(cr, releases, entities, product_index):
             prod_id = get_product_id(item.get("id"))
             if not prod_id:
                 continue
-            metadata = {"source": _ids(get_product_sources(item.get("id"), releases))}
+            metadata = {"source": get_product_sources(item.get("id"), releases)}
             if prod_id not in entities["products"]:
                 product = _create_product(item, product_index.get(prod_id), metadata)
                 entities["products"][prod_id] = product
@@ -219,7 +222,7 @@ def _item_keys(items):
 
 
 def _handle_person(cr, releases, party, entities, items, metadata):
-    pid = party.get("id")
+    pid = party.get("id") or ""
     if pid not in entities["persons"]:
         person = _create_person(party, metadata, "proveedor", entities)
         entities["persons"][pid] = person
@@ -243,7 +246,7 @@ def _handle_person(cr, releases, party, entities, items, metadata):
 
 def _create_person(party, metadata, ptype, entities):
     person = {
-        "id": party.get("id"),
+        "id": party.get("id") or "",
         "name": party.get("name"),
         "other_names": [],
         "contract_count": {"buyer": 0, "supplier": 0},
@@ -276,7 +279,7 @@ def _create_person(party, metadata, ptype, entities):
 
 
 def _handle_company(cr, releases, party, entities, items, metadata):
-    cid = party.get("id")
+    cid = party.get("id") or ""
     in_comp = cid in entities["companies"]
     in_inst = cid in entities["institutions"]
 
@@ -304,7 +307,7 @@ def _handle_company(cr, releases, party, entities, items, metadata):
 
 def _create_company(party, metadata, entities):
     org = {
-        "id": party.get("id"),
+        "id": party.get("id") or "",
         "name": party.get("name"),
         "other_names": [],
         "classification": ["company"],
@@ -385,7 +388,7 @@ def _create_institution(party, metadata):
 
     payload = _institution_create_payload(party, metadata)
     org = {
-        "id": party.get("id"),
+        "id": party.get("id") or "",
         "name": payload["name"],
         "other_names": [],
         "classification": ["institution"],
@@ -410,7 +413,7 @@ def _create_institution(party, metadata):
 
 
 def _handle_institution(cr, releases, party, entities, items, metadata):
-    inst_id = party.get("id")
+    inst_id = party.get("id") or ""
     details = party.get("details") or {}
     address = party.get("address") or {}
 
@@ -477,7 +480,7 @@ def _handle_institution(cr, releases, party, entities, items, metadata):
     encargado_id = None
     contact = party.get("contactPoint")
     if contact is not None:
-        encargado_id = contact.get("id")
+        encargado_id = contact.get("id") or ""
         if encargado_id not in entities["persons"]:
             entities["persons"][encargado_id] = _create_person(
                 {"id": encargado_id, "name": contact.get("name")}, metadata, "funcionario", entities

@@ -25,7 +25,7 @@ import pyarrow.dataset as pads
 import ray.data
 
 from ..sources.readers import read_pages
-from ..stages.canonicalize import canonicalize
+from ..stages.canonicalize import canonicalize, repair_area_parent_names
 from ..stages.mentions import extract_mentions
 from ..stages.triples_stage import materialize_triples
 from ..state import manifest as mf
@@ -56,7 +56,9 @@ def build_entities(
         num_buckets=num_buckets,
         compute=compute,
     )
-    return canonicalize(mentions)
+    # materialize before the parent-name repair (it re-reads the small
+    # entity table to build the broadcast area-name map)
+    return repair_area_parent_names(canonicalize(mentions).materialize())
 
 
 def run_kg(

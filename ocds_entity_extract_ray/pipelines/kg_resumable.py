@@ -29,7 +29,7 @@ import time
 import ray.data
 
 from ..sources.readers import read_pages
-from ..stages.canonicalize import canonicalize
+from ..stages.canonicalize import canonicalize, repair_area_parent_names
 from ..stages.mentions import extract_mentions
 from ..stages.triples_stage import materialize_triples
 from ..state import manifest as mf
@@ -97,7 +97,7 @@ def run_kg_resumable(
     all_states = ray.data.read_parquet(
         state_files, override_num_blocks=max(1, len(state_files))
     )
-    entities = canonicalize(all_states).materialize()
+    entities = repair_area_parent_names(canonicalize(all_states).materialize()).materialize()
     entities_dir = os.path.join(out_dir, "entities")
     entities.write_parquet(entities_dir, partition_cols=["table"], mode="overwrite")
     triples = materialize_triples(entities, num_parts=triple_parts)

@@ -95,6 +95,77 @@ def recombine_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def repair_area_parent_names(entities: ray.data.Dataset) -> ray.data.Dataset:
+    """Snapshot-name repair: area docs and membership docs snapshot the
+    OTHER entity's name from the record that first created the EDGE/CHILD,
+    but the reference takes it from the referenced doc itself — whose name
+    is fixed at creation (first-seen) in both engines, so the canonical
+    entity-name map reproduces the reference exactly. The map is broadcast
+    driver-side (bounded by entity cardinality; at 10^12-doc scale shard
+    this repair by id-hash instead); entities must be materialized.
+    Re-hashes _id for changed docs. Subclass snapshots remain the documented
+    approximation."""
+    import ray
+
+    from ..functions.hashing import content_hash
+    from ..ops.joins import _fetch
+
+    name_rows = entities.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["table"], value_set=pa.array(["areas", "orgs", "persons"]))
+        ).select(["table", "id", "name"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # priority: persons < orgs < areas (later wins) — collisions are
+    # practically impossible; membership fields reference one class each
+    names: dict = {}
+    for tbl in ("persons", "orgs", "areas"):
+        sub = name_rows[name_rows["table"] == tbl]
+        names.update(dict(zip(sub["id"], sub["name"])))
+    ref = ray.put(names)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        nm = _fetch(ref)
+        tables = batch["table"].to_pylist()
+        docs = batch["doc"].to_pylist()
+        hashes = batch["_id"].to_pylist()
+        changed = False
+        for i, (tbl, blob) in enumerate(zip(tables, docs)):
+            if tbl not in ("areas", "memberships"):
+                continue
+            doc = json.loads(blob)
+            touched = False
+            for ref_field, name_field in (
+                ("parent_id", "parent_name"),
+                ("organization_id", "organization_name"),
+                ("person_id", "person_name"),
+            ):
+                rid = doc.get(ref_field)
+                if rid is not None and rid in nm and doc.get(name_field) != nm[rid]:
+                    doc[name_field] = nm[rid]
+                    touched = True
+            if touched:
+                doc.pop("_id", None)
+                doc["_id"] = content_hash(doc)
+                docs[i] = canonical_json(doc)
+                hashes[i] = doc["_id"]
+                changed = True
+        if not changed:
+            return batch
+        return pa.table(
+            {
+                "table": batch["table"],
+                "id": batch["id"],
+                "name": batch["name"],
+                "class0": batch["class0"],
+                "doc": pa.array(docs, pa.string()),
+                "_id": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return entities.map_batches(fix, batch_format="pyarrow")
+
+
 def canonicalize(mentions: ray.data.Dataset) -> ray.data.Dataset:
     """(bucket, key, state) -> entity rows. Combine tree: per-emission-batch
     partials -> cross-batch recombine (map-side) -> ONE bucket-keyed

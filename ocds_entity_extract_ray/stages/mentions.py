@@ -47,6 +47,7 @@ class MentionExtractor:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         for url, html in zip(urls, htmls):
+            n_rec = 0
             for block in extract_jsonld_blocks_bytes(html):
                 try:
                     payload = json.loads(block)
@@ -57,25 +58,38 @@ class MentionExtractor:
                 records = payload if isinstance(payload, list) else [payload]
                 for record in records:
                     if isinstance(record, dict):
+                        # order keys must be GLOBALLY unique per record or
+                        # first-writer-wins ties become merge-order-dependent:
+                        # suffix the url for 2nd+ records on one page
+                        ok = url if n_rec == 0 else f"{url}#{n_rec}"
+                        n_rec += 1
                         yield from emit_record(
-                            record, url, self.classifier_list, self.product_index
+                            record, ok, self.classifier_list, self.product_index
                         )
 
     def _emit_from_records(self, batch: pa.Table):
+        import hashlib
+
         ocids = batch["ocid"].to_pylist()
         blobs = batch["record_json"].to_pylist()
         for ocid, blob in zip(ocids, blobs):
             record = json.loads(blob)
-            yield from emit_record(record, ocid, self.classifier_list, self.product_index)
+            # ocid-less records get a content-derived (stable, unique) key
+            ok = ocid or "sha:" + hashlib.sha1(blob.encode()).hexdigest()[:16]
+            yield from emit_record(record, ok, self.classifier_list, self.product_index)
 
     def _emit_from_struct_records(self, batch: pa.Table):
         from ..sources.ocds_schema import strip_nones
 
+        import hashlib
+        import json as _json
+
         for row in batch.to_pylist():
             record = strip_nones(row)
-            yield from emit_record(
-                record, record.get("ocid") or "", self.classifier_list, self.product_index
-            )
+            ok = record.get("ocid") or "sha:" + hashlib.sha1(
+                _json.dumps(record, sort_keys=True, default=str).encode()
+            ).hexdigest()[:16]
+            yield from emit_record(record, ok, self.classifier_list, self.product_index)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = batch.schema.names

@@ -34,3 +34,20 @@ def normalize_numbers(obj, sig: int = 9):
     if isinstance(obj, list):
         return [normalize_numbers(v, sig) for v in obj]
     return obj
+
+
+def approx_equal(a, b, rel_tol: float = 1e-9, abs_tol: float = 1e-6) -> bool:
+    """Recursive structural equality with float tolerance — canonical
+    rounding (decimal or significant-digit) always has boundary values that
+    straddle under fp merge noise; isclose does not."""
+    import math
+
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return math.isclose(float(a), float(b), rel_tol=rel_tol, abs_tol=abs_tol)
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(approx_equal(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(approx_equal(x, y) for x, y in zip(a, b))
+    return a == b

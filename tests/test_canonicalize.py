@@ -132,15 +132,17 @@ def test_conformance_vs_sequential_oracle(corpus, all_states):
 
     # doc-level: every doc equal after float normalization, except the
     # documented A6 promotion divergences (SURVEY §7.4.1) — bound them.
+    from .conftest import approx_equal
+
     total = mismatched = 0
     for t in ("persons", "orgs", "areas", "products", "memberships"):
         o = {d["id"]: d for d in oracle_tables[t]}
         e = {d["id"]: d for d in engine_tables[t]}
         for k in o:
             total += 1
-            do = normalize_numbers({kk: v for kk, v in o[k].items() if kk != "_id"})
-            de = normalize_numbers({kk: v for kk, v in e[k].items() if kk != "_id"})
-            if json.dumps(do, sort_keys=True, default=str) != json.dumps(de, sort_keys=True, default=str):
+            do = {kk: v for kk, v in o[k].items() if kk != "_id"}
+            de = {kk: v for kk, v in e[k].items() if kk != "_id"}
+            if not approx_equal(do, de):
                 mismatched += 1
     assert mismatched / total <= 0.05, f"{mismatched}/{total} docs diverge"
 
