@@ -24,7 +24,7 @@ import time
 import pyarrow.dataset as pads
 import ray.data
 
-from ..sources.readers import read_pages
+from ..sources.readers import read_pages, read_records
 from ..stages.canonicalize import canonicalize, repair_area_parent_names
 from ..stages.mentions import extract_mentions
 from ..stages.triples_stage import materialize_triples
@@ -73,6 +73,7 @@ def run_kg(
     triple_parts: int = 32,
     resume: bool = True,
     compute: str = "tasks",
+    source: str = "pages",
 ) -> dict:
     """End-to-end run with per-stage metrics. Returns the run report
     {docs, entities, triples, secs, docs_per_sec, triples_per_sec, ...}."""
@@ -87,7 +88,10 @@ def run_kg(
         report["entities_resumed"] = True
         ent_manifest = mf.read_manifest(entities_dir)
     else:
-        pages = read_pages(pages_path, columns=["url", "html"])
+        if source == "records":
+            pages = read_records(pages_path)
+        else:
+            pages = read_pages(pages_path, columns=["url", "html"])
         n_docs = _metadata_row_count(pages_path)
         entities = build_entities(
             pages,
