@@ -42,6 +42,7 @@ def grouped_agg(
     final: str = "driver",
     num_buckets: int = 64,
     pre: "callable | None" = None,
+    empty_result: pd.DataFrame | None = None,
 ):
     """specs: {out_col: (in_col, 'sum'|'min'|'max'|'count')}.
     ``pre`` optionally filters/derives columns per batch (pandas in/out).
@@ -70,15 +71,17 @@ def grouped_agg(
         )
 
     def combine_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop(columns=["_bucket"]).groupby(keys, as_index=False).agg(
+        return group.groupby(keys, as_index=False).agg(
             **{out: spec for out, spec in recombine.items()}
         )
 
-    bucketed = partials.map_batches(
-        lambda b: b.assign(_bucket=_bucket_series(b[keys[0]], num_buckets)),
-        batch_format="pandas",
+    return bucketed_map_groups(
+        partials,
+        keys[0],
+        combine_bucket,
+        num_buckets=num_buckets,
+        empty_result=empty_result,
     )
-    return bucketed.groupby("_bucket").map_groups(combine_bucket, batch_format="pandas")
 
 
 def bucketed_map_groups(
@@ -88,22 +91,35 @@ def bucketed_map_groups(
     *,
     num_buckets: int = 64,
     drop_bucket: bool = True,
+    empty_result: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """Hash-bucketed alternative to ``groupby(key).map_groups``: ONE sort
     shuffle on a small int key and one Python call per BUCKET (not per key).
     ``fn`` receives the whole bucket as a DataFrame (all rows of every key
     hashed there, co-located) and must do its own per-key grouping —
-    vectorized pandas, not per-group dispatch."""
+    vectorized pandas, not per-group dispatch.
+
+    Implemented as sort + ``map_batches(batch_size=None)`` (the same
+    co-location guarantee ``groupby().map_groups`` relies on) so the EMPTY
+    range partitions the sort can produce are replaced with the
+    schema-typed ``empty_result`` frame instead of schema-less blocks
+    (those trigger Ray's "RefBundle with a different schema" warning and
+    can confuse downstream schema inference)."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.assign(_bucket=_bucket_series(batch[key_col], num_buckets))
 
-    def run(group: pd.DataFrame) -> pd.DataFrame:
-        out = fn(group.drop(columns=["_bucket"]) if drop_bucket else group)
-        return out
+    def run(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return empty_result.copy() if empty_result is not None else block
+        parts = [
+            fn(g.drop(columns=["_bucket"]) if drop_bucket else g)
+            for _, g in block.groupby("_bucket", sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(run, batch_format="pandas")
+        .sort("_bucket")
+        .map_batches(run, batch_size=None, batch_format="pandas")
     )

@@ -5,8 +5,10 @@ Scale notes per operator:
 - exact: content-hash per batch (vectorized) -> groupby(hash) -> per-group
   first. One shuffle on a short hash key.
 - MinHash+LSH: shingle->minhash per batch -> explode to (band, band_hash)
-  rows -> groupby bands -> candidate pairs -> verify true Jaccard. Shuffle
-  carries only (band_hash, doc_id) pairs, never documents.
+  rows -> groupby bands -> candidate pairs -> verify true Jaccard. The
+  shuffle carries only (band, band_hash, doc_id) rows — never documents;
+  texts are re-joined BY ID against the (column-pruned) corpus only for
+  the small candidate set in the verify step.
 - SimHash: 64-bit signature per doc; bucket by rotated prefixes for
   near-neighbor candidates, verify Hamming distance.
 - n-gram Jaccard: exact verification kernel used by the candidates.
@@ -18,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import logging
 import re
 
 import numpy as np
@@ -25,6 +28,27 @@ import pandas as pd
 import ray.data
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+_LOG = logging.getLogger(__name__)
+
+# O(g^2) guard: a degenerate hash group (boilerplate-heavy corpus where
+# thousands of docs share one band/chunk value) is truncated to this many
+# members (smallest ids, deterministic) instead of going quadratic in one
+# task. Dropped members are logged, never silent.
+DEFAULT_MAX_GROUP_SIZE = 512
+
+
+def _cap_group(ids: np.ndarray, max_group_size: int, what: str) -> np.ndarray:
+    """ids must be sorted. Truncate oversized candidate groups (log loudly)."""
+    if len(ids) <= max_group_size:
+        return ids
+    _LOG.warning(
+        "%s: degenerate group of %d members capped to %d (%d dropped)",
+        what,
+        len(ids),
+        max_group_size,
+        len(ids) - max_group_size,
+    )
+    return ids[:max_group_size]
 
 
 def text_hash(t: str) -> str:
@@ -125,6 +149,16 @@ def minhash_signature(text: str, num_perm: int = 64, k: int = 3, seed: int = 7) 
     return prod.min(axis=0).astype(np.uint64)
 
 
+def _empty_pairs(value_col: str, value_dtype: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            value_col: pd.Series(dtype=value_dtype),
+        }
+    )
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -134,18 +168,28 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.7,
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+    verify_partitions: int = 4,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
-    shingle->minhash per batch -> explode one row per band -> groupby
-    (band_id, band_hash) -> candidate pairs within bucket -> verify true
-    n-gram Jaccard >= threshold. Output: (id_a, id_b, jaccard).
-    Texts ride along only into the verify step; at very large scale swap the
-    ride-along for a re-join on id against the corpus."""
+    shingle->minhash per batch -> explode one ROW PER BAND carrying only
+    (band, band_hash, id) -> bucketed groupby on band_hash -> candidate id
+    pairs (capped per group) -> dedup pairs across bands -> VERIFY: the
+    corpus is map-side filtered to candidate ids (broadcast id set, no
+    corpus shuffle), candidate texts are hash-joined back onto the pairs by
+    id, and true n-gram Jaccard >= threshold is computed per pair.
+    Output: (id_a, id_b, jaccard) — jaccard is the raw |A∩B|/|A∪B| double
+    (identical integer operands in any engine, so oracle-comparable without
+    rounding).
+
+    Scale notes: the banding shuffle is ``bands`` rows of ~24 bytes per doc
+    (never the document); the driver holds only the candidate id SET, whose
+    size is bounded by the capped pair count, not the corpus."""
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "band_hash": [], "_id": [], "_text": []}
+        out = {"band": [], "band_hash": [], "_id": []}
         for did, text in zip(batch[id_col], batch[text_col]):
             sig = minhash_signature(text, num_perm, k)
             for band in range(bands):
@@ -154,41 +198,132 @@ def minhash_lsh_pairs(
                 out["band"].append(band)
                 out["band_hash"].append(bh)
                 out["_id"].append(did)
-                out["_text"].append(text)
-        return pd.DataFrame(out)
+        return pd.DataFrame(out).astype({"band": "int64", "_id": "int64"})
 
     banded = ds.map_batches(to_bands, batch_format="pandas")
 
+    empty_ids = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         # only band-hash groups with >1 member can produce candidates
-        dup_mask = bucket.duplicated(["band", "band_hash"], keep=False)
-        cand = bucket[dup_mask]
-        out = {"id_a": [], "id_b": [], "jaccard": []}
+        cand = bucket[bucket.duplicated(["band", "band_hash"], keep=False)]
+        parts = []
         for (_band, _bh), grp in cand.groupby(["band", "band_hash"], sort=False):
-            ids = grp["_id"].to_numpy()
-            texts = grp["_text"].to_numpy()
-            order = np.argsort(ids)
-            for i in range(len(order)):
-                for j in range(i + 1, len(order)):
-                    ia, ib = order[i], order[j]
-                    jac = ngram_jaccard(texts[ia], texts[ib], k)
-                    if jac >= threshold:
-                        out["id_a"].append(ids[ia])
-                        out["id_b"].append(ids[ib])
-                        out["jaccard"].append(round(jac, 6))
-        return pd.DataFrame(out).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            ids = _cap_group(
+                np.sort(grp["_id"].to_numpy()), max_group_size, "minhash band"
+            )
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not parts:
+            return empty_ids.copy()
+        return pd.concat(parts, ignore_index=True).astype(
+            {"id_a": "int64", "id_b": "int64"}
         )
 
     from .agg import bucketed_map_groups
 
-    pairs = bucketed_map_groups(banded, "band_hash", per_bucket, num_buckets=64)
+    pairs = bucketed_map_groups(
+        banded, "band_hash", per_bucket, num_buckets=64, empty_result=empty_ids
+    )
+    # a pair can surface from several bands -> dedup on (id_a, id_b) BEFORE
+    # the (expensive) exact verify
+    cand = bucketed_map_groups(
+        pairs,
+        "id_a",
+        lambda b: b.drop_duplicates(["id_a", "id_b"]),
+        num_buckets=16,
+        empty_result=empty_ids,
+    ).materialize()
 
-    # a pair can surface from several bands -> dedup on (id_a, id_b)
-    def dedup_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        return bucket.drop_duplicates(["id_a", "id_b"])
+    empty_out = _empty_pairs("jaccard", "float64")
+    if cand.count() == 0:
+        return ray.data.from_pandas(empty_out)
 
-    return bucketed_map_groups(pairs, "id_a", dedup_pairs, num_buckets=16)
+    # candidate id set -> broadcast -> map-side filter of the corpus (the
+    # corpus itself is never shuffled; only candidate rows survive)
+    cand_df = cand.to_pandas()
+    id_set = frozenset(
+        np.union1d(cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()).tolist()
+    )
+
+    import ray as _ray
+
+    from .joins import _fetch
+
+    ref = _ray.put(id_set)
+
+    def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = _fetch(ref)
+        out = batch[batch[id_col].isin(ids)][[id_col, text_col]]
+        return out.astype({id_col: "int64"})
+
+    cand_texts = ds.map_batches(keep_candidates, batch_format="pandas")
+
+    # hash-join texts back by id (both sides are candidate-proportional)
+    j = cand.join(
+        cand_texts,
+        "inner",
+        num_partitions=verify_partitions,
+        on=("id_a",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename(columns={text_col: "_text_a"})[["id_a", "id_b", "_text_a"]],
+        batch_format="pandas",
+    )
+    j = j.join(
+        cand_texts,
+        "inner",
+        num_partitions=verify_partitions,
+        on=("id_b",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename(columns={text_col: "_text_b"})[
+            ["id_a", "id_b", "_text_a", "_text_b"]
+        ],
+        batch_format="pandas",
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return empty_out.copy()
+        # memoize shingle sets per batch (a doc appears in many pairs)
+        cache: dict = {}
+
+        def sh_of(did, text):
+            if did not in cache:
+                cache[did] = shingles(text, k)
+            return cache[did]
+
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (ida, idb, ta, tb) in enumerate(
+            zip(batch["id_a"], batch["id_b"], batch["_text_a"], batch["_text_b"])
+        ):
+            sa, sb = sh_of(ida, ta), sh_of(idb, tb)
+            if not sa and not sb:
+                jac[i] = 1.0
+            else:
+                inter = len(sa & sb)
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+        out = pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy(),
+                "id_b": batch["id_b"].to_numpy(),
+                "jaccard": jac,
+            }
+        )
+        return out[out["jaccard"] >= threshold].astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+
+    res = j.map_batches(verify, batch_format="pandas").materialize()
+    # all candidates refuted -> Ray's all-empty-block bypass loses the
+    # schema; substitute the typed empty (result is candidate-sized, so the
+    # materialize is cheap by construction)
+    if res.count() == 0:
+        return ray.data.from_pandas(empty_out)
+    return res
 
 
 def simhash_dup_pairs(
@@ -197,10 +332,13 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
 ) -> ray.data.Dataset:
     """SimHash near-dup candidates: bucket by each of 4 16-bit chunks (any
-    pair within Hamming distance 3 shares at least one chunk), verify
-    Hamming distance within bucket."""
+    pair within Hamming distance 3 shares at least one chunk — pigeonhole —
+    so for max_hamming <= 3 the candidate set is EXHAUSTIVE, not
+    approximate), verify Hamming distance within bucket. Shuffle payload is
+    (chunk, chunk_val, id, signature) — 8-byte signatures, never text."""
     from .textstats import simhash64
 
     def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
@@ -217,6 +355,8 @@ def simhash_dup_pairs(
                 out["_sh"].append(sh_signed)
         return pd.DataFrame(out).astype({"_sh": "int64"})
 
+    empty_out = _empty_pairs("hamming", "int64")
+
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         dup_mask = bucket.duplicated(["chunk", "chunk_val"], keep=False)
         cand = bucket[dup_mask]
@@ -224,6 +364,13 @@ def simhash_dup_pairs(
         mask = (1 << 64) - 1
         for (_c, _v), grp in cand.groupby(["chunk", "chunk_val"], sort=False):
             recs = sorted(zip(grp["_id"], (int(v) & mask for v in grp["_sh"])))
+            if len(recs) > max_group_size:
+                _LOG.warning(
+                    "simhash chunk: degenerate group of %d members capped to %d",
+                    len(recs),
+                    max_group_size,
+                )
+                recs = recs[:max_group_size]
             for i in range(len(recs)):
                 for j in range(i + 1, len(recs)):
                     d = bin(recs[i][1] ^ recs[j][1]).count("1")
@@ -238,7 +385,13 @@ def simhash_dup_pairs(
     from .agg import bucketed_map_groups
 
     chunked = ds.map_batches(to_chunks, batch_format="pandas")
-    pairs = bucketed_map_groups(chunked, "chunk_val", per_bucket, num_buckets=32)
+    pairs = bucketed_map_groups(
+        chunked, "chunk_val", per_bucket, num_buckets=32, empty_result=empty_out
+    )
     return bucketed_map_groups(
-        pairs, "id_a", lambda b: b.drop_duplicates(["id_a", "id_b"]), num_buckets=16
+        pairs,
+        "id_a",
+        lambda b: b.drop_duplicates(["id_a", "id_b"]),
+        num_buckets=16,
+        empty_result=empty_out,
     )

@@ -171,24 +171,27 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_planes: int = 0,
+    n_tables: int = 8,
+    max_group_size: int | None = None,
+    verify_partitions: int = 4,
 ) -> ray.data.Dataset:
-    """All pairs with cosine >= threshold. n_planes=0 compares within one
-    global bucket (exact, quadratic — test scale); n_planes>0 buckets by
-    random hyperplanes first (approximate, the 100 TB path: candidates only
-    within a bucket)."""
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        if not n_planes:
-            b = np.zeros(len(batch), dtype=np.int64)
-        else:
-            m = _to_matrix(batch[vec_col])
-            # planes derived deterministically from (dim, seed) — identical
-            # in every task regardless of embedding dimensionality
-            pl = _hyperplanes(m.shape[1], n_planes)
-            bits = (m @ pl.T) > 0
-            b = bits @ (1 << np.arange(pl.shape[0]))
-        return pd.DataFrame(
-            {"bucket": b, id_col: batch[id_col].to_numpy(), vec_col: batch[vec_col]}
-        )
+    """All pairs with cosine >= threshold.
+
+    n_planes=0: exact quadratic compare within one global group — TEST
+    SCALE ONLY (single-task O(n^2); it is the conformance/oracle mode).
+
+    n_planes>0: the scale path, same shape as ``dedup.minhash_lsh_pairs``:
+    ``n_tables`` independent random-hyperplane tables, each hashing a
+    vector to an ``n_planes``-bit bucket. The shuffle carries only
+    (table, bucket, id) rows — vectors never ride along; candidate id
+    pairs from any shared (table, bucket) are deduped, capped per group,
+    then vectors are re-joined BY ID for the exact cosine verify (no false
+    positives; recall ~ 1-(1-(1-θ/π)^n_planes)^n_tables)."""
+    from .dedup import DEFAULT_MAX_GROUP_SIZE, _cap_group
+    from .agg import bucketed_map_groups
+
+    if max_group_size is None:
+        max_group_size = DEFAULT_MAX_GROUP_SIZE
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
@@ -208,8 +211,145 @@ def embedding_near_dup_pairs(
             }
         )
 
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+    if not n_planes:
+        bucketize = lambda batch: pd.DataFrame(  # noqa: E731
+            {
+                "bucket": np.zeros(len(batch), dtype=np.int64),
+                id_col: batch[id_col].to_numpy(),
+                vec_col: batch[vec_col],
+            }
+        )
+        return (
+            ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas")
+        )
+
+    def to_tables(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy()
+        parts = []
+        for t in range(n_tables):
+            # planes derived deterministically from (dim, seed+t) —
+            # identical in every task
+            pl = _hyperplanes(m.shape[1], n_planes, seed=11 + t)
+            bits = (m @ pl.T) > 0
+            bkt = bits @ (1 << np.arange(n_planes))
+            parts.append(
+                pd.DataFrame({"table": t, "bucket": bkt.astype(np.int64), "_id": ids})
+            )
+        return pd.concat(parts, ignore_index=True).astype(
+            {"table": "int64", "_id": "int64"}
+        )
+
+    empty_ids = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
     )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        cand = bucket[bucket.duplicated(["table", "bucket"], keep=False)]
+        parts = []
+        for (_t, _b), grp in cand.groupby(["table", "bucket"], sort=False):
+            ids = _cap_group(
+                np.sort(grp["_id"].to_numpy()), max_group_size, "embedding LSH bucket"
+            )
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not parts:
+            return empty_ids.copy()
+        return pd.concat(parts, ignore_index=True).astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+
+    banded = ds.map_batches(to_tables, batch_format="pandas")
+    cand_pairs = bucketed_map_groups(
+        banded, "bucket", per_bucket, num_buckets=32, empty_result=empty_ids
+    )
+    cand = bucketed_map_groups(
+        cand_pairs,
+        "id_a",
+        lambda b: b.drop_duplicates(["id_a", "id_b"]),
+        num_buckets=16,
+        empty_result=empty_ids,
+    ).materialize()
+
+    empty_out = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+    )
+    if cand.count() == 0:
+        return ray.data.from_pandas(empty_out)
+
+    cand_df = cand.to_pandas()
+    id_set = frozenset(
+        np.union1d(cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()).tolist()
+    )
+    ref = ray.put(id_set)
+
+    def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = _fetch(ref)
+        kept = batch[batch[id_col].isin(ids)]
+        # Arrow hash joins reject list-typed payload columns — ship the
+        # vector as fixed-width float64 bytes and rehydrate in the verify
+        return pd.DataFrame(
+            {
+                id_col: kept[id_col].to_numpy().astype("int64"),
+                "_vecbytes": [
+                    np.asarray(v, dtype=np.float64).tobytes() for v in kept[vec_col]
+                ],
+            }
+        )
+
+    cand_vecs = ds.map_batches(keep_candidates, batch_format="pandas")
+
+    j = cand.join(
+        cand_vecs,
+        "inner",
+        num_partitions=verify_partitions,
+        on=("id_a",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename(columns={"_vecbytes": "_vec_a"})[["id_a", "id_b", "_vec_a"]],
+        batch_format="pandas",
+    )
+    j = j.join(
+        cand_vecs,
+        "inner",
+        num_partitions=verify_partitions,
+        on=("id_b",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename(columns={"_vecbytes": "_vec_b"})[
+            ["id_a", "id_b", "_vec_a", "_vec_b"]
+        ],
+        batch_format="pandas",
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return empty_out.copy()
+        a = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_vec_a"]])
+        b = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_vec_b"]])
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        s = np.einsum("ij,ij->i", a, b) / (na * nb)
+        # filter on the RAW score (same rule as the exact path), round after
+        keep = s >= threshold
+        out = pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy()[keep],
+                "id_b": batch["id_b"].to_numpy()[keep],
+                "score": _round6(s[keep]),
+            }
+        )
+        return out.astype({"id_a": "int64", "id_b": "int64"})
+
+    res = j.map_batches(verify, batch_format="pandas").materialize()
+    if res.count() == 0:
+        return ray.data.from_pandas(empty_out)
+    return res
