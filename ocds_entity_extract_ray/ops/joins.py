@@ -20,6 +20,17 @@ import pyarrow as pa
 import ray
 import ray.data
 
+def default_join_partitions(min_parts: int = 8) -> int:
+    """Join/shuffle parallelism scaled to the cluster (CPU count / 2,
+    floor ``min_parts``) instead of a per-box constant — the number that
+    must grow with cluster width at 100 TB."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", min_parts))
+    except Exception:
+        cpus = min_parts
+    return max(min_parts, cpus // 2)
+
+
 _BROADCAST_CACHE: dict = {}
 _BROADCAST_CACHE_MAX = 32  # bounded: long-lived workers see many broadcasts
 

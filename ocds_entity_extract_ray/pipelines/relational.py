@@ -23,7 +23,7 @@ import ray.data
 
 from ..functions.laundry import simple_name
 from ..ops.agg import grouped_agg
-from ..ops.joins import broadcast_hash_join, semi_join_filter
+from ..ops.joins import broadcast_hash_join, default_join_partitions
 from ..ops.similarity import cosine_topk, embedding_near_dup_pairs
 from ..ops.textstats import (
     add_langid,
@@ -144,7 +144,7 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
 
     li_f = li.map_batches(f_li, batch_format="pandas")
     joined = li_f.join(
-        orders_b, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders_b, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
     # high-cardinality groupby: map-side partials -> bucketed combine ->
     # per-bucket top-10 -> tiny driver merge (scales: shuffle carries one
@@ -155,6 +155,13 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
         {"revenue": ("revenue", "sum")},
         final="bucketed",
         num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "l_orderkey": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[ns]"),
+                "revenue": pd.Series(dtype="float64"),
+            }
+        ),
     )
 
     def topk(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -210,7 +217,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     )
     li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
     joined = li_s.join(
-        orders_c, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders_c, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     def f_same_nation(b: pd.DataFrame) -> pd.DataFrame:
@@ -279,7 +286,7 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
         lambda b: b[b["l_returnflag"] == "R"][["l_orderkey"]], batch_format="pandas"
     )
     semi = orders.join(
-        li_r, "left_semi", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+        li_r, "left_semi", num_partitions=default_join_partitions(), on=("o_orderkey",), right_on=("l_orderkey",)
     )
     out = grouped_agg(semi, ["o_orderpriority"], {"n": ("o_orderkey", "count")})
     out["n"] = out["n"].astype("int64")
@@ -408,9 +415,17 @@ SELECT p_brand, COUNT(*)::BIGINT AS n_parts FROM (
 
 
 def q_semi_customers_with_orders(sf_dir: str) -> pd.DataFrame:
-    orders = _small(sf_dir, "orders", columns=["o_custkey"])
+    # distributed left_semi against the FACT table (never driver-loaded:
+    # at 100x the orders keyset is a driver OOM)
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    semi = semi_join_filter(cust, orders["o_custkey"].to_pylist(), on="c_custkey")
+    semi = cust.join(
+        orders,
+        "left_semi",
+        num_partitions=default_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
     out = grouped_agg(semi, ["c_mktsegment"], {"n": ("c_custkey", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
@@ -424,10 +439,19 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def q_anti_customers_without_urgent(sf_dir: str) -> pd.DataFrame:
-    orders = _small(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
-    urgent = orders.filter(pa.compute.equal(orders["o_orderpriority"], "1-URGENT"))
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b[b["o_orderpriority"] == "1-URGENT"][["o_custkey"]],
+        batch_format="pandas",
+    )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    anti = semi_join_filter(cust, urgent["o_custkey"].to_pylist(), on="c_custkey", anti=True)
+    anti = cust.join(
+        urgent,
+        "left_anti",
+        num_partitions=default_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
     out = anti.to_pandas()
     if not len(out):
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=str)})
@@ -888,7 +912,7 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
     )
     li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
     joined = li_s.join(
-        orders_c, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders_c, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
@@ -936,12 +960,34 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
     li_r = li.map_batches(pre_li, batch_format="pandas")
     joined = li_r.join(
-        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
-    per_cust = grouped_agg(joined, ["o_custkey"], {"revenue": ("revenue", "sum")})
-    per_cust["revenue"] = _round(per_cust["revenue"])
-    out = per_cust.merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
-    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="mergesort").head(20)
+    # customer-cardinality groupby: bucketed combine + per-bucket top-20 ->
+    # the driver merges 20 rows per bucket, never one row per customer
+    # (q3's shape; at web scale the per-customer frame is a driver OOM)
+    per_cust = grouped_agg(
+        joined,
+        ["o_custkey"],
+        {"revenue": ("revenue", "sum")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"o_custkey": pd.Series(dtype="int64"), "revenue": pd.Series(dtype="float64")}
+        ),
+    )
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.copy()
+        bucket["revenue"] = _round(bucket["revenue"])
+        return bucket.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    cand = per_cust.map_batches(topk, batch_format="pandas").to_pandas()
+    out = cand.merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
     return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
@@ -1035,7 +1081,26 @@ def q_word_count(sf_dir: str) -> pd.DataFrame:
         vc = words.value_counts()
         return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
 
-    out = grouped_agg(docs, ["word"], {"n": ("n", "sum")}, pre=pre)
+    # vocabulary-cardinality key (10^8+ words at web scale): bucketed
+    # combine + per-bucket top-50; the driver merges 50 rows per bucket
+    per_word = grouped_agg(
+        docs,
+        ["word"],
+        {"n": ("n", "sum")},
+        pre=pre,
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"word": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+        ),
+    )
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(
+            ["n", "word"], ascending=[False, True], kind="mergesort"
+        ).head(50)
+
+    out = per_word.map_batches(topk, batch_format="pandas").to_pandas()
     out["n"] = out["n"].astype("int64")
     return (
         out.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
