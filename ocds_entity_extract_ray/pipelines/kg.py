@@ -77,7 +77,17 @@ def run_kg(
 ) -> dict:
     """End-to-end run with per-stage metrics. Returns the run report
     {docs, entities, triples, secs, docs_per_sec, triples_per_sec, ...}."""
-    fp = mf.input_fingerprint(pages_path)
+    # the resume fingerprint covers every input that shapes the OUTPUT:
+    # page files (name+size+mtime) AND the classifier/product-index/source
+    # config — a rerun with -x overrides or a new index recomputes
+    fp = mf.input_fingerprint(
+        pages_path,
+        config={
+            "classifier_list": classifier_list,
+            "product_index": product_index,
+            "source": source,
+        },
+    )
     entities_dir = os.path.join(out_dir, "entities")
     triples_dir = os.path.join(out_dir, "triples")
 

@@ -65,9 +65,21 @@ def run_kg_resumable(
     report: dict = {"shards": num_shards, "shards_resumed": 0, "shards_computed": 0}
 
     t0 = time.monotonic()
+    shard_config = {
+        "classifier_list": classifier_list,
+        "product_index": product_index,
+        # num_buckets shapes the shard output (the state rows' bucket col)
+        "num_buckets": num_buckets,
+    }
     for k, group in enumerate(groups):
         shard_dir = os.path.join(mentions_root, f"shard={k}")
-        fp = {"files": [(os.path.basename(f), os.path.getsize(f)) for f in group]}
+        fp = {
+            "files": [
+                (os.path.basename(f), os.path.getsize(f), os.stat(f).st_mtime_ns)
+                for f in group
+            ],
+            "config": mf.config_digest(shard_config),
+        }
         if mf.is_complete(shard_dir, fp):
             report["shards_resumed"] += 1
             continue
@@ -86,10 +98,13 @@ def run_kg_resumable(
     t1 = time.monotonic()
     # read ONLY this run's shard dirs — a previous run with more shards may
     # have left orphaned shard=K dirs that must not leak into the reduce
+    import re
     import shutil
 
     for stale in os.listdir(mentions_root) if os.path.isdir(mentions_root) else []:
-        if stale.startswith("shard=") and int(stale.split("=")[1]) >= num_shards:
+        m = re.fullmatch(r"shard=(\d+)", stale)
+        # non-numeric artifacts (editor temp dirs etc.) are skipped, not fatal
+        if m and int(m.group(1)) >= num_shards:
             shutil.rmtree(os.path.join(mentions_root, stale))
     state_files = []
     for k in range(num_shards):

@@ -11,6 +11,7 @@ with an unchanged input fingerprint skips the completed stage entirely
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -19,21 +20,43 @@ import pyarrow.dataset as pads
 MANIFEST_NAME = "_MANIFEST.json"
 
 
-def input_fingerprint(path: str) -> dict:
-    """Cheap, deterministic fingerprint of an input directory/file: relative
-    names + sizes of data files (content-addressing without reading data)."""
+def config_digest(config: dict | None) -> str:
+    """Deterministic digest of the run configuration that shapes the
+    output (classifier overrides, product index, knobs). Part of the
+    resume fingerprint: a rerun into the same --out with a different
+    config must RECOMPUTE, not silently return stale results."""
+    if not config:
+        return ""
+    blob = json.dumps(config, sort_keys=True, default=str).encode("utf-8")
+    return hashlib.sha256(blob).hexdigest()
+
+
+def _stat_entry(full: str, rel: str) -> tuple:
+    st = os.stat(full)
+    # size + mtime_ns: a same-size in-place edit of an input file changes
+    # the fingerprint (content hashing without reading the data)
+    return (rel, st.st_size, st.st_mtime_ns)
+
+
+def input_fingerprint(path: str, config: dict | None = None) -> dict:
+    """Cheap, deterministic fingerprint of an input directory/file:
+    relative names + sizes + mtimes of data files, plus a digest of the
+    output-shaping run config."""
     entries = []
     if os.path.isfile(path):
-        entries.append((os.path.basename(path), os.path.getsize(path)))
+        entries.append(_stat_entry(path, os.path.basename(path)))
     else:
         for root, _dirs, files in os.walk(path):
             for f in sorted(files):
                 if f.startswith("_") or f.startswith("."):
                     continue
                 full = os.path.join(root, f)
-                entries.append((os.path.relpath(full, path), os.path.getsize(full)))
+                entries.append(_stat_entry(full, os.path.relpath(full, path)))
     entries.sort()
-    return {"path": os.path.abspath(path), "files": entries}
+    out = {"path": os.path.abspath(path), "files": entries}
+    if config is not None:
+        out["config"] = config_digest(config)
+    return out
 
 
 def partition_counts(out_dir: str) -> dict[str, int]:

@@ -91,6 +91,40 @@ def test_kg_pipeline_resume(ray_session, pages_dir, tmp_path):
     assert r2["entities"] == r1["entities"] and r2["triples"] == r1["triples"]
 
 
+def test_kg_resume_invalidated_by_config_change(ray_session, pages_dir, tmp_path):
+    """A rerun into the same --out with a DIFFERENT classifier list must
+    recompute, not silently return the stale entities (the fingerprint
+    covers the output-shaping config, not just input file names+sizes)."""
+    from ocds_entity_extract_ray.pipelines.kg import run_kg
+
+    out = str(tmp_path / "kg")
+    pidx = product_index()
+    clist = build_classifier_list_from_text([classifier_csv()])
+    run_kg(pages_dir, out, clist, pidx, num_buckets=8)
+    r2 = run_kg(pages_dir, out, None, pidx, num_buckets=8)  # overrides dropped
+    assert not r2.get("entities_resumed")
+    r3 = run_kg(pages_dir, out, None, pidx, num_buckets=8)  # same config -> resume
+    assert r3.get("entities_resumed")
+
+
+def test_kg_resumable_tolerates_orphan_dirs(ray_session, pages_dir, tmp_path):
+    """Non-numeric shard= artifacts (temp dirs) must be skipped, not fatal;
+    higher-numbered stale shards are cleaned."""
+    import os
+
+    from ocds_entity_extract_ray.pipelines.kg_resumable import run_kg_resumable
+
+    out = str(tmp_path / "kgr")
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+    os.makedirs(os.path.join(out, "mentions", "shard=tmp"))
+    os.makedirs(os.path.join(out, "mentions", "shard=99"))
+    rep = run_kg_resumable(pages_dir, out, clist, pidx, num_shards=2, num_buckets=8)
+    assert rep["entities"] > 0 and rep["triples"] > 0
+    assert os.path.isdir(os.path.join(out, "mentions", "shard=tmp"))  # skipped
+    assert not os.path.isdir(os.path.join(out, "mentions", "shard=99"))  # cleaned
+
+
 def test_text_extraction_byte_identity(ray_session, pages_dir):
     """Per-row invariant (input_hint): the distributed text stage output is
     byte-identical to the single-doc reference extractor, per url."""
