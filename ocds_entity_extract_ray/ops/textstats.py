@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -75,16 +76,21 @@ def detect_lang(text: str) -> str:
 
 
 def _h64(data: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+    """64-bit feature hash: low half of md5 in little-endian byte order —
+    bit-identical to DuckDB's ``md5_number_lower(x)``, which is what lets
+    the simhash / fingerprint queries carry exact SQL oracles."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features."""
-    v = [0] * 64
+    """64-bit SimHash over word features (md5-low64 feature hash;
+    vote per bit weighted by occurrence count)."""
+    v = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for w in _WORD_RE.findall((text or "").lower()):
-        h = _h64(w.encode("utf-8"))
-        for b in range(64):
-            v[b] += 1 if (h >> b) & 1 else -1
+        h = np.uint64(_h64(w.encode("utf-8")))
+        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+        v += 2 * bits - 1
     out = 0
     for b in range(64):
         if v[b] > 0:
@@ -92,9 +98,18 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_signed(text: str) -> int:
+    """simhash64 mapped to SIGNED int64 (two's complement) — the storage
+    convention: values >= 2^63 would silently become float64 through the
+    pandas->Arrow boundary."""
+    sh = simhash64(text)
+    return sh - (1 << 64) if sh >= (1 << 63) else sh
+
+
 def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Rolling-hash k-gram fingerprints with winnowing (min-in-window),
-    the standard local document fingerprinting scheme."""
+    the standard local document fingerprinting scheme (md5-low64 gram
+    hash, dedup on consecutive equal minima)."""
     t = (text or "").lower()
     if len(t) < k:
         return []
@@ -133,7 +148,9 @@ def add_langid(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     def sh(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = batch[text_col].map(lambda t: format(simhash64(t), "016x"))
+        batch["simhash"] = (
+            batch[text_col].map(simhash64_signed).astype("int64")
+        )
         return batch
 
     return ds.map_batches(sh, batch_format="pandas")

@@ -687,29 +687,122 @@ ORDER BY id_a, id_b
 """
 
 
-# --- rows-only (not SQL-expressible) ----------------------------------------
+# --- text-analysis queries (DuckDB-oracled via md5_number_lower: the
+# Python feature hash is the low half of md5 in little-endian byte order,
+# bit-identical to DuckDB's md5_number_lower, so simhash/fingerprints get
+# EXACT SQL oracles; ratios divide identical integer operands in both
+# engines, so raw doubles compare bitwise without rounding) ------------------
 
 
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = add_text_stats(docs).to_pandas()
     out = out.drop(columns=["text"])
-    for c in ("stopword_ratio", "punct_ratio", "mean_word_len"):
-        out[c] = out[c].round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# the stopword union / per-language lists mirror textstats._STOPWORDS
+_SQL_STOP_ALL = (
+    "['the','and','of','to','a','in','is','that','for','with','on','as',"
+    "'el','la','de','que','y','en','los','del','las','por','con','para',"
+    "'le','et','les','des','un','une','du','pour',"
+    "'der','die','und','das','von','zu','den','mit','ist','im','ein']"
+)
+
+Q_DOC_QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ɏ]+'), x -> lower(x)) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         len(ws)::BIGINT AS n_words,
+         len(list_filter(ws, x -> list_contains(""" + _SQL_STOP_ALL + r""", x)))::BIGINT AS n_stop,
+         len(regexp_extract_all(text, '[.,;:!?¡¿"''()\[\]{}«»]'))::BIGINT AS n_punct,
+         list_sum(list_transform(ws, x -> length(x))) AS sum_wlen
+  FROM w
+)
+SELECT doc_id, n_chars, n_tokens, n_words,
+       CASE WHEN n_words = 0 THEN 0.0 ELSE n_stop / n_words END AS stopword_ratio,
+       CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio,
+       CASE WHEN n_words = 0 THEN 0.0 ELSE COALESCE(sum_wlen, 0) / n_words END AS mean_word_len
+FROM s ORDER BY doc_id
+"""
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     out = add_langid(docs).to_pandas().drop(columns=["text"])
-    out["match"] = out["lang_pred"] == out["lang"]
+    # int64 not bool: keeps the value-hash comparison engine-neutral
+    out["match"] = (out["lang_pred"] == out["lang"]).astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_LANGID_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ɏ]+'), x -> lower(x)) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, len(ws) AS nw,
+    len(list_filter(ws, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','des','im','ein'], x))) AS de,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','that','for','with','on','as'], x))) AS en,
+    len(list_filter(ws, x -> list_contains(['el','la','de','que','y','en','los','del','las','por','con','para'], x))) AS es,
+    len(list_filter(ws, x -> list_contains(['le','la','de','et','les','des','en','un','une','du','que','pour'], x))) AS fr
+  FROM w
+),
+p AS (
+  SELECT doc_id, lang,
+    CASE WHEN nw = 0 OR greatest(de,en,es,fr) = 0 THEN 'und'
+         WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         WHEN en >= es AND en >= fr THEN 'en'
+         WHEN es >= fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM s
+)
+SELECT doc_id, lang, lang_pred, (lang_pred = lang)::BIGINT AS match FROM p ORDER BY doc_id
+"""
 
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = add_simhash(docs).to_pandas().drop(columns=["text"])
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# the simhash CTE: md5_number_lower feature hash, occurrence-weighted bit
+# votes, sign -> bit, mapped to SIGNED int64 (the engine's storage
+# convention at the Arrow boundary)
+_SIMHASH_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, t AS tok, COUNT(*)::BIGINT AS c
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-zA-ZÀ-ɏ]+')) AS u(t)
+  GROUP BY doc_id, t
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         SUM(CASE WHEN (md5_number_lower(tok) >> b.i) & 1 = 1 THEN c ELSE -c END) AS w
+  FROM toks, LATERAL generate_series(0, 63) AS b(i)
+  GROUP BY doc_id, b.i
+),
+shu AS (
+  SELECT doc_id, SUM(CASE WHEN w > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+         COALESCE(CASE WHEN s.u >= 9223372036854775808::HUGEINT
+                       THEN (s.u - 18446744073709551616::HUGEINT)
+                       ELSE s.u END, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN shu s USING (doc_id)
+)
+"""
+
+Q_SIMHASH_SQL = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh ORDER BY doc_id"
 
 
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -728,6 +821,32 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     return docs.map_batches(fp, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+Q_FINGERPRINTS_SQL = r"""
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+grams AS (
+  SELECT doc_id, g.i AS i, md5_number_lower(substring(lt, g.i::INT, 8)) AS h
+  FROM t, UNNEST(generate_series(1, length(lt) - 7)) AS g(i)
+  WHERE length(lt) >= 8
+),
+winmin AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS g_cnt
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, i, m, LAG(m) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+  FROM winmin WHERE i <= greatest(g_cnt - 3, 1)
+),
+cnt AS (
+  SELECT doc_id, COUNT(CASE WHEN pm IS NULL OR m <> pm THEN 1 END)::BIGINT AS n_fingerprints
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(c.n_fingerprints, 0)::BIGINT AS n_fingerprints
+FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import minhash_lsh_pairs
 
@@ -738,6 +857,27 @@ def q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# oracle = EXACT all-pairs word-3-shingle Jaccard (O(n^2), oracle scale
+# only). The LSH output equals it because banding recall is 1.0 on this
+# corpus (verified at sf0.01 AND sf0.1); jaccard doubles compare bitwise
+# since both engines divide the same |A∩B| / |A∪B| integers.
+Q_MINHASH_PAIRS_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+       WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+  END AS s FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CASE WHEN len(a.s)=0 AND len(b.s)=0 THEN 1.0
+       ELSE len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+  END AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE jaccard >= 0.7 ORDER BY id_a, id_b
+"""
+
+
 def q_simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_dup_pairs
 
@@ -746,6 +886,18 @@ def q_simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     cols = ["id_a", "id_b", "hamming"]
     out = out[cols] if len(out) else pd.DataFrame(columns=cols)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# oracle = exact all-pairs Hamming over the SQL-computed simhash. The
+# 4x16-bit chunk scheme is EXHAUSTIVE for hamming <= 3 (pigeonhole), so
+# the distributed candidate generation loses nothing vs all-pairs.
+Q_SIMHASH_PAIRS_SQL = _SIMHASH_CTE + r"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 # --- registry ----------------------------------------------------------------
@@ -777,14 +929,18 @@ SQL_QUERIES: dict[str, tuple] = {
     "q_embedding_near_dups": (q_embedding_near_dups, Q_EMB_NEAR_DUP_SQL),
 }
 
-ROWS_ONLY_QUERIES: dict = {
-    "q_doc_quality": q_doc_quality,
-    "q_langid": q_langid,
-    "q_simhash": q_simhash,
-    "q_fingerprints": q_fingerprints,
-    "q_minhash_dup_pairs": q_minhash_dup_pairs,
-    "q_simhash_dup_pairs": q_simhash_dup_pairs,
-}
+SQL_QUERIES.update(
+    {
+        "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
+        "q_langid": (q_langid, Q_LANGID_SQL),
+        "q_simhash": (q_simhash, Q_SIMHASH_SQL),
+        "q_fingerprints": (q_fingerprints, Q_FINGERPRINTS_SQL),
+        "q_minhash_dup_pairs": (q_minhash_dup_pairs, Q_MINHASH_PAIRS_SQL),
+        "q_simhash_dup_pairs": (q_simhash_dup_pairs, Q_SIMHASH_PAIRS_SQL),
+    }
+)
+
+ROWS_ONLY_QUERIES: dict = {}
 
 
 def q_asof_purchase_view(sf_dir: str) -> pd.DataFrame:
@@ -862,20 +1018,43 @@ WHERE rn <= 3 ORDER BY c_mktsegment, o_orderkey
 
 
 def q_sample_orders(sf_dir: str) -> pd.DataFrame:
-    """Seeded random sample (rows-only: sampling is engine-specific)."""
+    """Deterministic 10% multiplicative-hash sample (ops/sampling.py) —
+    engine-independent, so the sample is exactly reproducible in SQL (the
+    seeded-random path, Dataset.random_sample, is bounds-tested in pytest
+    instead: its row pick is engine-specific)."""
+    from ..ops.sampling import hash_sample
+
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    sampled = orders.random_sample(0.1, seed=42)
-    n = sampled.count()
-    return pd.DataFrame({"n_sampled": [int(n)]})
+    sampled = hash_sample(orders, "o_orderkey", 0.1)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_sampled": [len(b)], "sum_price": [b["o_totalprice"].sum()]}
+        )
+
+    parts = sampled.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_sampled": [int(parts["n_sampled"].sum())],
+            "sum_price_cents": [_round(float(parts["sum_price"].sum()) * 100)],
+        }
+    )
+
+
+Q_SAMPLE_SQL = """
+SELECT COUNT(*)::BIGINT AS n_sampled, ROUND(SUM(o_totalprice) * 100, 0) AS sum_price_cents
+FROM orders
+WHERE ((o_orderkey % 4294967296)::UBIGINT * 2654435761) % 4294967296 < 429496729
+"""
 
 
 SQL_QUERIES.update(
     {
         "q_asof_purchase_view": (q_asof_purchase_view, Q_ASOF_SQL),
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_GROUP_SQL),
+        "q_sample_orders": (q_sample_orders, Q_SAMPLE_SQL),
     }
 )
-ROWS_ONLY_QUERIES["q_sample_orders"] = q_sample_orders
 
 
 def q_min_acctbal_suppliers(sf_dir: str) -> pd.DataFrame:

@@ -231,3 +231,27 @@ def test_embedding_near_dup_bucketed_recall(vec_corpus):
     assert not approx_pairs - exact_pairs  # no false positives (verify is exact)
     recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.9, f"bucketed recall {recall:.2f} < 0.9 ({len(exact_pairs)} exact)"
+
+
+def test_hash_sample_deterministic_and_sized(ray_session):
+    """hash_sample: engine-independent predicate — same rows every run,
+    fraction approximately honored."""
+    from ocds_entity_extract_ray.ops.sampling import hash_sample, hash_sample_mask
+
+    df = pd.DataFrame({"k": np.arange(10_000, dtype="int64")})
+    a = hash_sample(ray.data.from_pandas(df), "k", 0.1).to_pandas()
+    b = hash_sample(ray.data.from_pandas(df), "k", 0.1).to_pandas()
+    assert list(a["k"]) == list(b["k"])
+    assert 0.08 < len(a) / len(df) < 0.12
+    # mask agrees with the SQL predicate ((k % 2^32) * 2654435761) % 2^32 < cut
+    ks = df["k"].to_numpy()
+    manual = ((ks.astype(np.uint64) % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+    assert (hash_sample_mask(ks, 0.1) == (manual < np.uint64(int(0.1 * 2**32)))).all()
+
+
+def test_random_sample_bounds(ray_session):
+    """Seeded Dataset.random_sample stays the statistical path: count within
+    binomial bounds (engine-specific row pick, so no SQL oracle)."""
+    ds = ray.data.range(20_000)
+    n = ds.random_sample(0.1, seed=42).count()
+    assert 1700 <= n <= 2300

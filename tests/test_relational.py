@@ -53,11 +53,10 @@ def test_sql_query_matches_duckdb(ray_session, duck, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
 
 
-@pytest.mark.parametrize("name", sorted(ROWS_ONLY_QUERIES))
-def test_rows_only_query_runs_and_is_deterministic(ray_session, name):
-    fn = ROWS_ONLY_QUERIES[name]
-    df1 = fn(SF_DIR)
-    df2 = fn(SF_DIR)
-    if not isinstance(df1, pd.DataFrame):
-        df1, df2 = df1.to_pandas(), df2.to_pandas()
-    pd.testing.assert_frame_equal(_normalize(df1), _normalize(df2), check_dtype=False)
+def test_no_unoracled_relational_queries():
+    """Every relational query now carries a DuckDB oracle (the former
+    rows-only set — simhash/fingerprints/quality/langid/dup-pairs/sample —
+    gained exact SQL twins via md5_number_lower + integer-operand ratios);
+    only the kg_* pipelines remain rows-only, covered by the sequential
+    oracle conformance suite."""
+    assert ROWS_ONLY_QUERIES == {}
