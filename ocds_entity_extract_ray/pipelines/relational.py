@@ -1298,7 +1298,10 @@ GROUP BY w ORDER BY n DESC, word LIMIT 50
 def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact discrete quantiles (p25/p50/p75) of event value per type:
     hash-bucketed per-key collection + deterministic index pick (matches
-    DuckDB quantile_disc: element at ceil(q * n) - 1)."""
+    DuckDB quantile_disc: element at ceil(q * n) - 1). CONFORMANCE MODE —
+    it collects every value of a key into one bucket; the scale path is
+    ops/quantiles.approx_quantiles (mergeable rank-compressed sketch,
+    O(k) per key per block, rank error <= 1%, pytest-bounded vs exact)."""
     from ..ops.agg import bucketed_map_groups
 
     events = _read(sf_dir, "events", columns=["event_type", "value"])

@@ -255,3 +255,25 @@ def test_random_sample_bounds(ray_session):
     ds = ray.data.range(20_000)
     n = ds.random_sample(0.1, seed=42).count()
     assert 1700 <= n <= 2300
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    """Sketch quantiles vs exact: rank error <= 1% at k=256 on a skewed
+    distribution (the scale path beside the exact q_value_quantiles)."""
+    from ocds_entity_extract_ray.ops.quantiles import approx_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.lognormal(0, 1, 60_000), rng.uniform(50, 60, 20_000)])
+    keys = np.where(np.arange(len(vals)) % 3 == 0, "a", "b")
+    df = pd.DataFrame({"key": keys, "value": vals})
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    got = approx_quantiles(ds, ["key"], "value", qs=(0.25, 0.5, 0.75, 0.99), k=256)
+    for _, row in got.iterrows():
+        exact = np.sort(df[df["key"] == row["key"]]["value"].to_numpy())
+        n = len(exact)
+        assert row["n"] == n
+        for q in (0.25, 0.5, 0.75, 0.99):
+            v = row[f"p{int(q * 100)}"]
+            rank = np.searchsorted(exact, v) / n
+            assert abs(rank - q) <= 0.01, (row["key"], q, rank)
