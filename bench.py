@@ -49,6 +49,15 @@ BENCH_QUERIES = [
 
 
 def run_bench() -> dict:
+    # route Ray Data's console logging through bench_logging.yaml (console
+    # at ERROR; the full log incl. warnings still lands in the session's
+    # ray-data.log) — see the yaml header for the two Ray-internal
+    # warnings this silences. Must be set BEFORE ray.init so worker
+    # processes inherit it.
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_logging.yaml"),
+    )
     import ray
 
     ray.init(
@@ -63,6 +72,7 @@ def run_bench() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+
 
     from ocds_entity_extract_ray.functions.classify import build_classifier_list_from_text
     from ocds_entity_extract_ray.pipelines.kg import run_kg
@@ -104,7 +114,29 @@ def run_bench() -> dict:
     )
     kg_secs = time.monotonic() - t0
 
-    queries: dict[str, float] = {"kg_pipeline": round(kg_secs, 3)}
+    # the same pipeline through the ACTOR-POOL scorer stage (the
+    # north-star NER/link shape: per-actor state in __init__, pool sized
+    # to the node) — measured so pool sizing claims have a number
+    actors_dir = "/tmp/ocds_ray_bench_out_actors"
+    shutil.rmtree(actors_dir, ignore_errors=True)
+    t_a = time.monotonic()
+    run_kg(
+        pages_dir,
+        actors_dir,
+        clist,
+        product_index(),
+        batch_size=1024,
+        num_buckets=max(64, NUM_CPUS * 4),
+        resume=False,
+        compute="actors",
+        concurrency=(max(2, NUM_CPUS // 4), NUM_CPUS),
+    )
+    kg_actor_secs = time.monotonic() - t_a
+
+    queries: dict[str, float] = {
+        "kg_pipeline": round(kg_secs, 3),
+        "kg_pipeline_actors": round(kg_actor_secs, 3),
+    }
     registry = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     registry.update(ROWS_ONLY_QUERIES)
     for name in BENCH_QUERIES:

@@ -261,8 +261,11 @@ def minhash_lsh_pairs(
 
     cand_texts = ds.map_batches(keep_candidates, batch_format="pandas")
 
+    from .joins import hash_join
+
     # hash-join texts back by id (both sides are candidate-proportional)
-    j = cand.join(
+    j = hash_join(
+        cand,
         cand_texts,
         "inner",
         num_partitions=verify_partitions,
@@ -272,7 +275,8 @@ def minhash_lsh_pairs(
         lambda b: b.rename(columns={text_col: "_text_a"})[["id_a", "id_b", "_text_a"]],
         batch_format="pandas",
     )
-    j = j.join(
+    j = hash_join(
+        j,
         cand_texts,
         "inner",
         num_partitions=verify_partitions,

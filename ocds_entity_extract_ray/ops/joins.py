@@ -31,6 +31,33 @@ def default_join_partitions(min_parts: int = 8) -> int:
     return max(min_parts, cpus // 2)
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    join_type: str,
+    *,
+    on: tuple,
+    right_on: tuple | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``Dataset.join`` with both sides coerced to ARROW blocks first:
+    the join's aggregators hash block schemas for deduplication, and
+    pandas block schemas are unhashable (per-worker warning spam) while
+    pa.Schema hashes cleanly — and Arrow is the zero-copy format the hash
+    shuffle wants anyway. Partition count defaults to cluster width."""
+
+    def as_arrow(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(lambda b: b, batch_format="pyarrow", zero_copy_batch=True)
+
+    return as_arrow(left).join(
+        as_arrow(right),
+        join_type,
+        num_partitions=num_partitions or default_join_partitions(),
+        on=on,
+        right_on=right_on,
+    )
+
+
 _BROADCAST_CACHE: dict = {}
 _BROADCAST_CACHE_MAX = 32  # bounded: long-lived workers see many broadcasts
 

@@ -305,7 +305,10 @@ def embedding_near_dup_pairs(
 
     cand_vecs = ds.map_batches(keep_candidates, batch_format="pandas")
 
-    j = cand.join(
+    from .joins import hash_join
+
+    j = hash_join(
+        cand,
         cand_vecs,
         "inner",
         num_partitions=verify_partitions,
@@ -315,7 +318,8 @@ def embedding_near_dup_pairs(
         lambda b: b.rename(columns={"_vecbytes": "_vec_a"})[["id_a", "id_b", "_vec_a"]],
         batch_format="pandas",
     )
-    j = j.join(
+    j = hash_join(
+        j,
         cand_vecs,
         "inner",
         num_partitions=verify_partitions,

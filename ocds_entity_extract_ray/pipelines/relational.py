@@ -23,7 +23,7 @@ import ray.data
 
 from ..functions.laundry import simple_name
 from ..ops.agg import grouped_agg
-from ..ops.joins import broadcast_hash_join, default_join_partitions
+from ..ops.joins import broadcast_hash_join, hash_join
 from ..ops.similarity import cosine_topk, embedding_near_dup_pairs
 from ..ops.textstats import (
     add_langid,
@@ -143,9 +143,7 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
         return b[["l_orderkey", "revenue"]]
 
     li_f = li.map_batches(f_li, batch_format="pandas")
-    joined = li_f.join(
-        orders_b, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
-    )
+    joined = hash_join(li_f, orders_b, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     # high-cardinality groupby: map-side partials -> bucketed combine ->
     # per-bucket top-10 -> tiny driver merge (scales: shuffle carries one
     # row per (order, block); driver sees 10 rows per bucket)
@@ -216,9 +214,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
     li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
-    joined = li_s.join(
-        orders_c, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
-    )
+    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     def f_same_nation(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["s_nationkey"] == b["c_nationkey"]].copy()
@@ -285,9 +281,7 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
     li_r = li.map_batches(
         lambda b: b[b["l_returnflag"] == "R"][["l_orderkey"]], batch_format="pandas"
     )
-    semi = orders.join(
-        li_r, "left_semi", num_partitions=default_join_partitions(), on=("o_orderkey",), right_on=("l_orderkey",)
-    )
+    semi = hash_join(orders, li_r, "left_semi", on=("o_orderkey",), right_on=("l_orderkey",))
     out = grouped_agg(semi, ["o_orderpriority"], {"n": ("o_orderkey", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
@@ -419,13 +413,7 @@ def q_semi_customers_with_orders(sf_dir: str) -> pd.DataFrame:
     # at 100x the orders keyset is a driver OOM)
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    semi = cust.join(
-        orders,
-        "left_semi",
-        num_partitions=default_join_partitions(),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
+    semi = hash_join(cust, orders, "left_semi", on=("c_custkey",), right_on=("o_custkey",))
     out = grouped_agg(semi, ["c_mktsegment"], {"n": ("c_custkey", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
@@ -445,13 +433,7 @@ def q_anti_customers_without_urgent(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    anti = cust.join(
-        urgent,
-        "left_anti",
-        num_partitions=default_join_partitions(),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
+    anti = hash_join(cust, urgent, "left_anti", on=("c_custkey",), right_on=("o_custkey",))
     out = anti.to_pandas()
     if not len(out):
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=str)})
@@ -1090,9 +1072,7 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
     li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
-    joined = li_s.join(
-        orders_c, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
-    )
+    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1138,9 +1118,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         return b[["l_orderkey", "revenue"]]
 
     li_r = li.map_batches(pre_li, batch_format="pandas")
-    joined = li_r.join(
-        orders, "inner", num_partitions=default_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
-    )
+    joined = hash_join(li_r, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     # customer-cardinality groupby: bucketed combine + per-bucket top-20 ->
     # the driver merges 20 rows per bucket, never one row per customer
     # (q3's shape; at web scale the per-customer frame is a driver OOM)
