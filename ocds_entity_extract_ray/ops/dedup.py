@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
     verify_partitions: int = 4,
+    broadcast_max_candidates: int = 10_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -177,8 +178,11 @@ def minhash_lsh_pairs(
     (band, band_hash, id) -> bucketed groupby on band_hash -> candidate id
     pairs (capped per group) -> dedup pairs across bands -> VERIFY: the
     corpus is map-side filtered to candidate ids (broadcast id set, no
-    corpus shuffle), candidate texts are hash-joined back onto the pairs by
-    id, and true n-gram Jaccard >= threshold is computed per pair.
+    corpus shuffle), candidate texts are joined back onto the pairs by id —
+    via ray.put broadcast when the candidate set is small
+    (<= broadcast_max_candidates: zero shuffles, no aggregator actors) or
+    distributed hash joins when it is not — and true n-gram Jaccard >=
+    threshold is computed per pair.
     Output: (id_a, id_b, jaccard) — jaccard is the raw |A∩B|/|A∪B| double
     (identical integer operands in any engine, so oracle-comparable without
     rounding).
@@ -226,24 +230,35 @@ def minhash_lsh_pairs(
 
     pairs = bucketed_map_groups(
         banded, "band_hash", per_bucket, num_buckets=64, empty_result=empty_ids
-    )
-    # a pair can surface from several bands -> dedup on (id_a, id_b) BEFORE
-    # the (expensive) exact verify
-    cand = bucketed_map_groups(
-        pairs,
-        "id_a",
-        lambda b: b.drop_duplicates(["id_a", "id_b"]),
-        num_buckets=16,
-        empty_result=empty_ids,
     ).materialize()
 
     empty_out = _empty_pairs("jaccard", "float64")
-    if cand.count() == 0:
+    n_raw = pairs.count()
+    if n_raw == 0:
         return ray.data.from_pandas(empty_out)
+
+    # a pair can surface from several bands -> dedup on (id_a, id_b)
+    # BEFORE the (expensive) exact verify. The raw pair count is bounded
+    # by the per-group cap; when it is driver-small (the common case —
+    # near-dups are rare by construction) dedup on the driver and skip a
+    # whole distributed sort, else dedup with one bucketed shuffle.
+    if n_raw <= max(broadcast_max_candidates * bands, 100_000):
+        cand_df = (
+            pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        cand = ray.data.from_pandas(cand_df)
+    else:
+        cand = bucketed_map_groups(
+            pairs,
+            "id_a",
+            lambda b: b.drop_duplicates(["id_a", "id_b"]),
+            num_buckets=16,
+            empty_result=empty_ids,
+        ).materialize()
+        cand_df = cand.to_pandas()
 
     # candidate id set -> broadcast -> map-side filter of the corpus (the
     # corpus itself is never shuffled; only candidate rows survive)
-    cand_df = cand.to_pandas()
     id_set = frozenset(
         np.union1d(cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()).tolist()
     )
@@ -260,6 +275,56 @@ def minhash_lsh_pairs(
         return out.astype({id_col: "int64"})
 
     cand_texts = ds.map_batches(keep_candidates, batch_format="pandas")
+
+    def verify_frame(batch: pd.DataFrame) -> pd.DataFrame:
+        """Exact Jaccard over (id_a, id_b, _text_a, _text_b) rows."""
+        if not len(batch):
+            return empty_out.copy()
+        cache: dict = {}
+
+        def sh_of(did, text):
+            if did not in cache:
+                cache[did] = shingles(text, k)
+            return cache[did]
+
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (ida, idb, ta, tb) in enumerate(
+            zip(batch["id_a"], batch["id_b"], batch["_text_a"], batch["_text_b"])
+        ):
+            sa, sb = sh_of(ida, ta), sh_of(idb, tb)
+            if not sa and not sb:
+                jac[i] = 1.0
+            else:
+                inter = len(sa & sb)
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+        out = pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy(),
+                "id_b": batch["id_b"].to_numpy(),
+                "jaccard": jac,
+            }
+        )
+        return out[out["jaccard"] >= threshold].astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+
+    if len(id_set) <= broadcast_max_candidates:
+        # small candidate set: ship {id: text} once via the object store
+        # and verify inside map_batches over the pairs — zero shuffles
+        texts_df = cand_texts.to_pandas()
+        text_ref = _ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+
+        def verify_broadcast(batch: pd.DataFrame) -> pd.DataFrame:
+            tmap = _fetch(text_ref)
+            batch = batch.assign(
+                _text_a=batch["id_a"].map(tmap), _text_b=batch["id_b"].map(tmap)
+            )
+            return verify_frame(batch)
+
+        res = cand.map_batches(verify_broadcast, batch_format="pandas").materialize()
+        if res.count() == 0:
+            return ray.data.from_pandas(empty_out)
+        return res
 
     from .joins import hash_join
 
@@ -289,39 +354,7 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return empty_out.copy()
-        # memoize shingle sets per batch (a doc appears in many pairs)
-        cache: dict = {}
-
-        def sh_of(did, text):
-            if did not in cache:
-                cache[did] = shingles(text, k)
-            return cache[did]
-
-        jac = np.empty(len(batch), dtype=np.float64)
-        for i, (ida, idb, ta, tb) in enumerate(
-            zip(batch["id_a"], batch["id_b"], batch["_text_a"], batch["_text_b"])
-        ):
-            sa, sb = sh_of(ida, ta), sh_of(idb, tb)
-            if not sa and not sb:
-                jac[i] = 1.0
-            else:
-                inter = len(sa & sb)
-                jac[i] = inter / (len(sa) + len(sb) - inter)
-        out = pd.DataFrame(
-            {
-                "id_a": batch["id_a"].to_numpy(),
-                "id_b": batch["id_b"].to_numpy(),
-                "jaccard": jac,
-            }
-        )
-        return out[out["jaccard"] >= threshold].astype(
-            {"id_a": "int64", "id_b": "int64"}
-        )
-
-    res = j.map_batches(verify, batch_format="pandas").materialize()
+    res = j.map_batches(verify_frame, batch_format="pandas").materialize()
     # all candidates refuted -> Ray's all-empty-block bypass loses the
     # schema; substitute the typed empty (result is candidate-sized, so the
     # materialize is cheap by construction)

@@ -174,6 +174,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     max_group_size: int | None = None,
     verify_partitions: int = 4,
+    broadcast_max_candidates: int = 10_000,
 ) -> ray.data.Dataset:
     """All pairs with cosine >= threshold.
 
@@ -305,6 +306,44 @@ def embedding_near_dup_pairs(
 
     cand_vecs = ds.map_batches(keep_candidates, batch_format="pandas")
 
+    def verify_frame(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return empty_out.copy()
+        a = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_vec_a"]])
+        b = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_vec_b"]])
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        s = np.einsum("ij,ij->i", a, b) / (na * nb)
+        # filter on the RAW score (same rule as the exact path), round after
+        keep = s >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy()[keep],
+                "id_b": batch["id_b"].to_numpy()[keep],
+                "score": _round6(s[keep]),
+            }
+        ).astype({"id_a": "int64", "id_b": "int64"})
+
+    if len(id_set) <= broadcast_max_candidates:
+        # small candidate set: broadcast {id: vec bytes} once, verify
+        # map-side over the pairs — zero shuffles, no aggregator actors
+        vecs_df = cand_vecs.to_pandas()
+        vec_ref = ray.put(dict(zip(vecs_df[id_col], vecs_df["_vecbytes"])))
+
+        def verify_broadcast(batch: pd.DataFrame) -> pd.DataFrame:
+            vmap = _fetch(vec_ref)
+            batch = batch.assign(
+                _vec_a=batch["id_a"].map(vmap), _vec_b=batch["id_b"].map(vmap)
+            )
+            return verify_frame(batch)
+
+        res = cand.map_batches(verify_broadcast, batch_format="pandas").materialize()
+        if res.count() == 0:
+            return ray.data.from_pandas(empty_out)
+        return res
+
     from .joins import hash_join
 
     j = hash_join(
@@ -332,28 +371,7 @@ def embedding_near_dup_pairs(
         batch_format="pandas",
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return empty_out.copy()
-        a = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_vec_a"]])
-        b = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_vec_b"]])
-        na = np.linalg.norm(a, axis=1)
-        nb = np.linalg.norm(b, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        s = np.einsum("ij,ij->i", a, b) / (na * nb)
-        # filter on the RAW score (same rule as the exact path), round after
-        keep = s >= threshold
-        out = pd.DataFrame(
-            {
-                "id_a": batch["id_a"].to_numpy()[keep],
-                "id_b": batch["id_b"].to_numpy()[keep],
-                "score": _round6(s[keep]),
-            }
-        )
-        return out.astype({"id_a": "int64", "id_b": "int64"})
-
-    res = j.map_batches(verify, batch_format="pandas").materialize()
+    res = j.map_batches(verify_frame, batch_format="pandas").materialize()
     if res.count() == 0:
         return ray.data.from_pandas(empty_out)
     return res

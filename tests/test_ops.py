@@ -277,3 +277,13 @@ def test_approx_quantiles_rank_error(ray_session):
             v = row[f"p{int(q * 100)}"]
             rank = np.searchsorted(exact, v) / n
             assert abs(rank - q) <= 0.01, (row["key"], q, rank)
+
+
+def test_minhash_join_verify_path_matches_broadcast(doc_corpus):
+    """broadcast_max_candidates=0 forces the distributed join-back verify;
+    it must produce the same pairs as the broadcast verify."""
+    a = minhash_lsh_pairs(doc_corpus, threshold=0.75).to_pandas()
+    b = minhash_lsh_pairs(
+        doc_corpus, threshold=0.75, broadcast_max_candidates=0
+    ).to_pandas()
+    assert set(zip(a["id_a"], a["id_b"])) == set(zip(b["id_a"], b["id_b"]))
