@@ -24,6 +24,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# scaling legs measure the headline KG pipeline only (the two-cluster-size
+# criterion is about the flagship job, and four full benches would take
+# ~20 min of pure query re-measurement)
+KG_ONLY = os.environ.get("GRAFT_KG_ONLY", "") == "1"
 CORPUS_DOCS_PER_SF = 8_000_000  # sf0.1 -> 800k synthetic pages
 
 
@@ -114,6 +118,23 @@ def run_bench() -> dict:
     )
     kg_secs = time.monotonic() - t0
 
+    if KG_ONLY:
+        result = {
+            "metric": "kg_pipeline_secs",
+            "value": round(kg_secs, 3),
+            "unit": "sec",
+            "queries": {"kg_pipeline": round(kg_secs, 3)},
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "docs": report.get("docs"),
+            "entities": report.get("entities"),
+            "triples": report.get("triples"),
+            "docs_per_sec": round(report.get("docs", 0) / kg_secs, 1),
+            "triples_per_sec": round(report.get("triples", 0) / kg_secs, 1),
+        }
+        ray.shutdown()
+        return result
+
     # the same pipeline through the ACTOR-POOL scorer stage (the
     # north-star NER/link shape: per-actor state in __init__, pool sized
     # to the node) — measured so pool sizing claims have a number
@@ -168,7 +189,7 @@ def run_scaling() -> dict:
     """Same job + input at num_cpus=8 and num_cpus=32 in fresh processes."""
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_KG_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
