@@ -95,27 +95,63 @@ def recombine_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def repair_area_parent_names(entities: ray.data.Dataset) -> ray.data.Dataset:
+_REF_FIELDS = (
+    ("parent_id", "parent_name"),
+    ("organization_id", "organization_name"),
+    ("person_id", "person_name"),
+)
+
+
+def _apply_name_fixes(doc: dict, fixes: dict) -> bool:
+    """fixes: {name_field: canonical_name}. Returns True if doc changed."""
+    from ..functions.hashing import content_hash
+
+    touched = False
+    for _rf, name_field in _REF_FIELDS:
+        nm = fixes.get(name_field)
+        if nm is not None and doc.get(name_field) != nm:
+            doc[name_field] = nm
+            touched = True
+    if touched:
+        doc.pop("_id", None)
+        doc["_id"] = content_hash(doc)
+    return touched
+
+
+def repair_area_parent_names(
+    entities: ray.data.Dataset, *, broadcast_max_names: int = 5_000_000
+) -> ray.data.Dataset:
     """Snapshot-name repair: area docs and membership docs snapshot the
     OTHER entity's name from the record that first created the EDGE/CHILD,
     but the reference takes it from the referenced doc itself — whose name
     is fixed at creation (first-seen) in both engines, so the canonical
-    entity-name map reproduces the reference exactly. The map is broadcast
-    driver-side (bounded by entity cardinality; at 10^12-doc scale shard
-    this repair by id-hash instead); entities must be materialized.
-    Re-hashes _id for changed docs. Subclass snapshots remain the documented
-    approximation."""
-    import ray
+    entity-name map reproduces the reference exactly. Two equivalent modes
+    (equality pytest-covered), auto-selected by NAME-TABLE cardinality
+    (entities, not corpus):
 
-    from ..functions.hashing import content_hash
-    from ..ops.joins import _fetch
+    - <= broadcast_max_names: the {id: name} map is ray.put ONCE and read
+      map-side (zero shuffles — the right shape while the entity table
+      fits a worker heap);
+    - above it: the SHARDED path — (row, ref_id) pairs hash-joined against
+      the distributed name table, pivoted per row, left-joined back; no
+      single process ever holds the name map.
 
-    name_rows = entities.map_batches(
+    Entities must be materialized. Re-hashes _id for changed docs.
+    Subclass snapshots remain the documented approximation."""
+    name_ds = entities.map_batches(
         lambda t: t.filter(
             pa.compute.is_in(t["table"], value_set=pa.array(["areas", "orgs", "persons"]))
         ).select(["table", "id", "name"]),
         batch_format="pyarrow",
-    ).to_pandas()
+    )
+    if name_ds.count() > broadcast_max_names:
+        return _repair_sharded(entities, name_ds)
+
+    import ray
+
+    from ..ops.joins import _fetch
+
+    name_rows = name_ds.to_pandas()
     # priority: persons < orgs < areas (later wins) — collisions are
     # practically impossible; membership fields reference one class each
     names: dict = {}
@@ -134,19 +170,12 @@ def repair_area_parent_names(entities: ray.data.Dataset) -> ray.data.Dataset:
             if tbl not in ("areas", "memberships"):
                 continue
             doc = json.loads(blob)
-            touched = False
-            for ref_field, name_field in (
-                ("parent_id", "parent_name"),
-                ("organization_id", "organization_name"),
-                ("person_id", "person_name"),
-            ):
-                rid = doc.get(ref_field)
-                if rid is not None and rid in nm and doc.get(name_field) != nm[rid]:
-                    doc[name_field] = nm[rid]
-                    touched = True
-            if touched:
-                doc.pop("_id", None)
-                doc["_id"] = content_hash(doc)
+            fixes = {
+                nf: nm[doc[rf]]
+                for rf, nf in _REF_FIELDS
+                if doc.get(rf) is not None and doc[rf] in nm
+            }
+            if _apply_name_fixes(doc, fixes):
                 docs[i] = canonical_json(doc)
                 hashes[i] = doc["_id"]
                 changed = True
@@ -164,6 +193,102 @@ def repair_area_parent_names(entities: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return entities.map_batches(fix, batch_format="pyarrow")
+
+
+def _repair_sharded(
+    entities: ray.data.Dataset, name_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """The 10^12-doc shape of the snapshot-name repair: every step is a
+    map_batches or a hash join; the name table is never collected."""
+    import pandas as pd
+
+    from ..ops.agg import bucketed_map_groups
+    from ..ops.joins import hash_join
+
+    prio = {"persons": 0, "orgs": 1, "areas": 2}
+
+    def to_names(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"nid": b["id"], "nname": b["name"], "_prio": b["table"].map(prio)}
+        )
+
+    empty_names = pd.DataFrame(
+        {"nid": pd.Series(dtype="object"), "nname": pd.Series(dtype="object")}
+    )
+    names = bucketed_map_groups(
+        name_ds.map_batches(to_names, batch_format="pandas"),
+        "nid",
+        lambda b: b.sort_values(["nid", "_prio"], kind="mergesort")
+        .drop_duplicates("nid", keep="last")[["nid", "nname"]],
+        num_buckets=32,
+        empty_result=empty_names,
+    )
+
+    def to_refs(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tbl, eid, blob in zip(b["table"], b["id"], b["doc"]):
+            if tbl not in ("areas", "memberships"):
+                continue
+            doc = json.loads(blob)
+            for rf, nf in _REF_FIELDS:
+                rid = doc.get(rf)
+                if rid is not None:
+                    rows.append({"rkey": f"{tbl}\x00{eid}", "nfield": nf, "rid": rid})
+        out = pd.DataFrame(rows)
+        if not len(out):
+            out = pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in ("rkey", "nfield", "rid")}
+            )
+        return out
+
+    refs = entities.map_batches(to_refs, batch_format="pandas")
+    matched = hash_join(refs, names, "inner", on=("rid",), right_on=("nid",))
+
+    empty_fixes = pd.DataFrame(
+        {"fkey": pd.Series(dtype="object"), "fixes": pd.Series(dtype="object")}
+    )
+
+    def pivot(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rkey, grp in bucket.groupby("rkey", sort=False):
+            rows.append(
+                {
+                    "fkey": rkey,
+                    "fixes": json.dumps(
+                        dict(zip(grp["nfield"], grp["nname"])), sort_keys=True
+                    ),
+                }
+            )
+        return pd.DataFrame(rows) if rows else empty_fixes.copy()
+
+    fixes = bucketed_map_groups(
+        matched, "rkey", pivot, num_buckets=32, empty_result=empty_fixes
+    )
+
+    keyed = entities.map_batches(
+        lambda b: b.assign(rkey=b["table"] + "\x00" + b["id"]), batch_format="pandas"
+    )
+    merged = hash_join(keyed, fixes, "left_outer", on=("rkey",), right_on=("fkey",))
+
+    def apply(b: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["table", "id", "name", "class0", "doc", "_id"]
+        if not len(b):
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        docs = b["doc"].tolist()
+        hashes = b["_id"].tolist()
+        for i, (blob, fx) in enumerate(zip(b["doc"], b["fixes"])):
+            if not isinstance(fx, str):
+                continue
+            doc = json.loads(blob)
+            if _apply_name_fixes(doc, json.loads(fx)):
+                docs[i] = canonical_json(doc)
+                hashes[i] = doc["_id"]
+        out = b[["table", "id", "name", "class0"]].copy()
+        out["doc"] = docs
+        out["_id"] = hashes
+        return out
+
+    return merged.map_batches(apply, batch_format="pandas")
 
 
 def canonicalize(mentions: ray.data.Dataset) -> ray.data.Dataset:

@@ -107,6 +107,34 @@ def test_kg_resume_invalidated_by_config_change(ray_session, pages_dir, tmp_path
     assert r3.get("entities_resumed")
 
 
+def test_repair_sharded_equals_broadcast(ray_session, pages_dir):
+    """The distributed-join repair path (the 10^12-doc shape, forced via
+    broadcast_max_names=0) must produce byte-identical entities to the
+    broadcast-map path."""
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.canonicalize import (
+        canonicalize,
+        repair_area_parent_names,
+    )
+    from ocds_entity_extract_ray.stages.mentions import extract_mentions
+
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+    pre = canonicalize(
+        extract_mentions(
+            read_pages(pages_dir, columns=["url", "html"]), clist, pidx, num_buckets=8
+        )
+    ).materialize()
+    a = repair_area_parent_names(pre).to_pandas()
+    b = repair_area_parent_names(pre, broadcast_max_names=0).to_pandas()
+    key = ["table", "id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)[list(a.columns)]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_kg_resumable_tolerates_orphan_dirs(ray_session, pages_dir, tmp_path):
     """Non-numeric shard= artifacts (temp dirs) must be skipped, not fatal;
     higher-numbered stale shards are cleaned."""
