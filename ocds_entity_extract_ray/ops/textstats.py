@@ -9,6 +9,7 @@ worker process at import).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -82,15 +83,25 @@ def _h64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
 
 
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+@functools.lru_cache(maxsize=1_000_000)
+def _word_vote(w: str) -> np.ndarray:
+    """±1 bit-vote vector for a word (cached: corpus words are
+    Zipf-repeated, so the md5+unpack runs once per distinct word per
+    worker). Callers must not mutate the returned array."""
+    h = np.uint64(_h64(w.encode("utf-8")))
+    bits = ((h >> _SHIFTS) & np.uint64(1)).astype(np.int64)
+    return 2 * bits - 1
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word features (md5-low64 feature hash;
     vote per bit weighted by occurrence count)."""
     v = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
     for w in _WORD_RE.findall((text or "").lower()):
-        h = np.uint64(_h64(w.encode("utf-8")))
-        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-        v += 2 * bits - 1
+        v += _word_vote(w)
     out = 0
     for b in range(64):
         if v[b] > 0:

@@ -1312,9 +1312,34 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_doc_packing(sf_dir: str) -> pd.DataFrame:
+    """Deterministic token-budget document packing (training-sequence
+    chunking): pack_id = floor(tokens_before_doc / budget) over id order —
+    a distributed two-pass prefix scan (ops/scan.py; only (id, n_tokens)
+    rows shuffle, driver holds one row per range)."""
+    from ..ops.scan import pack_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_documents(docs, budget=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DOC_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS pack_id
+FROM t ORDER BY doc_id
+"""
+
+
 SQL_QUERIES.update(
     {
         "q_word_count": (q_word_count, Q_WORD_COUNT_SQL),
         "q_value_quantiles": (q_value_quantiles, Q_QUANTILES_SQL),
+        "q_doc_packing": (q_doc_packing, Q_DOC_PACKING_SQL),
     }
 )

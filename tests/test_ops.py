@@ -287,3 +287,24 @@ def test_minhash_join_verify_path_matches_broadcast(doc_corpus):
         doc_corpus, threshold=0.75, broadcast_max_candidates=0
     ).to_pandas()
     assert set(zip(a["id_a"], a["id_b"])) == set(zip(b["id_a"], b["id_b"]))
+
+
+def test_pack_documents_prefix_scan(ray_session):
+    """Two-pass distributed prefix scan: pack assignment must equal the
+    sequential cumsum, including across range boundaries."""
+    from ocds_entity_extract_ray.ops.scan import pack_documents
+
+    rng = np.random.RandomState(5)
+    n = 500
+    texts = ["w " * rng.randint(1, 400) for _ in range(n)]
+    ids = np.arange(0, 2 * n, 2, dtype="int64")  # non-dense ids
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = pack_documents(ds, budget=1000, num_ranges=16).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    ntok = df.sort_values("doc_id")["text"].str.count(r"\S+").to_numpy()
+    before = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    assert (got["n_tokens"].to_numpy() == ntok).all()
+    assert (got["pack_id"].to_numpy() == before // 1000).all()
+    assert got["pack_id"].nunique() > 10  # actually chunked
