@@ -117,6 +117,37 @@ def simhash64_signed(text: str) -> int:
     return sh - (1 << 64) if sh >= (1 << 63) else sh
 
 
+def repetition_stats(text: str, k: int = 3) -> dict:
+    """Gopher-style repetition signal: fraction of word k-gram OCCURRENCES
+    that are repeats of an earlier k-gram in the same doc (0.0 = no
+    repetition). Heavily boilerplated/templated pages score high and get
+    filtered before training."""
+    words = _WORD_RE.findall((text or "").lower())
+    total = max(0, len(words) - k + 1)
+    if total == 0:
+        return {"n_grams": 0, "n_distinct_grams": 0, "dup_gram_frac": 0.0}
+    grams = [" ".join(words[i : i + k]) for i in range(total)]
+    distinct = len(set(grams))
+    return {
+        "n_grams": total,
+        "n_distinct_grams": distinct,
+        "dup_gram_frac": (total - distinct) / total,
+    }
+
+
+def add_repetition_stats(
+    ds: ray.data.Dataset, text_col: str = "text", k: int = 3
+) -> ray.data.Dataset:
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].map(lambda t: repetition_stats(t, k))
+        for f, dt in (("n_grams", "int64"), ("n_distinct_grams", "int64")):
+            batch[f] = s.map(lambda d, f=f: d[f]).astype(dt)
+        batch["dup_gram_frac"] = s.map(lambda d: d["dup_gram_frac"])
+        return batch
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Rolling-hash k-gram fingerprints with winnowing (min-in-window),
     the standard local document fingerprinting scheme (md5-low64 gram

@@ -750,6 +750,35 @@ SELECT doc_id, lang, lang_pred, (lang_pred = lang)::BIGINT AS match FROM p ORDER
 """
 
 
+def q_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style duplicate-3-gram fraction per doc (boilerplate /
+    template detection signal). Ratio divides identical ints in both
+    engines -> bitwise-comparable doubles."""
+    from ..ops.textstats import add_repetition_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_repetition_stats(docs).to_pandas().drop(columns=["text"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-ZÀ-ɏ]+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+  FROM w
+)
+SELECT doc_id, len(grams)::BIGINT AS n_grams,
+       len(list_distinct(grams))::BIGINT AS n_distinct_grams,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE (len(grams) - len(list_distinct(grams))) / len(grams) END AS dup_gram_frac
+FROM g ORDER BY doc_id
+"""
+
+
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = add_simhash(docs).to_pandas().drop(columns=["text"])
@@ -914,6 +943,7 @@ SQL_QUERIES: dict[str, tuple] = {
 SQL_QUERIES.update(
     {
         "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
+        "q_repetition": (q_repetition, Q_REPETITION_SQL),
         "q_langid": (q_langid, Q_LANGID_SQL),
         "q_simhash": (q_simhash, Q_SIMHASH_SQL),
         "q_fingerprints": (q_fingerprints, Q_FINGERPRINTS_SQL),
