@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "q_ann_topk",
     "q_embedding_near_dups",
     "q_minhash_dup_pairs",
+    # round-2 additions (absent from BENCH_r01; compare from r02 on)
+    "q_doc_packing",
+    "q_repetition",
 ]
 
 
