@@ -78,6 +78,60 @@ class FrameSampler:
         return pd.DataFrame(out)
 
 
+class AudioTranscriber:
+    """Actor-pool stage: binary audio payload -> (transcript, n_segments,
+    duration_s). The real seam is an ASR model loaded ONCE per actor in
+    __init__ (whisper-style); ``decode="fake"`` runs a deterministic
+    hash-derived pseudo-transcript so the schema/plumbing/batch sizing are
+    testable in this container."""
+
+    _VOCAB = ("data", "pipeline", "arrow", "stream", "shuffle", "actor", "block")
+
+    def __init__(self, decode: str = "fake", segment_bytes: int = 256):
+        self.decode = decode
+        self.segment_bytes = segment_bytes
+
+    def _transcribe(self, payload: bytes) -> tuple[str, int, float]:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "audio decode/ASR requires soundfile + a model — not in this "
+                "container; plug the real transcriber here"
+            )
+        payload = payload or b""
+        n_seg = max(1, len(payload) // self.segment_bytes)
+        words = [
+            self._VOCAB[payload[i % max(1, len(payload))] % len(self._VOCAB)]
+            if payload
+            else self._VOCAB[0]
+            for i in range(n_seg * 3)
+        ]
+        return " ".join(words), n_seg, round(n_seg * 0.96, 2)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"media_id": [], "transcript": [], "n_segments": [], "duration_s": []}
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            text, n_seg, dur = self._transcribe(payload)
+            out["media_id"].append(mid)
+            out["transcript"].append(text)
+            out["n_segments"].append(n_seg)
+            out["duration_s"].append(dur)
+        return pd.DataFrame(out).astype({"media_id": "int64", "n_segments": "int64"})
+
+
+def transcribe_audio(
+    ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 8
+) -> ray.data.Dataset:
+    """Actor-pool ASR plumbing: tiny batches (audio payloads are large),
+    model state in __init__."""
+    return ds.map_batches(
+        AudioTranscriber,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def featurize_images(
     ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 32, dim: int = 16
 ) -> ray.data.Dataset:

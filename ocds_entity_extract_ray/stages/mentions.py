@@ -137,6 +137,10 @@ def extract_mentions(
     - compute='actors': callable-class actor pool — right when per-worker
       setup is heavy (model load, GPU init); pass ``concurrency`` to size
       the pool. This is the north-star shape for a real NER/link scorer.
+      SIZING: actors hold their CPU for the job's lifetime, so a pool
+      equal to the node's CPU count starves the upstream read tasks
+      (deadlock-slow); leave ~1/4 of the CPUs free — pool = 3/4 × CPUs
+      measured fastest (and beat the autoscaling pool) on this workload.
     """
     if compute == "actors":
         return ds.map_batches(

@@ -308,3 +308,19 @@ def test_pack_documents_prefix_scan(ray_session):
     assert (got["n_tokens"].to_numpy() == ntok).all()
     assert (got["pack_id"].to_numpy() == before // 1000).all()
     assert got["pack_id"].nunique() > 10  # actually chunked
+
+
+def test_audio_transcribe_plumbing(ray_session):
+    """Actor-pool ASR stage: schema, determinism, gated real path."""
+    from ocds_entity_extract_ray.ops.multimodal import AudioTranscriber, synthetic_media, transcribe_audio
+
+    media = ray.data.from_pandas(synthetic_media(18))
+    t1 = transcribe_audio(media, concurrency=2, batch_size=6).to_pandas()
+    assert len(t1) == 18
+    assert list(t1.columns) == ["media_id", "transcript", "n_segments", "duration_s"]
+    t2 = transcribe_audio(ray.data.from_pandas(synthetic_media(18))).to_pandas()
+    a = t1.sort_values("media_id").reset_index(drop=True)
+    b = t2.sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(NotImplementedError):
+        AudioTranscriber(decode="real")._transcribe(b"payload")

@@ -162,3 +162,91 @@ def test_product_id_preserves_digits(s):
 @given(st.sampled_from(["MX", "mx", "US", "GB", "ZZ"]))
 def test_clean_country_2char_uppercases(code):
     assert clean_country(code) == code.upper()
+
+
+# --- round-2 op kernels ------------------------------------------------------
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_simhash_in_signed_range_and_deterministic(t):
+    from ocds_entity_extract_ray.ops.textstats import simhash64, simhash64_signed
+
+    sh = simhash64(t)
+    assert 0 <= sh < (1 << 64)
+    s = simhash64_signed(t)
+    assert -(1 << 63) <= s < (1 << 63)
+    assert (s & ((1 << 64) - 1)) == sh  # two's complement round-trip
+    assert simhash64(t) == sh
+
+
+@given(st.text(max_size=300), st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_ngram_jaccard_bounds_and_symmetry(a, b):
+    from ocds_entity_extract_ray.ops.dedup import ngram_jaccard
+
+    j = ngram_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == ngram_jaccard(b, a)
+    assert ngram_jaccard(a, a) == 1.0
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_winnowing_guarantee(t):
+    """Winnowing guarantee: fingerprint count is positive whenever the doc
+    has at least one k-gram, bounded by gram count, and deterministic."""
+    from ocds_entity_extract_ray.ops.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(t)
+    n_grams = max(0, len(t) - 8 + 1) if len(t) >= 8 else 0
+    if n_grams == 0:
+        assert fps == []
+    else:
+        assert 1 <= len(fps) <= n_grams
+    assert fps == winnowing_fingerprints(t)
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=200), st.floats(0.01, 0.99))
+@settings(max_examples=100, deadline=None)
+def test_hash_sample_mask_is_pure(keys, frac):
+    import numpy as np
+
+    from ocds_entity_extract_ray.ops.sampling import hash_sample_mask
+
+    ks = np.asarray(keys, dtype=np.int64)
+    m1 = hash_sample_mask(ks, frac)
+    m2 = hash_sample_mask(ks, frac)
+    assert (m1 == m2).all()
+    # monotone in fraction: a kept key stays kept at any larger fraction
+    m3 = hash_sample_mask(ks, min(0.999, frac + 0.2))
+    assert (~m1 | m3).all()
+
+
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=500),
+    st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+)
+@settings(max_examples=100, deadline=None)
+def test_quantile_summary_rank_bound(vals, q):
+    """One-level compression: quantile from the k-point summary is within
+    1/k + 1/n rank error of the true quantile."""
+    import numpy as np
+
+    from ocds_entity_extract_ray.ops.quantiles import (
+        _partial_points,
+        _quantile_from_summaries,
+    )
+
+    v = np.asarray(vals, dtype=np.float64)
+    k = 64
+    pts = _partial_points(v, k)
+    w = np.full(len(pts), len(v) / len(pts))
+    got = _quantile_from_summaries(pts, w, q)
+    sv = np.sort(v)
+    # with duplicates the returned value spans a RANK INTERVAL; error is
+    # the distance from q to that interval
+    r_lo = np.searchsorted(sv, got, side="left") / len(sv)
+    r_hi = np.searchsorted(sv, got, side="right") / len(sv)
+    err = 0.0 if r_lo <= q <= r_hi else min(abs(q - r_lo), abs(q - r_hi))
+    assert err <= 1.0 / k + 1.0 / len(v) + 1e-9
