@@ -1342,6 +1342,247 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """Q12-flavored conditional aggregation: per return flag, lineitem
+    counts split by order priority class (CASE-sum inside the map-side
+    partial — no second pass)."""
+    orders = _small(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    joined = broadcast_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        b["high_lines"] = hi.astype("int64")
+        b["low_lines"] = (~hi).astype("int64")
+        return b[["l_returnflag", "high_lines", "low_lines"]]
+
+    out = grouped_agg(
+        joined,
+        ["l_returnflag"],
+        {"high_lines": ("high_lines", "sum"), "low_lines": ("low_lines", "sum")},
+        pre=pre,
+    )
+    for c in ("high_lines", "low_lines"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_lines,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q14-flavored: share of revenue from PROMO parts in a ship-date
+    window — the CASE-sum-over-join + global-ratio pattern. Ratio divides
+    the two ROUNDED cent sums, so both engines divide identical ints."""
+    part = _small(sf_dir, "part", columns=["p_partkey", "p_type"])
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[
+            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["l_shipdate"] < pd.Timestamp("1997-01-01"))
+        ].copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_partkey", "revenue"]]
+
+    joined = broadcast_hash_join(
+        li.map_batches(pre, batch_format="pandas"), part,
+        left_on="l_partkey", right_on="p_partkey",
+    )
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        promo = b["p_type"] == "PROMO"
+        return pd.DataFrame(
+            {
+                "promo_rev": [b.loc[promo, "revenue"].sum()],
+                "total_rev": [b["revenue"].sum()],
+            }
+        )
+
+    parts = joined.map_batches(split, batch_format="pandas").to_pandas()
+    promo_cents = _round(float(parts["promo_rev"].sum()) * 100)
+    total_cents = _round(float(parts["total_rev"].sum()) * 100)
+    return pd.DataFrame(
+        {
+            "promo_rev_cents": [promo_cents],
+            "total_rev_cents": [total_cents],
+            "promo_share": [promo_cents / total_cents if total_cents else 0.0],
+        }
+    )
+
+
+Q14_SQL = """
+WITH s AS (
+  SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100, 0) AS promo_rev_cents,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) AS total_rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT promo_rev_cents, total_rev_cents,
+       CASE WHEN total_rev_cents = 0 THEN 0.0
+            ELSE promo_rev_cents / total_rev_cents END AS promo_share
+FROM s
+"""
+
+
+def q16_supplier_variety(sf_dir: str) -> pd.DataFrame:
+    """Q16-flavored COUNT DISTINCT at scale: suppliers per (brand, size)
+    for small parts — distinct via one bucketed dedup of the
+    (brand, size, suppkey) triple, then a cheap count (never a
+    driver-side set)."""
+    from ..ops.agg import bucketed_map_groups
+
+    part = _small(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part = part.filter(pa.compute.less(part["p_size"], 15))
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    joined = broadcast_hash_join(li, part, left_on="l_partkey", right_on="p_partkey")
+
+    # map-side pre-distinct (the 99% row kill), then one bucketed shuffle
+    pre = joined.map_batches(
+        lambda b: b[["p_brand", "p_size", "l_suppkey"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    distinct = bucketed_map_groups(
+        pre,
+        "p_brand",
+        lambda b: b.drop_duplicates(["p_brand", "p_size", "l_suppkey"]),
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "p_brand": pd.Series(dtype="object"),
+                "p_size": pd.Series(dtype="int64"),
+                "l_suppkey": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+    out = grouped_agg(distinct, ["p_brand", "p_size"], {"supplier_cnt": ("l_suppkey", "count")})
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out.sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+
+
+Q16_SQL = """
+SELECT p_brand, p_size::BIGINT AS p_size, COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 15
+GROUP BY p_brand, p_size ORDER BY p_brand, p_size
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q19-flavored disjunctive predicate (OR of brand×quantity bands)
+    evaluated vectorized inside the map — the filter that defeats naive
+    single-predicate pushdown."""
+    part = _small(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    joined = broadcast_hash_join(li, part, left_on="l_partkey", right_on="p_partkey")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"]
+        keep = (
+            ((b["p_brand"] == "Brand#12") & (q >= 1) & (q <= 11))
+            | ((b["p_brand"] == "Brand#23") & (q >= 10) & (q <= 20))
+            | ((b["p_brand"] == "Brand#34") & (q >= 20) & (q <= 30))
+        )
+        b = b[keep].copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["revenue"]]
+
+    parts = joined.map_batches(
+        lambda b: pd.DataFrame({"revenue": [pre(b)["revenue"].sum()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    return pd.DataFrame({"revenue_cents": [_round(float(parts["revenue"].sum()) * 100)]})
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """Q22-flavored: per nation, count+balance of customers with
+    above-average (positive-balance) accounts and NO urgent orders —
+    global scalar aggregate -> broadcast filter -> distributed anti
+    join."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    # global scalar: avg over positive balances (cheap two-field partial)
+    parts = cust.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "s": [b.loc[b["c_acctbal"] > 0, "c_acctbal"].sum()],
+                "n": [int((b["c_acctbal"] > 0).sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    # compare in exact integer cents so both engines threshold identically
+    total_cents = _round(float(parts["s"].sum()) * 100)
+    n_pos = int(parts["n"].sum())
+    avg_cents = total_cents / n_pos if n_pos else 0.0
+
+    rich = cust.map_batches(
+        lambda b: b[_round(b["c_acctbal"] * 100) > avg_cents], batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b[b["o_orderpriority"] == "1-URGENT"][["o_custkey"]],
+        batch_format="pandas",
+    )
+    idle = hash_join(rich, urgent, "left_anti", on=("c_custkey",), right_on=("o_custkey",))
+
+    out = grouped_agg(
+        idle,
+        ["c_nationkey"],
+        {"n_custs": ("c_custkey", "count"), "sum_bal": ("c_acctbal", "sum")},
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(dtype="int64"),
+                "n_custs": pd.Series(dtype="int64"),
+                "sum_bal_cents": pd.Series(dtype="float64"),
+            }
+        )
+    out["n_custs"] = out["n_custs"].astype("int64")
+    out["sum_bal_cents"] = _round(out["sum_bal"] * 100)
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out = out.drop(columns=["sum_bal"])
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT ROUND(SUM(c_acctbal) * 100, 0) / COUNT(*) AS avg_cents
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey::BIGINT AS c_nationkey, COUNT(*)::BIGINT AS n_custs,
+       ROUND(SUM(c_acctbal) * 100, 0) AS sum_bal_cents
+FROM customer
+WHERE ROUND(c_acctbal * 100, 0) > (SELECT avg_cents FROM avg_bal)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def q_doc_packing(sf_dir: str) -> pd.DataFrame:
     """Deterministic token-budget document packing (training-sequence
     chunking): pack_id = floor(tokens_before_doc / budget) over id order —
@@ -1371,5 +1612,10 @@ SQL_QUERIES.update(
         "q_word_count": (q_word_count, Q_WORD_COUNT_SQL),
         "q_value_quantiles": (q_value_quantiles, Q_QUANTILES_SQL),
         "q_doc_packing": (q_doc_packing, Q_DOC_PACKING_SQL),
+        "q12_priority_lines": (q12_priority_lines, Q12_SQL),
+        "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+        "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+        "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+        "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
     }
 )
