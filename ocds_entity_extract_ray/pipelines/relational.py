@@ -1583,6 +1583,51 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTER assignment: duplicate pairs chain (A~B, B~C) into
+    components via distributed min-label propagation (ops/graph.py);
+    cluster_id = min doc id in the component (singletons map to
+    themselves). This is the keep-one-representative decision a dedup
+    pipeline actually needs. Oracle: DuckDB recursive-CTE reachability
+    over the exact all-pairs Jaccard graph."""
+    from ..ops.dedup import minhash_lsh_pairs
+    from ..ops.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    comp = connected_components(
+        _read(sf_dir, "documents", columns=["doc_id"]), pairs, node_col="doc_id"
+    )
+    out = comp.to_pandas().rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+       WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+  END AS s FROM w),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(a.s)=0 AND len(b.s)=0 THEN 1.0
+             ELSE len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        END >= 0.7
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS doc_id, MIN(m)::BIGINT AS cluster_id FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 def q_doc_packing(sf_dir: str) -> pd.DataFrame:
     """Deterministic token-budget document packing (training-sequence
     chunking): pack_id = floor(tokens_before_doc / budget) over id order —
@@ -1617,5 +1662,6 @@ SQL_QUERIES.update(
         "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
         "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
         "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
+        "q_dup_clusters": (q_dup_clusters, Q_DUP_CLUSTERS_SQL),
     }
 )

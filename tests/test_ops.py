@@ -324,3 +324,18 @@ def test_audio_transcribe_plumbing(ray_session):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(NotImplementedError):
         AudioTranscriber(decode="real")._transcribe(b"payload")
+
+
+def test_connected_components_planted_graph(ray_session):
+    """Chain 1-2-3-4, triangle 10-11-12, singleton 99: labels converge to
+    the component minimum within diameter rounds."""
+    from ocds_entity_extract_ray.ops.graph import connected_components
+
+    nodes = pd.DataFrame({"node": [1, 2, 3, 4, 10, 11, 12, 99]})
+    edges = pd.DataFrame({"id_a": [1, 2, 3, 10, 11, 10], "id_b": [2, 3, 4, 11, 12, 12]})
+    got = connected_components(
+        ray.data.from_pandas(nodes), ray.data.from_pandas(edges)
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    assert dict(zip(got["node"], got["cluster_id"])) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99,
+    }
