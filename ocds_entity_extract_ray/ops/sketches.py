@@ -1,0 +1,129 @@
+"""Mergeable sketches for 100 TB-scale summaries, completing the family
+started by ops/quantiles.py: heavy hitters (Misra–Gries) and approximate
+distinct counting (HyperLogLog). Both follow the engine's two-stage
+shape — a compact per-batch summary inside map_batches, then a driver or
+bucketed combine of summaries — so the shuffle carries O(k) or O(2^p)
+bytes per block regardless of row count.
+
+Error guarantees (pytest-bounded):
+- Misra–Gries with k counters over-/under-counts any item by at most
+  n/k after merging (summaries merge by counter addition + decrement).
+  Any item with true frequency > n/k is guaranteed PRESENT.
+- HyperLogLog with 2^p registers: stderr ~ 1.04/sqrt(2^p) (~1.6% at
+  p=12). Register arrays merge by elementwise max — order-independent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------------
+
+
+def _mg_summary(values, k: int) -> dict:
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def _mg_merge(a: dict, b: dict, k: int) -> dict:
+    out = dict(a)
+    for v, c in b.items():
+        out[v] = out.get(v, 0) + c
+    if len(out) > k:
+        # subtract the (len-k)-th largest count, drop non-positive
+        cut = sorted(out.values(), reverse=True)[k]
+        out = {v: c - cut for v, c in out.items() if c - cut > 0}
+    return out
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, col: str, *, k: int = 64
+) -> pd.DataFrame:
+    """Misra–Gries top candidates: (value, approx_count, n_total). Any
+    value with true count > n/k is guaranteed present; approx_count
+    undercounts by at most n/k."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = _mg_summary(batch[col].tolist(), k)
+        return pd.DataFrame({"value": list(s.keys()), "count": list(s.values())})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n_total = int(ds.count())
+    merged: dict = {}
+    for _, row in parts.iterrows():
+        merged[row["value"]] = merged.get(row["value"], 0) + int(row["count"])
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {v: c - cut for v, c in merged.items() if c - cut > 0}
+    out = pd.DataFrame(
+        {"value": list(merged.keys()), "approx_count": list(merged.values())}
+    ).sort_values(["approx_count", "value"], ascending=[False, True])
+    out["n_total"] = n_total
+    return out.reset_index(drop=True)
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+
+def _hll_registers(values, p: int) -> np.ndarray:
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    for v in values:
+        h = int.from_bytes(
+            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        idx = h >> (64 - p)
+        rest = h & ((1 << (64 - p)) - 1)
+        # rank = leading zeros of the remaining bits + 1
+        rank = (64 - p) - rest.bit_length() + 1
+        if rank > reg[idx]:
+            reg[idx] = rank
+    return reg
+
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def approx_count_distinct(
+    ds: ray.data.Dataset, col: str, *, p: int = 12
+) -> int:
+    """HyperLogLog distinct count: per-batch register arrays (2^p bytes),
+    merged by elementwise max — order-independent, so the result is
+    deterministic for a given input set regardless of partitioning."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        reg = _hll_registers(batch[col].tolist(), p)
+        return pd.DataFrame({"reg": [reg.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return 0
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for blob in parts["reg"]:
+        merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+    return int(round(_hll_estimate(merged)))

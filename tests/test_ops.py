@@ -339,3 +339,37 @@ def test_connected_components_planted_graph(ray_session):
     assert dict(zip(got["node"], got["cluster_id"])) == {
         1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99,
     }
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    """Misra-Gries: every value with true frequency > n/k is present, and
+    its approximate count is within n/k of truth."""
+    from ocds_entity_extract_ray.ops.sketches import heavy_hitters
+
+    rng = np.random.RandomState(11)
+    # zipf-ish: a few heavy values over a long uniform tail
+    heavy = np.repeat([1000, 1001, 1002], [3000, 2000, 1200])
+    tail = rng.randint(0, 5000, size=10_000)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    got = heavy_hitters(ray.data.from_pandas(df).repartition(8), "v", k=64)
+    n = len(vals)
+    true = pd.Series(vals).value_counts()
+    present = dict(zip(got["value"], got["approx_count"]))
+    for hv in (1000, 1001, 1002):
+        assert hv in present  # freq > n/k -> guaranteed
+        assert abs(present[hv] - true[hv]) <= n / 64 + 1
+    assert int(got["n_total"].iloc[0]) == n
+
+
+def test_hll_distinct_error(ray_session):
+    """HyperLogLog at p=12: within ~5% of the true distinct count, and
+    partitioning-independent."""
+    from ocds_entity_extract_ray.ops.sketches import approx_count_distinct
+
+    df = pd.DataFrame({"v": np.arange(50_000, dtype="int64") % 20_000})
+    a = approx_count_distinct(ray.data.from_pandas(df).repartition(4), "v")
+    b = approx_count_distinct(ray.data.from_pandas(df).repartition(16), "v")
+    assert a == b  # register max-merge is order/partitioning independent
+    assert abs(a - 20_000) / 20_000 < 0.05
