@@ -1,0 +1,85 @@
+"""End-to-end training-data curation pipeline — the ops composed the way a
+real 100 TB corpus run would chain them:
+
+  documents
+    -> quality + language filter     (one vectorized map_batches pass:
+                                      n_words / stopword_ratio / langid)
+    -> exact dedup                   (content hash, keep min id)
+    -> near-dup CLUSTER dedup        (MinHash-LSH pairs -> connected
+                                      components -> keep the component
+                                      representative, min id)
+    -> sequence packing              (token-budget prefix scan)
+
+Every stage is an existing, individually-oracled operator; the whole
+pipeline carries ONE composed DuckDB oracle (`Q_CURATION_SQL` in
+pipelines/relational.py) that reproduces it end-to-end — filters from
+integer-operand ratios, dedup via QUALIFY row_number, clusters via a
+recursive CTE, packing via a window cumsum — so the composition itself is
+hash-checked, not just the parts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..ops.dedup import exact_dedup, minhash_lsh_pairs
+from ..ops.graph import connected_components
+from ..ops.scan import pack_documents
+from ..ops.textstats import detect_lang, quality_stats
+
+
+def curate_documents(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    min_stopword_ratio: float = 0.02,
+    jaccard_threshold: float = 0.7,
+    pack_budget: int = 4096,
+) -> ray.data.Dataset:
+    """Returns the curated corpus as (doc_id, n_tokens, pack_id) — the
+    docs that survive all filters, assigned to training sequences."""
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        mask = np.empty(len(b), dtype=bool)
+        for i, t in enumerate(b[text_col]):
+            qs = quality_stats(t)
+            mask[i] = (
+                qs["n_words"] >= min_words
+                and qs["stopword_ratio"] >= min_stopword_ratio
+                and detect_lang(t) != "und"
+            )
+        return b[mask]
+
+    kept = docs.map_batches(keep, batch_format="pandas")
+    deduped = exact_dedup(kept, text_col=text_col, id_col=id_col).materialize()
+
+    pairs = minhash_lsh_pairs(
+        deduped, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+    )
+    comp = connected_components(deduped, pairs, node_col=id_col)
+    # representatives: node == component min. The rep id SET is broadcast
+    # for the survivor filter (bounded by survivor cardinality; at true
+    # web scale swap for a left_semi hash join on compacted blocks).
+    reps_df = comp.map_batches(
+        lambda b: b[b["node"] == b["cluster_id"]][["node"]], batch_format="pandas"
+    ).to_pandas()
+    rep_ids = frozenset(reps_df["node"].tolist())
+
+    import ray as _ray
+
+    from ..ops.joins import _fetch
+
+    ref = _ray.put(rep_ids)
+
+    def keep_reps(b: pd.DataFrame) -> pd.DataFrame:
+        ids = _fetch(ref)
+        return b[b[id_col].isin(ids)]
+
+    final_docs = deduped.map_batches(keep_reps, batch_format="pandas")
+    return pack_documents(
+        final_docs, budget=pack_budget, id_col=id_col, text_col=text_col
+    )

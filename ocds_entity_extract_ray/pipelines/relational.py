@@ -1628,6 +1628,80 @@ SELECT n AS doc_id, MIN(m)::BIGINT AS cluster_id FROM reach GROUP BY n ORDER BY 
 """
 
 
+def q_curation(sf_dir: str) -> pd.DataFrame:
+    """The full curation pipeline end-to-end (pipelines/curation.py):
+    quality+langid filter -> exact dedup -> near-dup cluster
+    representatives -> token-budget packing. One composed oracle checks
+    the whole chain, not just the stages."""
+    from .curation import curate_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = curate_documents(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_CURATION_SQL = r"""
+WITH RECURSIVE
+stats AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ɏ]+'), x -> lower(x)) AS ws
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, len(ws) AS n_words,
+    len(list_filter(ws, x -> list_contains(""" + _SQL_STOP_ALL + r""", x))) AS n_stop,
+    len(list_filter(ws, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','des','im','ein'], x))) AS de,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','that','for','with','on','as'], x))) AS en,
+    len(list_filter(ws, x -> list_contains(['el','la','de','que','y','en','los','del','las','por','con','para'], x))) AS es,
+    len(list_filter(ws, x -> list_contains(['le','la','de','et','les','des','en','un','une','du','que','pour'], x))) AS fr
+  FROM stats
+),
+kept AS (
+  SELECT doc_id, text FROM feat
+  WHERE n_words >= 30
+    AND (CASE WHEN n_words = 0 THEN 0.0 ELSE n_stop / n_words END) >= 0.02
+    AND NOT (n_words = 0 OR greatest(de, en, es, fr) = 0)
+),
+deduped AS (
+  SELECT doc_id, text FROM kept
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+shg AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+    END AS s
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM deduped)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(a.s)=0 AND len(b.s)=0 THEN 1.0
+             ELSE len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        END >= 0.7
+),
+edg AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM deduped
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edg e ON r.m = e.a
+),
+reps AS (
+  SELECT n AS doc_id FROM (SELECT n, MIN(m) AS mn FROM reach GROUP BY n) WHERE n = mn
+),
+final AS (
+  SELECT d.doc_id, len(regexp_extract_all(d.text, '\S+'))::BIGINT AS n_tokens
+  FROM deduped d JOIN reps USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS pack_id
+FROM final ORDER BY doc_id
+"""
+
+
 def q_doc_packing(sf_dir: str) -> pd.DataFrame:
     """Deterministic token-budget document packing (training-sequence
     chunking): pack_id = floor(tokens_before_doc / budget) over id order —
@@ -1663,5 +1737,6 @@ SQL_QUERIES.update(
         "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
         "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
         "q_dup_clusters": (q_dup_clusters, Q_DUP_CLUSTERS_SQL),
+        "q_curation": (q_curation, Q_CURATION_SQL),
     }
 )
