@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     # round-2 additions (absent from BENCH_r01; compare from r02 on)
     "q_doc_packing",
     "q_repetition",
+    "q_curation",
 ]
 
 
