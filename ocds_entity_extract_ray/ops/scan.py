@@ -47,6 +47,17 @@ def pack_documents(
 
     counted = ds.map_batches(counts, batch_format="pandas").materialize()
 
+    if counted.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "pack_id": pd.Series(dtype="int64"),
+                }
+            )
+        )
+
     # id span -> contiguous ranges (value-ordered, ids need not be dense)
     span = grouped_agg(
         counted.map_batches(lambda b: b.assign(_one=1), batch_format="pandas"),
@@ -70,8 +81,6 @@ def pack_documents(
             np.concatenate([[0], np.cumsum(sums["range_tokens"].to_numpy())[:-1]]),
         )
     )
-
-    import ray
 
     from .joins import _fetch
 

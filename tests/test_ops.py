@@ -373,3 +373,12 @@ def test_hll_distinct_error(ray_session):
     b = approx_count_distinct(ray.data.from_pandas(df).repartition(16), "v")
     assert a == b  # register max-merge is order/partitioning independent
     assert abs(a - 20_000) / 20_000 < 0.05
+
+
+def test_pack_documents_empty_input(ray_session):
+    from ocds_entity_extract_ray.ops.scan import pack_documents
+
+    empty = ray.data.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}))
+    out = pack_documents(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "n_tokens", "pack_id"]
