@@ -1628,6 +1628,53 @@ SELECT n AS doc_id, MIN(m)::BIGINT AS cluster_id FROM reach GROUP BY n ORDER BY 
 """
 
 
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Interval (range) join: each purchase matched to EVERY view of the
+    same user whose [ts, ts+1h) window contains it (ops/rangejoin.py —
+    banded interval join, ranges exploded into <=2 width buckets; oracle:
+    DuckDB inequality join)."""
+    from ..ops.rangejoin import range_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = events.map_batches(
+        lambda b: b[b["event_type"] == "purchase"][["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    views = events.map_batches(
+        lambda b: b[b["event_type"] == "view"]
+        .assign(start=b["ts"], end=b["ts"] + pd.Timedelta(hours=1))[
+            ["event_id", "user_id", "start", "end"]
+        ],
+        batch_format="pandas",
+    )
+    out = range_join(
+        purchases,
+        views,
+        key_col="user_id",
+        point_ts_col="ts",
+        point_cols=["event_id"],
+        range_cols=["event_id"],
+        bucket_width=pd.Timedelta(hours=1),
+    ).to_pandas()
+    cols = ["user_id", "ts", "purchase_id", "view_id"]
+    if not len(out):
+        return pd.DataFrame(columns=cols)
+    out = out.rename(columns={"p_event_id": "purchase_id", "r_event_id": "view_id"})
+    for c in ("user_id", "purchase_id", "view_id"):
+        out[c] = out[c].astype("int64")
+    out = _us(out, "ts")
+    return out[cols].sort_values(["purchase_id", "view_id"]).reset_index(drop=True)
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT p.user_id, p.ts, p.event_id AS purchase_id, v.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+ORDER BY purchase_id, view_id
+"""
+
+
 def q_curation(sf_dir: str) -> pd.DataFrame:
     """The full curation pipeline end-to-end (pipelines/curation.py):
     quality+langid filter -> exact dedup -> near-dup cluster
@@ -1738,5 +1785,6 @@ SQL_QUERIES.update(
         "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
         "q_dup_clusters": (q_dup_clusters, Q_DUP_CLUSTERS_SQL),
         "q_curation": (q_curation, Q_CURATION_SQL),
+        "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     }
 )

@@ -382,3 +382,44 @@ def test_pack_documents_empty_input(ray_session):
     out = pack_documents(empty)
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "n_tokens", "pack_id"]
+
+
+def test_range_join_boundaries(ray_session):
+    """Half-open [start, end): point at start included, at end excluded;
+    windows straddling the bucket boundary still match (x2 explode)."""
+    from ocds_entity_extract_ray.ops.rangejoin import range_join
+
+    base = pd.Timestamp("2024-01-01 00:30:00")  # window straddles the hour
+    points = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4],
+            "k": [7, 7, 7, 8],
+            "ts": [base, base + pd.Timedelta(minutes=59), base + pd.Timedelta(hours=1), base],
+        }
+    )
+    ranges = pd.DataFrame(
+        {"rid": [100], "k": [7], "start": [base], "end": [base + pd.Timedelta(hours=1)]}
+    )
+    out = range_join(
+        ray.data.from_pandas(points),
+        ray.data.from_pandas(ranges),
+        key_col="k",
+        point_ts_col="ts",
+        point_cols=["pid"],
+        range_cols=["rid"],
+        bucket_width=pd.Timedelta(hours=1),
+    ).to_pandas()
+    got = set(zip(out["p_pid"].astype(int), out["r_rid"].astype(int)))
+    assert got == {(1, 100), (2, 100)}  # 3 at end (excluded), 4 wrong key
+
+    with pytest.raises(Exception):
+        # interval longer than bucket_width violates the banding assumption
+        bad = ranges.assign(end=ranges["end"] + pd.Timedelta(hours=2))
+        range_join(
+            ray.data.from_pandas(points),
+            ray.data.from_pandas(bad),
+            key_col="k",
+            point_cols=["pid"],
+            range_cols=["rid"],
+            bucket_width=pd.Timedelta(hours=1),
+        ).materialize()
