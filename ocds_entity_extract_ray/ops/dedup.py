@@ -328,6 +328,11 @@ def minhash_lsh_pairs(
 
     from .joins import hash_join
 
+    # coalesce the candidate blocks first: sparse bucketed stages can emit
+    # schema-less EMPTY blocks which Arrow's hash join rejects; repartition
+    # merges them into typed blocks (candidate-sized, cheap)
+    cand = cand.repartition(max(2, verify_partitions))
+
     # hash-join texts back by id (both sides are candidate-proportional)
     j = hash_join(
         cand,

@@ -346,6 +346,10 @@ def embedding_near_dup_pairs(
 
     from .joins import hash_join
 
+    # coalesce candidate blocks (schema-less empties from sparse bucketed
+    # stages would trip Arrow's hash join)
+    cand = cand.repartition(max(2, verify_partitions))
+
     j = hash_join(
         cand,
         cand_vecs,
