@@ -83,3 +83,43 @@ def curate_documents(
     return pack_documents(
         final_docs, budget=pack_budget, id_col=id_col, text_col=text_col
     )
+
+
+def run_curation(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    input_path: str | None = None,
+    **kwargs,
+) -> dict:
+    """Curate + write PARTITIONED parquet (one directory per pack range —
+    the resumable-output layout: a failed downstream tokenization run can
+    skip finished partitions), with a lineage manifest; a rerun with the
+    same config AND input fingerprint is skipped entirely. Pass
+    ``input_path`` (the parquet source of ``docs``) so the fingerprint
+    covers the data, not just the knobs."""
+    import time
+
+    from ..state import manifest as mf
+
+    t0 = time.monotonic()
+    fp = {
+        "config": mf.config_digest(
+            {"op": "curation", **{k: str(v) for k, v in kwargs.items()}}
+        )
+    }
+    if input_path:
+        fp.update(mf.input_fingerprint(input_path))
+    if resume and mf.is_complete(out_dir, fp):
+        m = mf.read_manifest(out_dir)
+        return {"resumed": True, "rows": m["total_rows"], "secs": 0.0}
+
+    packed = curate_documents(docs, **kwargs)
+    part = packed.map_batches(
+        lambda b: b.assign(pack_range=(b["pack_id"] // 16).astype("int64")),
+        batch_format="pandas",
+    )
+    part.write_parquet(out_dir, partition_cols=["pack_range"], mode="overwrite")
+    m = mf.write_manifest(out_dir, fp, {"secs": round(time.monotonic() - t0, 3)})
+    return {"resumed": False, "rows": m["total_rows"], "secs": round(time.monotonic() - t0, 3)}

@@ -151,4 +151,21 @@ def run_kg(
     if docs and total_secs > 0:
         report["docs_per_sec"] = round(docs / total_secs, 1)
         report["triples_per_sec"] = round(report["triples"] / total_secs, 1)
+    # per-stage throughput (north_rule: "reporting per-stage docs/sec and
+    # triples/sec metrics"): the scan+extract stage in docs/sec, the
+    # triple-materialize stage in triples/sec
+    ent_secs = ent_manifest["metrics"].get("secs")
+    tri_secs = tri_manifest["metrics"].get("secs")
+    report["stages"] = {
+        "entities": {
+            "secs": ent_secs,
+            "docs_per_sec": round(docs / ent_secs, 1) if docs and ent_secs else None,
+        },
+        "triples": {
+            "secs": tri_secs,
+            "triples_per_sec": round(report["triples"] / tri_secs, 1)
+            if tri_secs
+            else None,
+        },
+    }
     return report

@@ -423,3 +423,19 @@ def test_range_join_boundaries(ray_session):
             range_cols=["rid"],
             bucket_width=pd.Timedelta(hours=1),
         ).materialize()
+
+
+def test_run_curation_writes_partitioned_and_resumes(ray_session, tmp_path):
+    from ocds_entity_extract_ray.pipelines.curation import run_curation
+
+    sfdir = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sfdir}/documents.parquet", columns=["doc_id", "text"])
+    out = str(tmp_path / "curated")
+    r1 = run_curation(docs, out, input_path=f"{sfdir}/documents.parquet")
+    assert not r1["resumed"] and r1["rows"] > 0
+    import os
+    parts = [d for d in os.listdir(out) if d.startswith("pack_range=")]
+    assert parts  # hive-partitioned by pack range (resumable layout)
+    docs2 = ray.data.read_parquet(f"{sfdir}/documents.parquet", columns=["doc_id", "text"])
+    r2 = run_curation(docs2, out, input_path=f"{sfdir}/documents.parquet")
+    assert r2["resumed"] and r2["rows"] == r1["rows"]
