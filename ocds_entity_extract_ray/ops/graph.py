@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -39,9 +40,54 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 25,
     num_buckets: int = 32,
+    broadcast_max_edges: int = 1_000_000,
 ) -> ray.data.Dataset:
     """(node, cluster_id) with cluster_id = min node id in the component.
-    Nodes absent from any edge keep themselves as cluster_id."""
+    Nodes absent from any edge keep themselves as cluster_id.
+
+    Adaptive, like the dedup verify: when the EDGE list is small
+    (<= broadcast_max_edges — near-dup graphs are sparse by construction),
+    run union-find on the driver over just the edges and broadcast the
+    {node: component-min} map for only the nodes that appear in an edge
+    (singletons label themselves map-side) — zero shuffles, no rounds.
+    Larger edge sets use the distributed label-propagation loop below."""
+
+    edges = edges.materialize()
+    if edges.count() <= broadcast_max_edges:
+        edf = edges.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(edf[src_col], edf[dst_col]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        label = {x: find(x) for x in parent}
+
+        import ray as _ray
+
+        from .joins import _fetch
+
+        ref = _ray.put(label)
+
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            lab = _fetch(ref)
+            n = b[node_col].to_numpy().astype("int64")
+            return pd.DataFrame(
+                {
+                    "node": n,
+                    "cluster_id": np.asarray(
+                        [lab.get(int(x), int(x)) for x in n], dtype=np.int64
+                    ),
+                }
+            )
+
+        return nodes.map_batches(assign, batch_format="pandas")
 
     # undirected edges, tagged for the union: (key=src, kind=1, val=dst)
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:

@@ -333,12 +333,14 @@ def test_connected_components_planted_graph(ray_session):
 
     nodes = pd.DataFrame({"node": [1, 2, 3, 4, 10, 11, 12, 99]})
     edges = pd.DataFrame({"id_a": [1, 2, 3, 10, 11, 10], "id_b": [2, 3, 4, 11, 12, 12]})
-    got = connected_components(
-        ray.data.from_pandas(nodes), ray.data.from_pandas(edges)
-    ).to_pandas().sort_values("node").reset_index(drop=True)
-    assert dict(zip(got["node"], got["cluster_id"])) == {
-        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99,
-    }
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+    # both paths: driver union-find broadcast AND distributed propagation
+    for max_edges in (1_000_000, 0):
+        got = connected_components(
+            ray.data.from_pandas(nodes), ray.data.from_pandas(edges),
+            broadcast_max_edges=max_edges,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        assert dict(zip(got["node"], got["cluster_id"])) == want, max_edges
 
 
 def test_heavy_hitters_guarantee(ray_session):
