@@ -1,0 +1,85 @@
+"""Generalized operator surface — one import point for every data-
+processing operator the engine adds beyond the reference's KG pipeline."""
+
+from .agg import bucketed_map_groups, grouped_agg
+from .asof import asof_join
+from .dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_dup_pairs,
+)
+from .graph import connected_components
+from .joins import (
+    broadcast_hash_join,
+    default_join_partitions,
+    hash_join,
+    semi_join_filter,
+)
+from .multimodal import featurize_images, sample_frames, transcribe_audio
+from .quantiles import approx_quantiles
+from .rangejoin import range_join
+from .sampling import hash_sample
+from .scan import pack_documents
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from .sketches import approx_count_distinct, heavy_hitters
+from .textstats import (
+    add_langid,
+    add_repetition_stats,
+    add_simhash,
+    add_text_stats,
+    detect_lang,
+    quality_stats,
+    repetition_stats,
+    simhash64,
+    token_count,
+    winnowing_fingerprints,
+)
+from .windows import sessionize, tumbling_window_agg
+
+__all__ = [
+    "add_langid",
+    "add_repetition_stats",
+    "add_simhash",
+    "add_text_stats",
+    "approx_count_distinct",
+    "approx_quantiles",
+    "asof_join",
+    "broadcast_hash_join",
+    "bucketed_map_groups",
+    "connected_components",
+    "cosine_topk",
+    "default_join_partitions",
+    "detect_lang",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "exact_dup_groups",
+    "featurize_images",
+    "grouped_agg",
+    "hash_join",
+    "hash_sample",
+    "heavy_hitters",
+    "ivf_topk",
+    "lsh_bucketed_topk",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "pack_documents",
+    "quality_stats",
+    "range_join",
+    "repetition_stats",
+    "sample_frames",
+    "semi_join_filter",
+    "sessionize",
+    "simhash64",
+    "simhash_dup_pairs",
+    "token_count",
+    "transcribe_audio",
+    "tumbling_window_agg",
+    "winnowing_fingerprints",
+]
