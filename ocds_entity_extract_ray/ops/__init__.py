@@ -28,7 +28,13 @@ from .similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
-from .sketches import approx_count_distinct, heavy_hitters
+from .sketches import (
+    approx_count_distinct,
+    bloom_build,
+    bloom_contains,
+    bloom_semi_filter,
+    heavy_hitters,
+)
 from .textstats import (
     add_langid,
     add_repetition_stats,
@@ -50,6 +56,9 @@ __all__ = [
     "add_text_stats",
     "approx_count_distinct",
     "approx_quantiles",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_semi_filter",
     "asof_join",
     "broadcast_hash_join",
     "bucketed_map_groups",

@@ -127,3 +127,69 @@ def approx_count_distinct(
     for blob in parts["reg"]:
         merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     return int(round(_hll_estimate(merged)))
+
+
+# --- Bloom filter (bloom-join prefilter) -------------------------------------
+
+
+def _bloom_hashes(values, n_bits: int, n_hashes: int) -> np.ndarray:
+    """Double hashing: h_i = (h1 + i*h2) mod n_bits from one blake2b."""
+    idx = np.empty((len(values), n_hashes), dtype=np.int64)
+    for r, v in enumerate(values):
+        d = hashlib.blake2b(str(v).encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        for i in range(n_hashes):
+            idx[r, i] = (h1 + i * h2) % n_bits
+    return idx
+
+
+def bloom_build(
+    ds: ray.data.Dataset, col: str, *, n_bits: int = 1 << 20, n_hashes: int = 4
+) -> np.ndarray:
+    """Distributed Bloom filter over a key column: per-batch bit arrays
+    (n_bits/8 bytes each) OR-merged — the mergeable-sketch shape again.
+    NO false negatives ever; false-positive rate ~ (1-e^{-kn/m})^k."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        idx = _bloom_hashes(batch[col].tolist(), n_bits, n_hashes)
+        np.bitwise_or.at(bits, idx.ravel() // 8, (1 << (idx.ravel() % 8)).astype(np.uint8))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = np.zeros(n_bits // 8, dtype=np.uint8)
+    for blob in parts["bits"]:
+        merged |= np.frombuffer(blob, dtype=np.uint8)
+    return merged
+
+
+def bloom_contains(bloom: np.ndarray, values, *, n_hashes: int = 4) -> np.ndarray:
+    n_bits = len(bloom) * 8
+    idx = _bloom_hashes(list(values), n_bits, n_hashes)
+    hit = (bloom[idx // 8] >> (idx % 8)) & 1
+    return hit.all(axis=1).astype(bool)
+
+
+def bloom_semi_filter(
+    ds: ray.data.Dataset,
+    bloom: np.ndarray,
+    col: str,
+    *,
+    n_hashes: int = 4,
+) -> ray.data.Dataset:
+    """Bloom-join prefilter: broadcast the filter once (ray.put), drop the
+    big side's rows that CANNOT match before any shuffle — the classic
+    way to shrink a 100 TB join input. Approximate (keeps false
+    positives), so follow with an exact join; never drops a true match."""
+    import ray as _ray
+
+    from .joins import _fetch
+
+    ref = _ray.put(bloom)
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        bl = _fetch(ref)
+        return batch[bloom_contains(bl, batch[col].tolist(), n_hashes=n_hashes)]
+
+    return ds.map_batches(flt, batch_format="pandas")

@@ -441,3 +441,18 @@ def test_run_curation_writes_partitioned_and_resumes(ray_session, tmp_path):
     docs2 = ray.data.read_parquet(f"{sfdir}/documents.parquet", columns=["doc_id", "text"])
     r2 = run_curation(docs2, out, input_path=f"{sfdir}/documents.parquet")
     assert r2["resumed"] and r2["rows"] == r1["rows"]
+
+
+def test_bloom_semi_filter_no_false_negatives(ray_session):
+    """Bloom-join prefilter: every true match survives; false-positive
+    rate stays near the analytic bound."""
+    from ocds_entity_extract_ray.ops.sketches import bloom_build, bloom_semi_filter
+
+    keys = pd.DataFrame({"k": np.arange(0, 20_000, 2, dtype="int64")})  # evens
+    big = pd.DataFrame({"k": np.arange(40_000, dtype="int64"), "v": 1})
+    bloom = bloom_build(ray.data.from_pandas(keys).repartition(4), "k")
+    kept = bloom_semi_filter(ray.data.from_pandas(big).repartition(4), bloom, "k").to_pandas()
+    kept_set = set(kept["k"])
+    assert set(keys["k"]).issubset(kept_set)  # NO false negatives
+    fp = (len(kept_set) - len(keys)) / (len(big) - len(keys))
+    assert fp < 0.02, fp  # m=2^20 bits, n=10k, k=4 -> fp ~ 1e-5
