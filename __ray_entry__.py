@@ -95,6 +95,51 @@ def _kg_text_hashes(sf_dir: str):
     return ds.select_columns(["url", "text_sha256"])
 
 
+def _kg_degree_hist(sf_dir: str):
+    """Rows-only: degree statistics over the produced KG — per predicate,
+    triple count and distinct subject count (a grouped rollup on the graph
+    the engine materializes; kg-class, conformance-covered by the triple
+    P/R suite that pins the underlying triple set)."""
+    import pandas as pd
+
+    from ocds_entity_extract_ray.ops.agg import grouped_agg
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    clist, pidx = _kg_inputs()
+    entities = build_entities(
+        read_pages(pages_dir, columns=["url", "html"]), clist, pidx, num_buckets=64
+    )
+    triples = materialize_triples(entities)
+
+    from ocds_entity_extract_ray.ops.agg import bucketed_map_groups
+
+    # distinct (pred, subj) needs the q16 shape: map-side pre-distinct
+    # (the row kill) then one bucketed global dedup — a subject can emit
+    # triples from several entity/membership rows in different blocks
+    pre = triples.map_batches(
+        lambda b: b[["pred", "subj"]].drop_duplicates(), batch_format="pandas"
+    )
+    distinct = bucketed_map_groups(
+        pre,
+        "subj",
+        lambda b: b.drop_duplicates(["pred", "subj"]),
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"pred": pd.Series(dtype="object"), "subj": pd.Series(dtype="object")}
+        ),
+    )
+    subj_counts = grouped_agg(distinct, ["pred"], {"n_subjects": ("subj", "count")})
+    tri_counts = grouped_agg(triples, ["pred"], {"n_triples": ("subj", "count")})
+    out = tri_counts.merge(subj_counts, on="pred")
+    for c in ("n_triples", "n_subjects"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("pred").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocds_entity_extract_ray.pipelines.relational import (
         ROWS_ONLY_QUERIES,
@@ -108,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_triples"] = _kg_triples
     out["kg_triples_from_records"] = _kg_triples_from_records
     out["kg_text_hashes"] = _kg_text_hashes
+    out["kg_degree_hist"] = _kg_degree_hist
     return out
 
 

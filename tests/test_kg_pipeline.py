@@ -248,3 +248,35 @@ def test_malformed_pages_are_skipped(ray_session, tmp_path):
         ray.data.read_parquet(clean, override_num_blocks=4), None, {}, num_buckets=8
     ).to_pandas()
     assert set(zip(df["table"], df["id"])) == set(zip(df_clean["table"], df_clean["id"]))
+
+
+def test_kg_degree_hist_matches_oracle_rollup(ray_session):
+    """kg_degree_hist (per-predicate triple count + GLOBAL-distinct subject
+    count, q16-shape dedup) equals the rollup of the sequential oracle's
+    triple set."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.queries()["kg_degree_hist"]("/root/testdata/sf0.001")
+    n = 200
+    recs = [make_record(i) for i in range(n)]
+    clist = build_classifier_list_from_text([classifier_csv()])
+    tri = triples_from_entities(
+        oracle_entities_by_table(
+            run_reference(sorted(recs, key=lambda r: r["ocid"]), clist, product_index())
+        )
+    )
+    df = pd.DataFrame(list(tri), columns=["subj", "pred", "obj", "props"])
+    want = (
+        df.groupby("pred")
+        .agg(n_triples=("subj", "size"), n_subjects=("subj", "nunique"))
+        .reset_index()
+        .sort_values("pred")
+        .reset_index(drop=True)
+        .astype({"n_triples": "int64", "n_subjects": "int64"})
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
