@@ -250,3 +250,102 @@ def test_quantile_summary_rank_bound(vals, q):
     r_hi = np.searchsorted(sv, got, side="right") / len(sv)
     err = 0.0 if r_lo <= q <= r_hi else min(abs(q - r_lo), abs(q - r_hi))
     assert err <= 1.0 / k + 1.0 / len(v) + 1e-9
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=8, deadline=None)
+def test_range_join_matches_bruteforce(seed):
+    """Randomized interval graphs: the banded distributed join equals the
+    O(n*m) brute-force containment check."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.rangejoin import range_join
+
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-06-01")
+    n_p, n_r = 40, 25
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_p),
+            "k": rng.randint(0, 4, n_p),
+            "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.randint(0, 600, n_p)],
+        }
+    )
+    starts = [base + pd.Timedelta(minutes=int(m)) for m in rng.randint(0, 600, n_r)]
+    lens = rng.randint(1, 60, n_r)
+    rgs = pd.DataFrame(
+        {
+            "rid": np.arange(n_r),
+            "k": rng.randint(0, 4, n_r),
+            "start": starts,
+            "end": [s + pd.Timedelta(minutes=int(l)) for s, l in zip(starts, lens)],
+        }
+    )
+    got = range_join(
+        ray.data.from_pandas(pts),
+        ray.data.from_pandas(rgs),
+        key_col="k",
+        point_ts_col="ts",
+        point_cols=["pid"],
+        range_cols=["rid"],
+        bucket_width=pd.Timedelta(hours=1),
+    ).to_pandas()
+    got_pairs = set(zip(got["p_pid"].astype(int), got["r_rid"].astype(int)))
+    want = {
+        (int(p.pid), int(r.rid))
+        for p in pts.itertuples()
+        for r in rgs.itertuples()
+        if p.k == r.k and r.start <= p.ts < r.end
+    }
+    assert got_pairs == want
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_bruteforce(seed):
+    """Random sparse graphs: both component paths equal a BFS baseline."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.graph import connected_components
+
+    rng = np.random.RandomState(seed)
+    n = 30
+    n_e = rng.randint(0, 25)
+    edges = pd.DataFrame(
+        {"id_a": rng.randint(0, n, n_e), "id_b": rng.randint(0, n, n_e)}
+    )
+    nodes = pd.DataFrame({"node": np.arange(n, dtype="int64")})
+
+    # BFS baseline
+    adj = {i: set() for i in range(n)}
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    want = {}
+    seen = set()
+    for s in range(n):
+        if s in seen:
+            continue
+        comp, stack = [], [s]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x] - seen)
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+
+    for max_edges in (1_000_000, 0):
+        got = connected_components(
+            ray.data.from_pandas(nodes),
+            ray.data.from_pandas(edges),
+            broadcast_max_edges=max_edges,
+        ).to_pandas()
+        assert dict(zip(got["node"].astype(int), got["cluster_id"].astype(int))) == want
