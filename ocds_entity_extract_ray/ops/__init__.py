@@ -17,7 +17,7 @@ from .joins import (
     hash_join,
     semi_join_filter,
 )
-from .multimodal import featurize_images, sample_frames, transcribe_audio
+from .multimodal import featurize_images, resize_images, sample_frames, transcribe_audio
 from .quantiles import approx_quantiles
 from .rangejoin import range_join
 from .sampling import hash_sample
@@ -81,6 +81,7 @@ __all__ = [
     "pack_documents",
     "quality_stats",
     "range_join",
+    "resize_images",
     "repetition_stats",
     "sample_frames",
     "semi_join_filter",

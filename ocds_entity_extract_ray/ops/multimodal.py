@@ -78,6 +78,58 @@ class FrameSampler:
         return pd.DataFrame(out)
 
 
+class ImageResizer:
+    """Actor-pool stage: binary image payload -> resized payload + updated
+    meta. ``decode="fake"`` performs a deterministic byte-domain
+    downsample (every k-th byte) so payload-size semantics, meta rewrite
+    and batch sizing are real; ``decode="real"`` is the PIL seam."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, decode: str = "fake"):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.decode = decode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        if self.decode == "real":
+            raise NotImplementedError(
+                "image resize requires PIL — not in this container; plug in here"
+            )
+        out = {"media_id": [], "payload": [], "meta_json": []}
+        for mid, payload, meta in zip(
+            batch["media_id"], batch["payload"], batch["meta_json"]
+        ):
+            payload = payload or b""
+            m = _json.loads(meta or "{}")
+            w, h = int(m.get("w", 64)), int(m.get("h", 64))
+            stride = max(1, (w * h) // (self.target_w * self.target_h))
+            out["media_id"].append(mid)
+            out["payload"].append(payload[::stride])
+            out["meta_json"].append(
+                _json.dumps({"w": self.target_w, "h": self.target_h}, sort_keys=True)
+            )
+        return pd.DataFrame(out).astype({"media_id": "int64"})
+
+
+def resize_images(
+    ds: ray.data.Dataset,
+    *,
+    target_w: int = 32,
+    target_h: int = 32,
+    concurrency=2,
+    batch_size: int = 8,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class AudioTranscriber:
     """Actor-pool stage: binary audio payload -> (transcript, n_segments,
     duration_s). The real seam is an ASR model loaded ONCE per actor in

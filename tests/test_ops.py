@@ -456,3 +456,17 @@ def test_bloom_semi_filter_no_false_negatives(ray_session):
     assert set(keys["k"]).issubset(kept_set)  # NO false negatives
     fp = (len(kept_set) - len(keys)) / (len(big) - len(keys))
     assert fp < 0.02, fp  # m=2^20 bits, n=10k, k=4 -> fp ~ 1e-5
+
+
+def test_image_resize_plumbing(ray_session):
+    from ocds_entity_extract_ray.ops.multimodal import ImageResizer, resize_images, synthetic_media
+
+    media = ray.data.from_pandas(synthetic_media(12))
+    out = resize_images(media, target_w=8, target_h=8, concurrency=2).to_pandas()
+    assert len(out) == 12
+    import json as _json
+    assert all(_json.loads(m) == {"h": 8, "w": 8} for m in out["meta_json"])
+    src = synthetic_media(12)
+    assert all(len(p) <= len(s) for p, s in zip(out.sort_values("media_id")["payload"], src["payload"]))
+    with pytest.raises(NotImplementedError):
+        ImageResizer(decode="real")(src.head(1))
