@@ -43,17 +43,6 @@ def _mg_summary(values, k: int) -> dict:
     return counters
 
 
-def _mg_merge(a: dict, b: dict, k: int) -> dict:
-    out = dict(a)
-    for v, c in b.items():
-        out[v] = out.get(v, 0) + c
-    if len(out) > k:
-        # subtract the (len-k)-th largest count, drop non-positive
-        cut = sorted(out.values(), reverse=True)[k]
-        out = {v: c - cut for v, c in out.items() if c - cut > 0}
-    return out
-
-
 def heavy_hitters(
     ds: ray.data.Dataset, col: str, *, k: int = 64
 ) -> pd.DataFrame:
@@ -67,6 +56,9 @@ def heavy_hitters(
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     n_total = int(ds.count())
+    # summaries merge by counter ADDITION with a single final cut — the
+    # pairwise MG merge (add + subtract (k+1)-th largest) telescopes to
+    # exactly this, and one cut loses less than repeated pairwise cuts
     merged: dict = {}
     for _, row in parts.iterrows():
         merged[row["value"]] = merged.get(row["value"], 0) + int(row["count"])
