@@ -20,7 +20,7 @@ from .joins import (
 from .multimodal import featurize_images, resize_images, sample_frames, transcribe_audio
 from .quantiles import approx_quantiles
 from .rangejoin import range_join
-from .sampling import hash_sample
+from .sampling import hash_sample, stratified_hash_sample
 from .scan import pack_documents
 from .similarity import (
     cosine_topk,
@@ -88,6 +88,7 @@ __all__ = [
     "sessionize",
     "simhash64",
     "simhash_dup_pairs",
+    "stratified_hash_sample",
     "token_count",
     "transcribe_audio",
     "tumbling_window_agg",

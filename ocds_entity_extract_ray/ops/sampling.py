@@ -33,3 +33,31 @@ def hash_sample(
         return batch[hash_sample_mask(batch[key_col].to_numpy(), fraction)]
 
     return ds.map_batches(flt, batch_format="pandas")
+
+
+def stratified_hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict,
+    *,
+    default_fraction: float = 0.0,
+) -> ray.data.Dataset:
+    """Deterministic STRATIFIED sample: per-stratum keep fractions over the
+    same multiplicative-hash predicate (class-balancing / downsampling the
+    head class in a training set, reproducibly — the same rows survive a
+    retry or a rerun on any partitioning, and the predicate is one CASE
+    expression of SQL, so stratified pipelines stay oracle-checkable)."""
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[key_col].to_numpy().astype(np.uint64) % np.uint64(MOD)
+        h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+        cuts = (
+            batch[stratum_col]
+            .map(lambda s: int(fractions.get(s, default_fraction) * MOD))
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        return batch[h < cuts]
+
+    return ds.map_batches(flt, batch_format="pandas")

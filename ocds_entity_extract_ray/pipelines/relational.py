@@ -1788,3 +1788,40 @@ SQL_QUERIES.update(
         "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     }
 )
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample: keep 20% of URGENT, 10% of HIGH,
+    2% of everything else (class rebalancing, reproducible + SQL-twinned
+    via the same multiplicative-hash CASE predicate)."""
+    from ..ops.sampling import stratified_hash_sample
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    sampled = stratified_hash_sample(
+        orders,
+        "o_orderkey",
+        "o_orderpriority",
+        {"1-URGENT": 0.2, "2-HIGH": 0.1},
+        default_fraction=0.02,
+    )
+    out = grouped_agg(sampled, ["o_orderpriority"], {"n": ("o_orderkey", "count")})
+    if not len(out):
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+        )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q_STRATIFIED_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n
+FROM orders
+WHERE ((o_orderkey % 4294967296)::UBIGINT * 2654435761) % 4294967296 <
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN 858993459
+        WHEN '2-HIGH' THEN 429496729
+        ELSE 85899345 END
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+SQL_QUERIES["q_stratified_sample"] = (q_stratified_sample, Q_STRATIFIED_SQL)
