@@ -30,6 +30,18 @@ from ..ops.scan import pack_documents
 from ..ops.textstats import detect_lang, quality_stats
 
 
+def near_dup_loser_ids(comp: ray.data.Dataset) -> frozenset:
+    """Collect the ids of NON-representative nodes (``node != cluster_id``)
+    from a connected-components labelling. This is the anti-filter set for
+    cluster dedup: its size equals the number of docs that actually lose to
+    a cluster representative — duplicate-bounded, never corpus-bounded
+    (singleton clusters contribute nothing because they label themselves)."""
+    losers_df = comp.map_batches(
+        lambda b: b[b["node"] != b["cluster_id"]][["node"]], batch_format="pandas"
+    ).to_pandas()
+    return frozenset(losers_df["node"].tolist())
+
+
 def curate_documents(
     docs: ray.data.Dataset,
     *,
@@ -61,25 +73,26 @@ def curate_documents(
         deduped, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
     )
     comp = connected_components(deduped, pairs, node_col=id_col)
-    # representatives: node == component min. The rep id SET is broadcast
-    # for the survivor filter (bounded by survivor cardinality; at true
-    # web scale swap for a left_semi hash join on compacted blocks).
-    reps_df = comp.map_batches(
-        lambda b: b[b["node"] == b["cluster_id"]][["node"]], batch_format="pandas"
-    ).to_pandas()
-    rep_ids = frozenset(reps_df["node"].tolist())
+    # keep representatives (node == component min) by dropping everything
+    # else. The broadcast set is the NON-representatives (node !=
+    # cluster_id): only nodes that sit in a multi-member near-dup cluster
+    # and lost — bounded by the DUPLICATE cardinality (itself bounded by
+    # the capped candidate-pair count), NOT the corpus. Broadcasting the
+    # rep set instead would ship every surviving doc id (singletons are
+    # their own reps) — a driver OOM at web scale.
+    loser_ids = near_dup_loser_ids(comp)
 
     import ray as _ray
 
     from ..ops.joins import _fetch
 
-    ref = _ray.put(rep_ids)
+    ref = _ray.put(loser_ids)
 
-    def keep_reps(b: pd.DataFrame) -> pd.DataFrame:
+    def drop_losers(b: pd.DataFrame) -> pd.DataFrame:
         ids = _fetch(ref)
-        return b[b[id_col].isin(ids)]
+        return b[~b[id_col].isin(ids)]
 
-    final_docs = deduped.map_batches(keep_reps, batch_format="pandas")
+    final_docs = deduped.map_batches(drop_losers, batch_format="pandas")
     return pack_documents(
         final_docs, budget=pack_budget, id_col=id_col, text_col=text_col
     )

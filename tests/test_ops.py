@@ -470,3 +470,34 @@ def test_image_resize_plumbing(ray_session):
     assert all(len(p) <= len(s) for p, s in zip(out.sort_values("media_id")["payload"], src["payload"]))
     with pytest.raises(NotImplementedError):
         ImageResizer(decode="real")(src.head(1))
+
+
+def test_curation_broadcast_is_loser_sized(ray_session):
+    """The curation anti-filter broadcast must be DUPLICATE-bounded: its
+    size equals the count of non-representative nodes in multi-member
+    near-dup clusters — never the (corpus-sized) survivor set."""
+    from ocds_entity_extract_ray.ops.graph import connected_components
+    from ocds_entity_extract_ray.pipelines.curation import near_dup_loser_ids
+
+    rows = [
+        {"doc_id": i, "text": f"singleton document {i} with entirely distinct words {i*13}"}
+        for i in range(50)
+    ]
+    # one 4-member near-dup cluster: 100 keeps, 101/102/103 lose
+    for j, word in enumerate(["lazy", "sleepy", "drowsy", "dozy"]):
+        rows.append({"doc_id": 100 + j, "text": BASE.replace("lazy", word)})
+    docs = ray.data.from_pandas(pd.DataFrame(rows))
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    comp = connected_components(docs, pairs, node_col="doc_id")
+    losers = near_dup_loser_ids(comp)
+    assert losers == frozenset({101, 102, 103})  # 3 losers, not 51 survivors
+
+    from ocds_entity_extract_ray.pipelines.curation import curate_documents
+
+    packed = curate_documents(
+        docs, min_words=5, min_stopword_ratio=0.0, jaccard_threshold=0.7
+    ).to_pandas()
+    kept = set(packed["doc_id"])
+    assert 100 in kept and not ({101, 102, 103} & kept)
+    assert set(range(50)).issubset(kept)
