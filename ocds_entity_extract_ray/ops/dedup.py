@@ -171,6 +171,7 @@ def minhash_lsh_pairs(
     max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
     verify_partitions: int = 4,
     broadcast_max_candidates: int = 10_000,
+    driver_pair_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -188,8 +189,14 @@ def minhash_lsh_pairs(
     rounding).
 
     Scale notes: the banding shuffle is ``bands`` rows of ~24 bytes per doc
-    (never the document); the driver holds only the candidate id SET, whose
-    size is bounded by the capped pair count, not the corpus."""
+    (never the document). The driver only ever holds pair-proportional
+    state BELOW ``driver_pair_limit`` (default
+    max(broadcast_max_candidates*bands, 100k)); above it the pair set is
+    deduped with a bucketed shuffle, the candidate-id filter becomes a
+    FIXED-SIZE Bloom sketch (no false negatives; false positives are
+    dropped by the inner verify join), and the pairs stay a Dataset end to
+    end — nothing on the driver scales with the corpus or the pair
+    count."""
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -236,18 +243,42 @@ def minhash_lsh_pairs(
     n_raw = pairs.count()
     if n_raw == 0:
         return ray.data.from_pandas(empty_out)
+    if driver_pair_limit is None:
+        driver_pair_limit = max(broadcast_max_candidates * bands, 100_000)
+
+    import ray as _ray
+
+    from .joins import _fetch
 
     # a pair can surface from several bands -> dedup on (id_a, id_b)
     # BEFORE the (expensive) exact verify. The raw pair count is bounded
     # by the per-group cap; when it is driver-small (the common case —
-    # near-dups are rare by construction) dedup on the driver and skip a
-    # whole distributed sort, else dedup with one bucketed shuffle.
-    if n_raw <= max(broadcast_max_candidates * bands, 100_000):
+    # near-dups are rare by construction) dedup on the driver and filter
+    # the corpus with the exact id set; above driver_pair_limit NOTHING
+    # pair-sized touches the driver: bucketed-shuffle dedup + a fixed-size
+    # Bloom sketch of the candidate ids (no false negatives; its false
+    # positives ride into the verify joins and drop out there).
+    use_broadcast_verify = False
+    if n_raw <= driver_pair_limit:
         cand_df = (
             pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
         )
         cand = ray.data.from_pandas(cand_df)
+        id_set = frozenset(
+            np.union1d(cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()).tolist()
+        )
+        ref = _ray.put(id_set)
+
+        def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = _fetch(ref)
+            out = batch[batch[id_col].isin(ids)][[id_col, text_col]]
+            return out.astype({id_col: "int64"})
+
+        cand_texts = ds.map_batches(keep_candidates, batch_format="pandas")
+        use_broadcast_verify = len(id_set) <= broadcast_max_candidates
     else:
+        from .sketches import bloom_build, bloom_semi_filter
+
         cand = bucketed_map_groups(
             pairs,
             "id_a",
@@ -255,26 +286,18 @@ def minhash_lsh_pairs(
             num_buckets=16,
             empty_result=empty_ids,
         ).materialize()
-        cand_df = cand.to_pandas()
-
-    # candidate id set -> broadcast -> map-side filter of the corpus (the
-    # corpus itself is never shuffled; only candidate rows survive)
-    id_set = frozenset(
-        np.union1d(cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()).tolist()
-    )
-
-    import ray as _ray
-
-    from .joins import _fetch
-
-    ref = _ray.put(id_set)
-
-    def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = _fetch(ref)
-        out = batch[batch[id_col].isin(ids)][[id_col, text_col]]
-        return out.astype({id_col: "int64"})
-
-    cand_texts = ds.map_batches(keep_candidates, batch_format="pandas")
+        cand_ids = cand.map_batches(
+            lambda b: pd.DataFrame(
+                {"cid": np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])}
+            ),
+            batch_format="pandas",
+        )
+        bloom = bloom_build(cand_ids, "cid")
+        projected = ds.map_batches(
+            lambda b: b[[id_col, text_col]].astype({id_col: "int64"}),
+            batch_format="pandas",
+        )
+        cand_texts = bloom_semi_filter(projected, bloom, id_col)
 
     def verify_frame(batch: pd.DataFrame) -> pd.DataFrame:
         """Exact Jaccard over (id_a, id_b, _text_a, _text_b) rows."""
@@ -308,7 +331,7 @@ def minhash_lsh_pairs(
             {"id_a": "int64", "id_b": "int64"}
         )
 
-    if len(id_set) <= broadcast_max_candidates:
+    if use_broadcast_verify:
         # small candidate set: ship {id: text} once via the object store
         # and verify inside map_batches over the pairs — zero shuffles
         texts_df = cand_texts.to_pandas()

@@ -175,6 +175,7 @@ def embedding_near_dup_pairs(
     max_group_size: int | None = None,
     verify_partitions: int = 4,
     broadcast_max_candidates: int = 10_000,
+    driver_pair_limit: int | None = None,
 ) -> ray.data.Dataset:
     """All pairs with cosine >= threshold.
 
@@ -187,7 +188,13 @@ def embedding_near_dup_pairs(
     (table, bucket, id) rows — vectors never ride along; candidate id
     pairs from any shared (table, bucket) are deduped, capped per group,
     then vectors are re-joined BY ID for the exact cosine verify (no false
-    positives; recall ~ 1-(1-(1-θ/π)^n_planes)^n_tables)."""
+    positives; recall ~ 1-(1-(1-θ/π)^n_planes)^n_tables).
+
+    Driver state mirrors ``dedup.minhash_lsh_pairs``: below
+    ``driver_pair_limit`` the deduped pairs are collected once for an
+    exact id filter (and a {id: vec} broadcast when also under
+    ``broadcast_max_candidates``); above it the candidate-id filter is a
+    fixed-size Bloom sketch and the pairs stay a Dataset end to end."""
     from .dedup import DEFAULT_MAX_GROUP_SIZE, _cap_group
     from .agg import bucketed_map_groups
 
@@ -281,30 +288,55 @@ def embedding_near_dup_pairs(
             "score": pd.Series(dtype="float64"),
         }
     )
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ray.data.from_pandas(empty_out)
+    if driver_pair_limit is None:
+        driver_pair_limit = max(broadcast_max_candidates, 100_000)
 
-    cand_df = cand.to_pandas()
-    id_set = frozenset(
-        np.union1d(cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()).tolist()
-    )
-    ref = ray.put(id_set)
-
-    def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = _fetch(ref)
-        kept = batch[batch[id_col].isin(ids)]
+    def to_vec_bytes(batch: pd.DataFrame) -> pd.DataFrame:
         # Arrow hash joins reject list-typed payload columns — ship the
         # vector as fixed-width float64 bytes and rehydrate in the verify
         return pd.DataFrame(
             {
-                id_col: kept[id_col].to_numpy().astype("int64"),
+                id_col: batch[id_col].to_numpy().astype("int64"),
                 "_vecbytes": [
-                    np.asarray(v, dtype=np.float64).tobytes() for v in kept[vec_col]
+                    np.asarray(v, dtype=np.float64).tobytes() for v in batch[vec_col]
                 ],
             }
         )
 
-    cand_vecs = ds.map_batches(keep_candidates, batch_format="pandas")
+    use_broadcast_verify = False
+    if n_cand <= driver_pair_limit:
+        cand_df = cand.to_pandas()
+        id_set = frozenset(
+            np.union1d(cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()).tolist()
+        )
+        ref = ray.put(id_set)
+
+        def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = _fetch(ref)
+            return to_vec_bytes(batch[batch[id_col].isin(ids)])
+
+        cand_vecs = ds.map_batches(keep_candidates, batch_format="pandas")
+        use_broadcast_verify = len(id_set) <= broadcast_max_candidates
+    else:
+        # pair-count exceeds what the driver may hold: candidate-id filter
+        # becomes a fixed-size Bloom sketch (no false negatives; false
+        # positives drop out of the inner verify joins) and the pair
+        # Dataset is never collected
+        from .sketches import bloom_build, bloom_semi_filter
+
+        cand_ids = cand.map_batches(
+            lambda b: pd.DataFrame(
+                {"cid": np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])}
+            ),
+            batch_format="pandas",
+        )
+        bloom = bloom_build(cand_ids, "cid")
+        cand_vecs = bloom_semi_filter(
+            ds.map_batches(to_vec_bytes, batch_format="pandas"), bloom, id_col
+        )
 
     def verify_frame(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -326,7 +358,7 @@ def embedding_near_dup_pairs(
             }
         ).astype({"id_a": "int64", "id_b": "int64"})
 
-    if len(id_set) <= broadcast_max_candidates:
+    if use_broadcast_verify:
         # small candidate set: broadcast {id: vec bytes} once, verify
         # map-side over the pairs — zero shuffles, no aggregator actors
         vecs_df = cand_vecs.to_pandas()

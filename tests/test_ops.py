@@ -186,6 +186,40 @@ def test_simhash_pairs_match_frozen_fixture(ray_session):
     assert set(zip(got["id_a"], got["id_b"])) == set(zip(want["id_a"], want["id_b"]))
 
 
+def test_minhash_distributed_verify_branch_matches_fixture(ray_session):
+    """driver_pair_limit=0 forces the Bloom + hash-join branch (the path a
+    100 TB run takes): nothing pair-sized on the driver, identical result."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs = ray.data.from_arrow(
+        pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    )
+    got = minhash_lsh_pairs(
+        docs, threshold=0.7, driver_pair_limit=0, broadcast_max_candidates=0
+    ).to_pandas()
+    want = pd.read_csv(os.path.join(FIXDIR, "minhash_pairs_sf0.01.csv"))
+    assert set(zip(got["id_a"], got["id_b"])) == set(zip(want["id_a"], want["id_b"]))
+
+
+def test_embedding_distributed_verify_branch_matches(vec_corpus):
+    """Same forcing for embedding near-dup: the Bloom branch must agree
+    with the driver-small branch pair-for-pair."""
+    ds, _ = vec_corpus
+    small = embedding_near_dup_pairs(ds, threshold=0.5, n_planes=2, n_tables=8).to_pandas()
+    forced = embedding_near_dup_pairs(
+        ds,
+        threshold=0.5,
+        n_planes=2,
+        n_tables=8,
+        driver_pair_limit=0,
+        broadcast_max_candidates=0,
+    ).to_pandas()
+    assert set(zip(small["id_a"], small["id_b"])) == set(zip(forced["id_a"], forced["id_b"]))
+    assert len(forced) == len(forced.drop_duplicates(["id_a", "id_b"]))
+
+
 def test_degenerate_band_group_is_capped(ray_session):
     """A boilerplate corpus where EVERY doc shares every band hash must not
     go O(n^2) in one task: groups are truncated at max_group_size (smallest
