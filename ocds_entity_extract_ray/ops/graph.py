@@ -20,16 +20,11 @@ driver-side but the convergence scalar.
 
 from __future__ import annotations
 
-import logging
-
 import numpy as np
 import pandas as pd
 import ray.data
 
 from .agg import bucketed_map_groups, grouped_agg
-
-_LOG = logging.getLogger(__name__)
-
 
 def connected_components(
     nodes: ray.data.Dataset,
@@ -164,7 +159,14 @@ def connected_components(
             break
         prev = cur
     else:
-        _LOG.warning("connected_components: not converged in %d rounds", max_iters)
+        # returning partially-converged labels would silently split any
+        # component whose diameter exceeds max_iters (e.g. a long chain of
+        # drifting boilerplate) and elect wrong representatives downstream
+        raise RuntimeError(
+            f"connected_components: not converged in {max_iters} rounds — "
+            "a component's diameter exceeds max_iters; raise max_iters "
+            "(rounds cost 2 bucketed shuffles each)"
+        )
 
     return labels.map_batches(
         lambda b: b.rename(columns={"label": "cluster_id"}).astype(

@@ -52,16 +52,26 @@ def heavy_hitters(
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         s = _mg_summary(batch[col].tolist(), k)
-        return pd.DataFrame({"value": list(s.keys()), "count": list(s.values())})
+        out = pd.DataFrame({"value": list(s.keys()), "count": list(s.values())})
+        # ride the block's row count along so n_total needs no second pass
+        # over the input (ds.count() would re-execute the whole upstream
+        # lineage when the caller hasn't materialized)
+        out["block_rows"] = 0
+        if len(out):
+            out.iloc[0, out.columns.get_loc("block_rows")] = len(batch)
+        return out
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    n_total = int(ds.count())
+    n_total = int(parts["block_rows"].sum()) if len(parts) else 0
     # summaries merge by counter ADDITION with a single final cut — the
     # pairwise MG merge (add + subtract (k+1)-th largest) telescopes to
     # exactly this, and one cut loses less than repeated pairwise cuts
-    merged: dict = {}
-    for _, row in parts.iterrows():
-        merged[row["value"]] = merged.get(row["value"], 0) + int(row["count"])
+    summed = (
+        parts.groupby("value", sort=False)["count"].sum()
+        if len(parts)
+        else pd.Series(dtype="int64")
+    )
+    merged = {v: int(c) for v, c in summed.items()}
     if len(merged) > k:
         cut = sorted(merged.values(), reverse=True)[k]
         merged = {v: c - cut for v, c in merged.items() if c - cut > 0}
