@@ -3,18 +3,22 @@
 windows): match each POINT row to every RANGE row of the same key whose
 half-open interval [start, end) contains it.
 
-Distributed shape (the standard banded interval join): pick a bucket
-width >= the maximum interval length, explode each range into the
-(at most two, for bounded intervals) width-aligned buckets it overlaps,
-bucket each point into its single bucket, then one hash-bucketed shuffle
-co-locates every point with every range that could contain it; the exact
-interval predicate is evaluated vectorized per bucket. Shuffle payload:
-ranges duplicated at most x2 — never a cross product.
+Distributed shape (the standard banded interval join): explode each
+range into every width-aligned bucket it overlaps, bucket each point
+into its single bucket, then one hash-bucketed shuffle co-locates every
+point with every range that could contain it; the exact interval
+predicate is evaluated vectorized per bucket. Shuffle payload: each
+range duplicated ceil(length / bucket_width) (+1 when it straddles a
+boundary) times — proportional, never a cross product. Intervals of any
+length are supported; pick bucket_width near the TYPICAL interval
+length so the common case explodes ×≤2 and a rare long outlier pays
+its own proportional cost.
 
-The partitioning ASSUMPTION this op relies on (document per the brief):
-interval length <= bucket_width. Longer intervals would need exploding
-into more buckets (the generalization is the same code with a loop bound
-of ceil(len/width)+1, at proportional shuffle cost).
+Key contract: join keys may be any dtype — integer keys bucket
+directly, anything else is crc32-hashed (the same route
+``ops/agg._bucket_series`` uses). The combined (key, time-bucket)
+bucket id deliberately wraps modulo 2^64: it only spreads groups, the
+exact key re-groups inside each bucket.
 """
 
 from __future__ import annotations
@@ -60,25 +64,20 @@ def range_join(
         return out
 
     def tag_ranges(b: pd.DataFrame) -> pd.DataFrame:
-        s = b[start_col].astype("datetime64[ns]").astype("int64")
-        e = b[end_col].astype("datetime64[ns]").astype("int64")
-        if ((e - s) > width_ns).any():
-            raise ValueError(
-                "range_join: interval longer than bucket_width — raise "
-                "bucket_width (the banding assumption this op documents)"
-            )
+        s = b[start_col].astype("datetime64[ns]").astype("int64").to_numpy()
+        e = b[end_col].astype("datetime64[ns]").astype("int64").to_numpy()
+        first_tb = s // width_ns
+        n_span = (e - 1) // width_ns - first_tb  # buckets beyond the first
         parts = []
-        for shift in (0, 1):  # a bounded interval spans <= 2 width buckets
-            tb = s // width_ns + shift
-            keep = (
-                np.ones(len(b), dtype=bool)
-                if shift == 0
-                else ((e - 1) // width_ns) >= tb  # end is exclusive
-            )
+        # explode each range into EVERY bucket it overlaps: the loop runs
+        # to the batch's longest interval, but each row only survives the
+        # shifts it actually spans — shuffle cost stays proportional
+        for shift in range(int(n_span.max(initial=0)) + 1):
+            keep = n_span >= shift
             out = pd.DataFrame(
                 {
                     "_k": b[key_col].to_numpy()[keep],
-                    "_tb": tb[keep],
+                    "_tb": (first_tb + shift)[keep],
                     "_kind": 1,
                     "_ts": s[keep],  # start rides in _ts, end in _te
                     "_te": e[keep],
@@ -138,8 +137,24 @@ def range_join(
         return pd.concat(res, ignore_index=True)
 
     def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        # bucket on (key, time-bucket) jointly so hot keys spread over time
-        return b.assign(_jb=(b["_k"].astype("int64") * 1_000_003 + b["_tb"]))
+        # bucket on (key, time-bucket) jointly so hot keys spread over time.
+        # Integer keys bucket directly; any other dtype goes through crc32
+        # (the _bucket_series route). uint64 wrap is fine: _jb only spreads
+        # groups, per_bucket re-groups on the exact (_k, _tb).
+        if pd.api.types.is_integer_dtype(b["_k"]):
+            kh = b["_k"].to_numpy().astype(np.uint64)
+        else:
+            import zlib
+
+            kh = (
+                b["_k"]
+                .astype(str)
+                .map(lambda v: zlib.crc32(v.encode()))
+                .to_numpy()
+                .astype(np.uint64)
+            )
+        jb = kh * np.uint64(1_000_003) + b["_tb"].to_numpy().astype(np.uint64)
+        return b.assign(_jb=jb.astype(np.int64))
 
     joined = bucketed_map_groups(
         u.map_batches(add_key, batch_format="pandas"),

@@ -5,7 +5,10 @@
   multiplier). Engine-independent: the same predicate is one line of SQL, so
   sampled pipelines stay oracle-checkable, and a resumed/retried task always
   picks the identical rows (seeded ``Dataset.random_sample`` cannot promise
-  that across block re-splits).
+  that across block re-splits). Non-integer keys (urls — the normal
+  web-scale sampling key) are crc32-hashed first; crc32 is equally
+  engine-independent, so a SQL twin just applies the same crc32 to the
+  key column (DuckDB: via a registered UDF or a precomputed column).
 - Ray's ``Dataset.random_sample(fraction, seed=...)`` remains the
   statistical path; its count bounds are pytest-covered.
 """
@@ -20,8 +23,22 @@ KNUTH_MULT = 2654435761  # 2^32 / golden ratio
 MOD = 1 << 32
 
 
-def hash_sample_mask(keys: np.ndarray, fraction: float) -> np.ndarray:
-    k = keys.astype(np.uint64) % np.uint64(MOD)
+def _key_ints(keys) -> np.ndarray:
+    """Integer keys pass through; anything else is crc32(str(key)) — the
+    same route ops/agg._bucket_series takes, and reproducible in any
+    engine that can evaluate crc32."""
+    import zlib
+
+    arr = np.asarray(keys)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.uint64)
+    return np.asarray(
+        [zlib.crc32(str(v).encode()) for v in keys], dtype=np.uint64
+    )
+
+
+def hash_sample_mask(keys, fraction: float) -> np.ndarray:
+    k = _key_ints(keys) % np.uint64(MOD)
     h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)  # < 2^64, no wrap
     return h < np.uint64(int(fraction * MOD))
 
@@ -50,7 +67,7 @@ def stratified_hash_sample(
     expression of SQL, so stratified pipelines stay oracle-checkable)."""
 
     def flt(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch[key_col].to_numpy().astype(np.uint64) % np.uint64(MOD)
+        k = _key_ints(batch[key_col].to_numpy()) % np.uint64(MOD)
         h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
         cuts = (
             batch[stratum_col]

@@ -283,6 +283,36 @@ def test_hash_sample_deterministic_and_sized(ray_session):
     assert (hash_sample_mask(ks, 0.1) == (manual < np.uint64(int(0.1 * 2**32)))).all()
 
 
+def test_hash_sample_string_keys_sql_twin(ray_session):
+    """URL-keyed sampling (the normal web-scale case): deterministic via
+    crc32, and still SQL-twinned — DuckDB evaluates the identical
+    predicate through a registered crc32 UDF."""
+    import zlib
+
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.sampling import hash_sample
+
+    urls = pd.DataFrame(
+        {"url": [f"https://site-{i % 97}.example/path/{i}" for i in range(5_000)]}
+    )
+    a = hash_sample(ray.data.from_pandas(urls).repartition(4), "url", 0.2).to_pandas()
+    b = hash_sample(ray.data.from_pandas(urls).repartition(8), "url", 0.2).to_pandas()
+    assert sorted(a["url"]) == sorted(b["url"])  # partitioning-independent
+    assert 0.15 < len(a) / len(urls) < 0.25
+
+    con = duckdb.connect()
+    con.create_function("crc32py", lambda s: zlib.crc32(s.encode()), ["VARCHAR"], "UBIGINT")
+    con.register("urls", urls)
+    want = con.execute(
+        "SELECT url FROM urls WHERE "
+        "((crc32py(url) % 4294967296) * 2654435761) % 4294967296 < "
+        f"{int(0.2 * 2**32)} ORDER BY url"
+    ).fetchdf()
+    con.close()
+    assert sorted(a["url"]) == list(want["url"])
+
+
 def test_random_sample_bounds(ray_session):
     """Seeded Dataset.random_sample stays the statistical path: count within
     binomial bounds (engine-specific row pick, so no SQL oracle)."""
@@ -448,17 +478,102 @@ def test_range_join_boundaries(ray_session):
     got = set(zip(out["p_pid"].astype(int), out["r_rid"].astype(int)))
     assert got == {(1, 100), (2, 100)}  # 3 at end (excluded), 4 wrong key
 
-    with pytest.raises(Exception):
-        # interval longer than bucket_width violates the banding assumption
-        bad = ranges.assign(end=ranges["end"] + pd.Timedelta(hours=2))
-        range_join(
-            ray.data.from_pandas(points),
-            ray.data.from_pandas(bad),
-            key_col="k",
-            point_cols=["pid"],
-            range_cols=["rid"],
-            bucket_width=pd.Timedelta(hours=1),
-        ).materialize()
+    # intervals LONGER than bucket_width now explode into every bucket
+    # they overlap (ceil(len/width)+1 copies) instead of raising
+    long = ranges.assign(end=ranges["end"] + pd.Timedelta(hours=2))  # 3x width
+    out2 = range_join(
+        ray.data.from_pandas(points),
+        ray.data.from_pandas(long),
+        key_col="k",
+        point_ts_col="ts",
+        point_cols=["pid"],
+        range_cols=["rid"],
+        bucket_width=pd.Timedelta(hours=1),
+    ).to_pandas()
+    got2 = set(zip(out2["p_pid"].astype(int), out2["r_rid"].astype(int)))
+    assert got2 == {(1, 100), (2, 100), (3, 100)}  # 3 now inside; 4 wrong key
+    assert len(out2) == 3  # exploded copies never duplicate an output pair
+
+
+def test_range_join_long_intervals_vs_duckdb(ray_session):
+    """Randomized intervals up to 3x bucket_width against a DuckDB interval
+    join — the generalization past the old one-bucket-width assumption."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.rangejoin import range_join
+
+    rng = np.random.RandomState(5)
+    base = pd.Timestamp("2024-03-01").value
+    HOUR = 3_600_000_000_000
+    points = pd.DataFrame(
+        {
+            "pid": np.arange(400, dtype="int64"),
+            "k": rng.randint(0, 5, size=400).astype("int64"),
+            "ts": pd.to_datetime(base + rng.randint(0, 48 * HOUR, size=400)),
+        }
+    )
+    starts = base + rng.randint(0, 48 * HOUR, size=60)
+    lengths = rng.randint(1, 3 * HOUR, size=60)  # up to 3x the 1h width
+    ranges = pd.DataFrame(
+        {
+            "rid": np.arange(60, dtype="int64"),
+            "k": rng.randint(0, 5, size=60).astype("int64"),
+            "start": pd.to_datetime(starts),
+            "end": pd.to_datetime(starts + lengths),
+        }
+    )
+    out = range_join(
+        ray.data.from_pandas(points),
+        ray.data.from_pandas(ranges),
+        key_col="k",
+        point_ts_col="ts",
+        point_cols=["pid"],
+        range_cols=["rid"],
+        bucket_width=pd.Timedelta(hours=1),
+    ).to_pandas()
+    got = sorted(zip(out["p_pid"].astype(int), out["r_rid"].astype(int)))
+    con = duckdb.connect()
+    con.register("p", points)
+    con.register("r", ranges)
+    want = con.execute(
+        "SELECT p.pid, r.rid FROM p JOIN r ON p.k = r.k "
+        "AND p.ts >= r.start AND p.ts < r.\"end\" ORDER BY p.pid, r.rid"
+    ).fetchall()
+    con.close()
+    assert got == [(int(a), int(b)) for a, b in want]
+    assert len(got) > 50  # the random layout produced a real join
+
+
+def test_range_join_string_keys(ray_session):
+    """Non-integer join keys route through crc32 bucketing."""
+    from ocds_entity_extract_ray.ops.rangejoin import range_join
+
+    base = pd.Timestamp("2024-01-01")
+    points = pd.DataFrame(
+        {
+            "pid": [1, 2, 3],
+            "host": ["example.com", "example.com", "other.org"],
+            "ts": [base + pd.Timedelta(minutes=m) for m in (10, 70, 10)],
+        }
+    )
+    ranges = pd.DataFrame(
+        {
+            "rid": [9],
+            "host": ["example.com"],
+            "start": [base],
+            "end": [base + pd.Timedelta(hours=2)],
+        }
+    )
+    out = range_join(
+        ray.data.from_pandas(points),
+        ray.data.from_pandas(ranges),
+        key_col="host",
+        point_ts_col="ts",
+        point_cols=["pid"],
+        range_cols=["rid"],
+        bucket_width=pd.Timedelta(hours=1),
+    ).to_pandas()
+    assert sorted(out["p_pid"].astype(int)) == [1, 2]  # other.org excluded
 
 
 def test_run_curation_writes_partitioned_and_resumes(ray_session, tmp_path):
