@@ -1825,3 +1825,31 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 SQL_QUERIES["q_stratified_sample"] = (q_stratified_sample, Q_STRATIFIED_SQL)
+
+
+def q_embedding_near_dups_lsh(sf_dir: str) -> pd.DataFrame:
+    """The LSH SCALE PATH of embedding near-dup under the driver's eye:
+    n_planes>0 runs the full distributed shape — per-table hyperplane
+    banding (id-only shuffle), bucketed pair dedup, Bloom candidate
+    filter + hash-join verify (the pair count at this threshold exceeds
+    driver_pair_limit, so the Bloom branch executes too).
+
+    Why it can share the EXACT pair-set oracle: false positives are
+    structurally impossible (every candidate is verified with the exact
+    cosine), and with 16 tables x 2 planes the per-pair miss probability
+    at cosine >= 0.35 is (1-(1-θ/π)^2)^16 ~ 5e-4 — recall is 1.0 at
+    conformance scale (verified at sf0.001 and sf0.01; deterministic:
+    planes derive from fixed seeds). At web scale recall < 1 is the
+    documented trade of any LSH dedup."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(
+        ds, threshold=0.35, n_planes=2, n_tables=16
+    ).to_pandas()
+    return (
+        out[["id_a", "id_b", "score"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["q_embedding_near_dups_lsh"] = (q_embedding_near_dups_lsh, Q_EMB_NEAR_DUP_SQL)
