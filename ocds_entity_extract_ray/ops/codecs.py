@@ -1,0 +1,169 @@
+"""Pure-numpy codecs for UNCOMPRESSED media containers — the real decode
+kernels behind ops/multimodal's ``decode="real"`` seam. The container has
+no PIL/libav, but BMP/PPM/WAV/raw-video are fully specified byte layouts
+that numpy + struct decode exactly, so the real path is exercisable end to
+end; ``NotImplementedError`` remains only for genuinely compressed codecs
+(JPEG/MP3/H.264), raised by the dispatchers in ops/multimodal.
+
+Formats:
+- BMP: 24-bit uncompressed (BI_RGB), BGR pixel order, bottom-up rows,
+  rows padded to 4 bytes (the classic BITMAPINFOHEADER layout).
+- PPM: binary P6, "P6\\n{w} {h}\\n255\\n" + RGB bytes.
+- WAV: RIFF/WAVE, PCM 16-bit mono ("fmt " + "data" chunks).
+- RAWV: a trivial uncompressed video container used by the synthetic
+  fixtures: b"RAWV" + <u32 w, u32 h, u32 n_frames> + n_frames RGB frames
+  of w*h*3 bytes each (rawvideo/MJPEG stand-in).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def sniff(payload: bytes) -> str | None:
+    """Identify an uncompressed container by magic bytes; None = unknown
+    (treat as a compressed codec this build cannot decode)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"RAWV":
+        return "rawv"
+    return None
+
+
+# --- BMP (24-bit BI_RGB) ------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    h, w, _ = rgb.shape
+    row_pad = (-(w * 3)) % 4
+    stride = w * 3 + row_pad
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> HxWx3 uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rgb = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+# --- PPM (binary P6) ----------------------------------------------------------
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments not emitted by our encoder; reject them rather than mis-parse)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            raise ValueError("PPM comments unsupported")
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+# --- WAV (PCM 16-bit mono) ----------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 (or float in [-1, 1]) mono samples -> RIFF/WAVE PCM16 bytes."""
+    if samples.dtype != np.int16:
+        samples = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        samples = (samples * 32767).astype(np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM, mono, 16-bit
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes -> (int16 samples, sample rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype=np.int16).copy()
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+# --- RAWV (uncompressed frame stream) ----------------------------------------
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    """NxHxWx3 uint8 -> RAWV container bytes."""
+    n, h, w, _ = frames.shape
+    return b"RAWV" + struct.pack("<III", w, h, n) + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawv(payload: bytes) -> np.ndarray:
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    w, h, n = struct.unpack_from("<III", payload, 4)
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=n * h * w * 3, offset=16)
+        .reshape(n, h, w, 3)
+        .copy()
+    )
+
+
+def resize_nearest(rgb: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure index math — the deterministic kernel
+    a real PIL/opencv resize would replace)."""
+    h, w, _ = rgb.shape
+    yi = (np.arange(target_h) * h) // target_h
+    xi = (np.arange(target_w) * w) // target_w
+    return rgb[yi[:, None], xi[None, :]]

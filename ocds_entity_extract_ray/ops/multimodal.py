@@ -1,12 +1,18 @@
 """Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The actual codecs are NOT in this container, so the decode kernels are
-STUBBED — ``decode=\"fake\"`` runs a deterministic pure-python fake (real
-schema, real plumbing, testable), ``decode=\"real\"`` raises
-NotImplementedError at the exact seam where PIL/libav would plug in. The
-Ray side — actor-pool stage, batch sizing for large binaries, output
-schema — is real and tested.
+Two decode modes per stage:
+- ``decode="fake"``: deterministic pure-python fake (hash-derived) — the
+  plumbing-only mode.
+- ``decode="real"``: REAL decode kernels for uncompressed containers
+  (BMP / PPM images, PCM16 WAV audio, RAWV frame streams — pure
+  numpy+struct, see ops/codecs.py). ``NotImplementedError`` remains only
+  for genuinely compressed codecs (JPEG/PNG/MP3/H.264 — PIL/libav are
+  not in this container) and is raised at the dispatch point where those
+  libraries would plug in.
+
+The Ray side — actor-pool stage, batch sizing for large binaries, output
+schema — is identical in both modes and tested.
 """
 
 from __future__ import annotations
@@ -33,10 +39,24 @@ class ImageFeaturizer:
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.decode == "real":
-            raise NotImplementedError(
-                "image decode requires PIL/torchvision — not in this container; "
-                "plug the real decoder here"
-            )
+            from . import codecs
+
+            payload = payload or b""
+            kind = codecs.sniff(payload)
+            if kind == "bmp":
+                rgb = codecs.decode_bmp(payload)
+            elif kind == "ppm":
+                rgb = codecs.decode_ppm(payload)
+            else:
+                raise NotImplementedError(
+                    f"compressed image codec ({kind or 'unknown'}) requires "
+                    "PIL/torchvision — not in this container; plug the real "
+                    "decoder here (BMP/PPM decode natively)"
+                )
+            # feature = dim-bin intensity histogram (density) — the
+            # deterministic stand-in for a real embedding model's forward
+            hist, _ = np.histogram(rgb, bins=self.dim, range=(0, 256))
+            return (hist / max(1, rgb.size)).astype(np.float32)
         # deterministic fake: hash-derived pseudo-pixels
         h = hashlib.blake2b(payload or b"", digest_size=self.dim).digest()
         return np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
@@ -61,16 +81,26 @@ class FrameSampler:
         self.stride = stride
         self.decode = decode
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _frames(self, payload: bytes) -> list[bytes]:
         if self.decode == "real":
-            raise NotImplementedError("video decode requires libav — plug in here")
+            from . import codecs
+
+            kind = codecs.sniff(payload)
+            if kind != "rawv":
+                raise NotImplementedError(
+                    f"compressed video codec ({kind or 'unknown'}) requires "
+                    "libav — plug in here (RAWV streams decode natively)"
+                )
+            return [f.tobytes() for f in codecs.decode_rawv(payload)]
+        return [
+            payload[i : i + self.frame_bytes]
+            for i in range(0, len(payload), self.frame_bytes)
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"media_id": [], "frame_idx": [], "frame_sha": []}
         for mid, payload in zip(batch["media_id"], batch["payload"]):
-            payload = payload or b""
-            frames = [
-                payload[i : i + self.frame_bytes]
-                for i in range(0, len(payload), self.frame_bytes)
-            ]
+            frames = self._frames(payload or b"")
             for idx in range(0, len(frames), self.stride):
                 out["media_id"].append(mid)
                 out["frame_idx"].append(idx)
@@ -89,23 +119,42 @@ class ImageResizer:
         self.target_h = target_h
         self.decode = decode
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _resize(self, payload: bytes, meta: str) -> bytes:
         import json as _json
 
         if self.decode == "real":
+            from . import codecs
+
+            kind = codecs.sniff(payload)
+            if kind == "bmp":
+                rgb = codecs.decode_bmp(payload)
+                return codecs.encode_bmp(
+                    codecs.resize_nearest(rgb, self.target_w, self.target_h)
+                )
+            if kind == "ppm":
+                rgb = codecs.decode_ppm(payload)
+                return codecs.encode_ppm(
+                    codecs.resize_nearest(rgb, self.target_w, self.target_h)
+                )
             raise NotImplementedError(
-                "image resize requires PIL — not in this container; plug in here"
+                f"compressed image codec ({kind or 'unknown'}) requires PIL — "
+                "not in this container; plug in here (BMP/PPM resize natively)"
             )
+        w, h = (
+            int(_json.loads(meta or "{}").get(d, 64)) for d in ("w", "h")
+        )
+        stride = max(1, (w * h) // (self.target_w * self.target_h))
+        return payload[::stride]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
         out = {"media_id": [], "payload": [], "meta_json": []}
         for mid, payload, meta in zip(
             batch["media_id"], batch["payload"], batch["meta_json"]
         ):
-            payload = payload or b""
-            m = _json.loads(meta or "{}")
-            w, h = int(m.get("w", 64)), int(m.get("h", 64))
-            stride = max(1, (w * h) // (self.target_w * self.target_h))
             out["media_id"].append(mid)
-            out["payload"].append(payload[::stride])
+            out["payload"].append(self._resize(payload or b"", meta))
             out["meta_json"].append(
                 _json.dumps({"w": self.target_w, "h": self.target_h}, sort_keys=True)
             )
@@ -119,10 +168,11 @@ def resize_images(
     target_h: int = 32,
     concurrency=2,
     batch_size: int = 8,
+    decode: str = "fake",
 ) -> ray.data.Dataset:
     return ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h, "decode": decode},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -145,10 +195,26 @@ class AudioTranscriber:
 
     def _transcribe(self, payload: bytes) -> tuple[str, int, float]:
         if self.decode == "real":
-            raise NotImplementedError(
-                "audio decode/ASR requires soundfile + a model — not in this "
-                "container; plug the real transcriber here"
-            )
+            from . import codecs
+
+            payload = payload or b""
+            if codecs.sniff(payload) != "wav":
+                raise NotImplementedError(
+                    "compressed audio codec requires libav/soundfile — not in "
+                    "this container; plug in here (PCM16 WAV decodes natively)"
+                )
+            samples, rate = codecs.decode_wav(payload)
+            duration = len(samples) / rate
+            seg_len = max(1, rate)  # 1-second segments
+            n_seg = max(1, -(-len(samples) // seg_len))
+            # "model": per-segment RMS energy quantized onto the vocab —
+            # the deterministic stand-in where a real ASR forward would go
+            words = []
+            for i in range(n_seg):
+                seg = samples[i * seg_len : (i + 1) * seg_len].astype(np.float64)
+                rms = float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0
+                words.append(self._VOCAB[int(rms) % len(self._VOCAB)])
+            return " ".join(words), n_seg, round(duration, 2)
         payload = payload or b""
         n_seg = max(1, len(payload) // self.segment_bytes)
         words = [
@@ -171,12 +237,13 @@ class AudioTranscriber:
 
 
 def transcribe_audio(
-    ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 8
+    ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 8, decode: str = "fake"
 ) -> ray.data.Dataset:
     """Actor-pool ASR plumbing: tiny batches (audio payloads are large),
     model state in __init__."""
     return ds.map_batches(
         AudioTranscriber,
+        fn_constructor_kwargs={"decode": decode},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -185,13 +252,14 @@ def transcribe_audio(
 
 
 def featurize_images(
-    ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 32, dim: int = 16
+    ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 32, dim: int = 16,
+    decode: str = "fake",
 ) -> ray.data.Dataset:
     """Actor-pool plumbing: small batches (large binary payloads), state in
     __init__."""
     return ds.map_batches(
         ImageFeaturizer,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "decode": decode},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -206,10 +274,11 @@ def sample_frames(
     batch_size: int = 8,
     frame_bytes: int = 32,
     stride: int = 2,
+    decode: str = "fake",
 ) -> ray.data.Dataset:
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride, "decode": decode},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -217,19 +286,48 @@ def sample_frames(
     )
 
 
-def synthetic_media(n: int = 64) -> pd.DataFrame:
-    """Deterministic fake media table for tests/demos."""
+def synthetic_media(n: int = 64, fmt: str = "opaque") -> pd.DataFrame:
+    """Deterministic media table for tests/demos. fmt="opaque": hash-derived
+    blobs (for the fake-decode plumbing tests); fmt="real": genuine
+    uncompressed containers — BMP/PPM images, PCM16 WAV audio, RAWV frame
+    streams — that the decode="real" kernels parse end to end."""
+    import json as _json
+
     rows = []
     for i in range(n):
-        payload = hashlib.blake2b(f"media:{i}".encode(), digest_size=32).digest() * (
-            4 + i % 5
-        )
+        mtype = ["image", "audio", "video"][i % 3]
+        if fmt == "real":
+            from . import codecs
+
+            rng = np.random.RandomState(1000 + i)
+            if mtype == "image":
+                w, h = 16 + i % 17, 12 + i % 13
+                rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payload = codecs.encode_bmp(rgb) if i % 2 else codecs.encode_ppm(rgb)
+                meta = _json.dumps({"w": w, "h": h}, sort_keys=True)
+            elif mtype == "audio":
+                rate = 8000
+                t = np.arange(rate * (1 + i % 3)) / rate
+                payload = codecs.encode_wav(
+                    0.5 * np.sin(2 * np.pi * (110 + 13 * i) * t), rate
+                )
+                meta = _json.dumps({"rate": rate}, sort_keys=True)
+            else:
+                w, h, nf = 8, 6, 4 + i % 5
+                frames = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+                payload = codecs.encode_rawv(frames)
+                meta = _json.dumps({"w": w, "h": h, "n_frames": nf}, sort_keys=True)
+        else:
+            payload = hashlib.blake2b(
+                f"media:{i}".encode(), digest_size=32
+            ).digest() * (4 + i % 5)
+            meta = '{"w": 64, "h": 64}'
         rows.append(
             {
                 "media_id": i,
-                "media_type": ["image", "audio", "video"][i % 3],
+                "media_type": mtype,
                 "payload": payload,
-                "meta_json": '{"w": 64, "h": 64}',
+                "meta_json": meta,
             }
         )
     return pd.DataFrame(rows)

@@ -650,3 +650,96 @@ def test_curation_broadcast_is_loser_sized(ray_session):
     kept = set(packed["doc_id"])
     assert 100 in kept and not ({101, 102, 103} & kept)
     assert set(range(50)).issubset(kept)
+
+
+# --- real (uncompressed) multimodal codecs ------------------------------------
+
+
+def test_codec_round_trips():
+    from ocds_entity_extract_ray.ops import codecs
+
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)  # odd width: padding
+    assert (codecs.decode_bmp(codecs.encode_bmp(rgb)) == rgb).all()
+    assert (codecs.decode_ppm(codecs.encode_ppm(rgb)) == rgb).all()
+
+    samples = (rng.randn(8000) * 1000).astype(np.int16)
+    got, rate = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert rate == 8000 and (got == samples).all()
+
+    frames = rng.randint(0, 256, size=(5, 6, 8, 3), dtype=np.uint8)
+    assert (codecs.decode_rawv(codecs.encode_rawv(frames)) == frames).all()
+
+    small = codecs.resize_nearest(rgb, 4, 3)
+    assert small.shape == (3, 4, 3)
+    assert (small == rgb[[0, 4, 8], :, :][:, [0, 4, 8, 12], :]).all()
+
+
+def test_multimodal_real_image_path(ray_session):
+    """decode='real' actually decodes BMP/PPM payloads: features are
+    intensity-histogram densities (sum to 1), resize re-encodes the same
+    container at the target dims."""
+    from ocds_entity_extract_ray.ops import codecs
+    from ocds_entity_extract_ray.ops.multimodal import (
+        featurize_images,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(24, fmt="real")
+    images = ray.data.from_pandas(media[media["media_type"] == "image"])
+    feats = featurize_images(images, decode="real", dim=16).to_pandas()
+    assert len(feats) == 8
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in feats["feature"])
+
+    resized = resize_images(images, decode="real", target_w=5, target_h=4).to_pandas()
+    for payload in resized["payload"]:
+        kind = codecs.sniff(payload)
+        assert kind in ("bmp", "ppm")
+        rgb = codecs.decode_bmp(payload) if kind == "bmp" else codecs.decode_ppm(payload)
+        assert rgb.shape == (4, 5, 3)
+
+
+def test_multimodal_real_audio_and_video_paths(ray_session):
+    from ocds_entity_extract_ray.ops.multimodal import (
+        sample_frames,
+        synthetic_media,
+        transcribe_audio,
+    )
+
+    media = synthetic_media(24, fmt="real")
+    audio = ray.data.from_pandas(media[media["media_type"] == "audio"])
+    tr = transcribe_audio(audio, decode="real").to_pandas().sort_values("media_id")
+    # synthetic WAVs are exactly 1 + i%3 seconds at 8 kHz
+    assert list(tr["duration_s"]) == [1.0 + (i % 3) for i in tr["media_id"]]
+    assert (tr["n_segments"] == tr["duration_s"]).all()  # 1-second segments
+    assert all(t and all(w.isalpha() for w in t.split()) for t in tr["transcript"])
+
+    video = ray.data.from_pandas(media[media["media_type"] == "video"])
+    fr = sample_frames(video, decode="real", stride=2).to_pandas()
+    import json
+
+    for mid, grp in fr.groupby("media_id"):
+        nf = json.loads(media.loc[media["media_id"] == mid, "meta_json"].iloc[0])["n_frames"]
+        assert len(grp) == -(-nf // 2)  # every 2nd frame
+
+
+def test_multimodal_real_rejects_compressed(ray_session):
+    """Unknown containers (i.e. compressed codecs) still raise at the
+    declared seam — the NotImplementedError now covers ONLY those."""
+    from ocds_entity_extract_ray.ops.multimodal import (
+        AudioTranscriber,
+        FrameSampler,
+        ImageFeaturizer,
+        ImageResizer,
+    )
+
+    blob = b"\xff\xd8\xff\xe0 not decodable here"  # JPEG-ish magic
+    with pytest.raises(NotImplementedError):
+        ImageFeaturizer(decode="real")._decode(blob)
+    with pytest.raises(NotImplementedError):
+        ImageResizer(decode="real")._resize(blob, "{}")
+    with pytest.raises(NotImplementedError):
+        AudioTranscriber(decode="real")._transcribe(blob)
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decode="real")._frames(blob)
