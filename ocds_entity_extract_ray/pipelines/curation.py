@@ -51,6 +51,7 @@ def curate_documents(
     min_stopword_ratio: float = 0.02,
     jaccard_threshold: float = 0.7,
     pack_budget: int = 4096,
+    max_group_size: int | None = None,
 ) -> ray.data.Dataset:
     """Returns the curated corpus as (doc_id, n_tokens, pack_id) — the
     docs that survive all filters, assigned to training sequences."""
@@ -69,8 +70,13 @@ def curate_documents(
     kept = docs.map_batches(keep, batch_format="pandas")
     deduped = exact_dedup(kept, text_col=text_col, id_col=id_col).materialize()
 
+    lsh_kwargs = {} if max_group_size is None else {"max_group_size": max_group_size}
     pairs = minhash_lsh_pairs(
-        deduped, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+        deduped,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=jaccard_threshold,
+        **lsh_kwargs,
     )
     comp = connected_components(deduped, pairs, node_col=id_col)
     # keep representatives (node == component min) by dropping everything

@@ -743,3 +743,81 @@ def test_multimodal_real_rejects_compressed(ray_session):
         AudioTranscriber(decode="real")._transcribe(blob)
     with pytest.raises(NotImplementedError):
         FrameSampler(decode="real")._frames(blob)
+
+
+# --- scale-stress: SCALE.md's caps as executable evidence ---------------------
+
+
+def test_cap_group_warns_and_truncates(caplog):
+    """The degenerate-group guard itself: oversized groups are cut to the
+    smallest ids and the drop is logged loudly, never silent."""
+    import logging
+
+    from ocds_entity_extract_ray.ops.dedup import _cap_group
+
+    ids = np.arange(100, dtype="int64")
+    with caplog.at_level(logging.WARNING, logger="ocds_entity_extract_ray.ops.dedup"):
+        got = _cap_group(ids, 32, "stress band")
+    assert list(got) == list(range(32))
+    assert any("capped to 32" in r.message and "68 dropped" in r.message for r in caplog.records)
+
+
+def test_curation_stress_degenerate_cluster_and_head_key(ray_session):
+    """Planted worst case (boilerplate mega-cluster + singleton tail) through
+    the WHOLE curation chain with a small cap: every driver-side collection
+    stays within the SCALE.md accounting bound — pair count <= C(cap, 2),
+    candidate ids <= cap, loser broadcast <= cluster size — and the output
+    keeps exactly one cluster representative plus the tail."""
+    from ocds_entity_extract_ray.ops.graph import connected_components
+    from ocds_entity_extract_ray.pipelines.curation import (
+        curate_documents,
+        near_dup_loser_ids,
+    )
+
+    CAP = 32
+    filler = " ".join(f"w{j} and the of to {j}" for j in range(12))
+    rows = [
+        {
+            "doc_id": i,
+            # unique-token-dominant so tail docs stay below the jaccard
+            # threshold pairwise; stopwords keep them past the quality gate
+            "text": f"tail doc {i} "
+            + " ".join(f"tok{i}x{j} the" for j in range(25)),
+        }
+        for i in range(300)
+    ]
+    # a 150-member near-dup cluster (one token differs per member) — a
+    # boilerplate "head key" for every band hash, 4.7x over the cap
+    boiler = "this exact same boilerplate page body appears everywhere on the site " + filler
+    rows += [
+        {"doc_id": 1000 + j, "text": boiler + f" tail{j}"} for j in range(150)
+    ]
+    docs = ray.data.from_pandas(pd.DataFrame(rows))
+
+    BANDS = 16  # minhash_lsh_pairs default
+    pairs_ds = minhash_lsh_pairs(docs, threshold=0.7, max_group_size=CAP).materialize()
+    pairs = pairs_ds.to_pandas()
+    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    # the cap is per (band, band_hash) GROUP: each of the <=BANDS groups the
+    # mega-cluster lands in contributes at most C(CAP, 2) pairs / CAP ids —
+    # the corpus-independent bound SCALE.md's accounting row claims
+    assert len(pairs) <= BANDS * CAP * (CAP - 1) // 2
+    assert len(cand_ids) <= BANDS * CAP
+    assert cand_ids <= set(range(1000, 1150))  # only cluster members pair up
+
+    comp = connected_components(docs, pairs_ds, node_col="doc_id")
+    losers = near_dup_loser_ids(comp)
+    assert len(losers) <= 150  # duplicate-bounded, not corpus-bounded
+    assert losers and min(losers) >= 1001
+
+    packed = curate_documents(
+        docs,
+        min_words=10,
+        min_stopword_ratio=0.01,
+        jaccard_threshold=0.7,
+        max_group_size=CAP,
+    ).to_pandas()
+    kept = set(packed["doc_id"])
+    assert set(range(300)) <= kept  # the tail survives
+    assert 1000 in kept  # one representative survives
+    assert len(kept & set(range(1000, 1150))) == 150 - len(losers)
