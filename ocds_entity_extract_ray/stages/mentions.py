@@ -34,11 +34,21 @@ class MentionExtractor:
 
     def __init__(
         self,
-        classifier_list: dict | None = None,
-        product_index: dict | None = None,
+        classifier_list=None,
+        product_index=None,
         num_buckets: int = DEFAULT_NUM_BUCKETS,
     ):
-        # once per actor (model-load equivalent), NOT per batch
+        # once per actor (model-load equivalent), NOT per batch. The
+        # broadcast state may arrive as ObjectRefs (the actor-pool path
+        # ships refs in fn_constructor_kwargs so Ray doesn't copy the big
+        # dicts into every actor's constructor args — ray#53727) — resolve
+        # them here, once.
+        import ray as _ray
+
+        if isinstance(classifier_list, _ray.ObjectRef):
+            classifier_list = _ray.get(classifier_list)
+        if isinstance(product_index, _ray.ObjectRef):
+            product_index = _ray.get(product_index)
         self.classifier_list = classifier_list
         self.product_index = product_index or {}
         self.num_buckets = num_buckets
@@ -143,11 +153,16 @@ def extract_mentions(
       measured fastest (and beat the autoscaling pool) on this workload.
     """
     if compute == "actors":
+        import ray as _ray
+
+        # ship the (possibly large) broadcast dicts as ObjectRefs nested in
+        # kwargs: put ONCE, fetched once per actor in __init__ — avoids
+        # Ray's "actor constructor args in object store" warning (#53727)
         return ds.map_batches(
             MentionExtractor,
             fn_constructor_kwargs={
-                "classifier_list": classifier_list,
-                "product_index": product_index,
+                "classifier_list": _ray.put(classifier_list),
+                "product_index": _ray.put(product_index),
                 "num_buckets": num_buckets,
             },
             batch_format="pyarrow",
