@@ -1853,3 +1853,273 @@ def q_embedding_near_dups_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_QUERIES["q_embedding_near_dups_lsh"] = (q_embedding_near_dups_lsh, Q_EMB_NEAR_DUP_SQL)
+
+
+def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """Q13-flavored: distribution of per-customer NON-urgent order counts,
+    including zero-order customers. Shape: bucketed per-customer counts
+    (customer-cardinality never reaches the driver) -> tiny per-count
+    histogram; the 0 bucket is total_customers - customers_with_orders, a
+    driver SCALAR — no left-outer shuffle of the customer table."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["o_orderpriority"] != "1-URGENT"][["o_custkey"]]
+
+    per_cust = grouped_agg(
+        orders,
+        ["o_custkey"],
+        {"c_count": ("o_custkey", "count")},
+        pre=pre,
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"o_custkey": pd.Series(dtype="int64"), "c_count": pd.Series(dtype="int64")}
+        ),
+    )
+    hist = grouped_agg(per_cust, ["c_count"], {"custdist": ("c_count", "count")})
+    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = int(n_customers) - int(hist["custdist"].sum())
+    out = pd.concat(
+        [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})], ignore_index=True
+    )
+    out = out[out["custdist"] > 0].astype({"c_count": "int64", "custdist": "int64"})
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist FROM (
+  SELECT c_custkey, COUNT(o_custkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """Q15-flavored: supplier(s) with the maximum quarterly revenue.
+    Bucketed per-supplier revenue; each bucket emits its own max, the
+    driver reduces bucket-maxima to the global max (a scalar) and the
+    winners are filtered map-side — supplier cardinality never lands on
+    the driver."""
+    li = _read(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[
+            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["l_shipdate"] < pd.Timestamp("1996-04-01"))
+        ].copy()
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_suppkey", "revenue"]]
+
+    rev = grouped_agg(
+        li,
+        ["l_suppkey"],
+        {"total_revenue": ("revenue", "sum")},
+        pre=pre,
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"l_suppkey": pd.Series(dtype="int64"), "total_revenue": pd.Series(dtype="float64")}
+        ),
+    ).map_batches(
+        lambda b: b.assign(total_revenue=_round(b["total_revenue"])),
+        batch_format="pandas",
+    ).materialize()
+    bucket_maxima = rev.map_batches(
+        lambda b: pd.DataFrame({"m": [float(b["total_revenue"].max())]})
+        if len(b)
+        else pd.DataFrame({"m": pd.Series(dtype="float64")}),
+        batch_size=None,
+        batch_format="pandas",
+    ).to_pandas()
+    top = float(bucket_maxima["m"].max())
+    winners = rev.map_batches(
+        lambda b: b[b["total_revenue"] == top], batch_format="pandas"
+    ).to_pandas()
+    sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .astype({"s_suppkey": "int64"})
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q17-flavored: average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) of one brand were not taken.
+    The brand slice of `part` is broadcast (dimension-slice, small); the
+    per-part average-quantity cut is exact in both engines because
+    quantities are integral (integer sums are order-independent)."""
+    part = _small(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = frozenset(part.loc[part["p_brand"] == "Brand#4", "p_partkey"].tolist())
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    from ..ops.joins import semi_join_filter
+
+    li_b = semi_join_filter(li, brand_keys, on="l_partkey").materialize()
+    stats = grouped_agg(
+        li_b,
+        ["l_partkey"],
+        {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
+    )
+    cut = dict(zip(stats["l_partkey"], 0.2 * stats["sum_qty"] / stats["n"]))
+    import ray as _ray
+
+    from ..ops.joins import _fetch
+
+    ref = _ray.put(cut)
+
+    def small(b: pd.DataFrame) -> pd.DataFrame:
+        cuts = _fetch(ref)
+        mask = b["l_quantity"] < b["l_partkey"].map(cuts)
+        return pd.DataFrame({"s": [float(b.loc[mask, "l_extendedprice"].sum())]})
+
+    parts = li_b.map_batches(small, batch_format="pandas").to_pandas()
+    total = _round(float(parts["s"].sum()))
+    return pd.DataFrame({"avg_yearly": [_round(total / 7.0, 2)]})
+
+
+Q17_SQL = """
+SELECT ROUND(ROUND(SUM(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4' AND l_quantity < (
+  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """Q18-flavored: top-100 large orders (total quantity > 250). Per-order
+    sums stay bucketed; the > 250 filter runs map-side per bucket, so only
+    the (rare) large orders flow into the join and the driver."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    per_order = grouped_agg(
+        li,
+        ["l_orderkey"],
+        {"sum_qty": ("l_quantity", "sum")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"l_orderkey": pd.Series(dtype="int64"), "sum_qty": pd.Series(dtype="float64")}
+        ),
+    )
+    big = per_order.map_batches(
+        lambda b: b[b["sum_qty"] > 250].assign(sum_qty=_round(b.loc[b["sum_qty"] > 250, "sum_qty"])),
+        batch_format="pandas",
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    j = hash_join(big, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",)).to_pandas()
+    j = j.rename(columns={"l_orderkey": "o_orderkey"})  # join emits the left key
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    out = j.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(100)
+    out = _us(out, "o_orderdate")
+    return (
+        out[["c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+        .astype({"c_custkey": "int64", "o_orderkey": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(qty.sum_qty, 0) AS sum_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) qty
+JOIN orders ON o_orderkey = qty.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_heavy_hitters_exact(sf_dir: str) -> pd.DataFrame:
+    """The Misra-Gries sketch under the driver's oracle, in its EXACT
+    regime: k=64 counters over the 5 distinct order priorities means no
+    counter is ever evicted, so approx_count == true count and the sketch
+    output matches plain SQL GROUP BY exactly (MG's guarantee: exact
+    whenever distinct values <= k)."""
+    from ..ops.sketches import heavy_hitters
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority"])
+    out = heavy_hitters(orders, "o_orderpriority", k=64)
+    out["approx_count"] = out["approx_count"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    return out.rename(columns={"value": "priority"})
+
+
+Q_HEAVY_HITTERS_SQL = """
+SELECT o_orderpriority AS priority, COUNT(*)::BIGINT AS approx_count,
+       (SELECT COUNT(*) FROM orders)::BIGINT AS n_total
+FROM orders GROUP BY o_orderpriority ORDER BY approx_count DESC, priority
+"""
+
+
+def q_bloom_semi_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Bloom-join under the oracle: suppliers with any 2001 shipment. The
+    supplier side is pre-filtered by a Bloom sketch of the (filtered)
+    lineitem supplier keys — the 100 TB pattern for shrinking a join input
+    before any shuffle — then verified with the exact broadcast semi join,
+    so the composition stays oracle-exact (Bloom admits false positives
+    but never drops a true match; the exact stage removes the FPs)."""
+    from ..ops.joins import semi_join_filter
+    from ..ops.sketches import bloom_build, bloom_semi_filter
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_shipdate"])
+    shipped = li.map_batches(
+        lambda b: b[b["l_shipdate"] >= pd.Timestamp("2001-01-01")][["l_suppkey"]],
+        batch_format="pandas",
+    ).materialize()
+    bloom = bloom_build(shipped, "l_suppkey")
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    pre = bloom_semi_filter(sup, bloom, "s_suppkey")
+    keys = frozenset(shipped.to_pandas()["l_suppkey"].unique().tolist())
+    out = semi_join_filter(pre, keys, on="s_suppkey").to_pandas()
+    return (
+        out.astype({"s_suppkey": "int64"})
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+Q_BLOOM_SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+ORDER BY s_suppkey
+"""
+
+
+SQL_QUERIES.update(
+    {
+        "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
+        "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+        "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+        "q18_large_orders": (q18_large_orders, Q18_SQL),
+        "q_heavy_hitters_exact": (q_heavy_hitters_exact, Q_HEAVY_HITTERS_SQL),
+        "q_bloom_semi_suppliers": (q_bloom_semi_suppliers, Q_BLOOM_SEMI_SQL),
+    }
+)
