@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_doc_packing",
     "q_repetition",
     "q_curation",
+    # round-3 additions (compare from r03 on)
+    "q13_order_count_distribution",
+    "q18_large_orders",
 ]
 
 

@@ -8,6 +8,7 @@ from .dedup import (
     exact_dup_groups,
     minhash_lsh_pairs,
     ngram_jaccard,
+    ngram_jaccard_pairs,
     simhash_dup_pairs,
 )
 from .graph import connected_components
@@ -78,6 +79,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "ngram_jaccard_pairs",
     "pack_documents",
     "quality_stats",
     "range_join",

@@ -11,7 +11,10 @@ Scale notes per operator:
   the small candidate set in the verify step.
 - SimHash: 64-bit signature per doc; bucket by rotated prefixes for
   near-neighbor candidates, verify Hamming distance.
-- n-gram Jaccard: exact verification kernel used by the candidates.
+- n-gram Jaccard: standalone near-dup operator (``ngram_jaccard_pairs``)
+  — bottom-k shingle-hash sketch as a deterministic inverted index
+  (candidates = docs sharing any of their k smallest shingle hashes),
+  then the same exact-Jaccard verify the MinHash path uses.
 - embedding cosine: see ops/similarity.py (matmul against broadcast
   normalized matrix; LSH-bucketed variant as the scale path).
 """
@@ -131,19 +134,26 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
-def minhash_signature(text: str, num_perm: int = 64, k: int = 3, seed: int = 7) -> np.ndarray:
-    """MinHash over word-shingle 64-bit hashes, universal-hash permutations."""
-    a, b = _minhash_params(num_perm, seed)
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """64-bit blake2b hashes of the word k-shingles (unordered, distinct)."""
     sh = shingles(text, k)
     if not sh:
-        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
-    hv = np.array(
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
         [
             int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
             for s in sh
         ],
         dtype=np.uint64,
     )
+
+
+def minhash_signature(text: str, num_perm: int = 64, k: int = 3, seed: int = 7) -> np.ndarray:
+    """MinHash over word-shingle 64-bit hashes, universal-hash permutations."""
+    a, b = _minhash_params(num_perm, seed)
+    hv = _shingle_hashes(text, k)
+    if not len(hv):
+        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
     # (a*h + b) mod p, vectorized over shingles x permutations
     prod = (np.outer(hv % _MERSENNE, a) + b) % _MERSENNE
     return prod.min(axis=0).astype(np.uint64)
@@ -239,12 +249,46 @@ def minhash_lsh_pairs(
         banded, "band_hash", per_bucket, num_buckets=64, empty_result=empty_ids
     ).materialize()
 
+    if driver_pair_limit is None:
+        driver_pair_limit = max(broadcast_max_candidates * bands, 100_000)
+    return _verify_candidate_pairs(
+        ds,
+        pairs,
+        text_col,
+        id_col,
+        k=k,
+        threshold=threshold,
+        verify_partitions=verify_partitions,
+        broadcast_max_candidates=broadcast_max_candidates,
+        driver_pair_limit=driver_pair_limit,
+    )
+
+
+def _verify_candidate_pairs(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int,
+    threshold: float,
+    verify_partitions: int,
+    broadcast_max_candidates: int,
+    driver_pair_limit: int,
+) -> ray.data.Dataset:
+    """Shared verify tail for Jaccard candidate generators (MinHash bands,
+    bottom-k shingle sketch): dedup candidate pairs, join texts back by id,
+    keep pairs with exact n-gram Jaccard >= threshold. ``pairs`` is a
+    materialized (id_a, id_b) Dataset, possibly with duplicates."""
+    from .agg import bucketed_map_groups
+
+    empty_ids = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
     empty_out = _empty_pairs("jaccard", "float64")
     n_raw = pairs.count()
     if n_raw == 0:
         return ray.data.from_pandas(empty_out)
-    if driver_pair_limit is None:
-        driver_pair_limit = max(broadcast_max_candidates * bands, 100_000)
 
     import ray as _ray
 
@@ -389,6 +433,139 @@ def minhash_lsh_pairs(
     if res.count() == 0:
         return ray.data.from_pandas(empty_out)
     return res
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    sketch_size: int = 16,
+    threshold: float = 0.6,
+    min_shared: int = 2,
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+    verify_partitions: int = 4,
+    broadcast_max_candidates: int = 10_000,
+    driver_pair_limit: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by direct n-gram Jaccard: a bottom-k sketch
+    inverted index instead of MinHash bands.
+
+    Per doc, hash the word k-shingles and keep the ``sketch_size``
+    SMALLEST hashes (a deterministic bottom-k sketch of the shingle set).
+    Two docs are candidates iff their sketches share >= ``min_shared``
+    hashes — a true >=t pair shares ~t*sketch_size of them in
+    expectation, so the miss probability at min_shared=2 is
+    P[Binom(sketch_size, t) <= 1] (~1e-5 at t=0.6, k=16), while requiring
+    two co-occurrences prunes the one-boilerplate-shingle false
+    candidates that dominate a single-hash inverted index (measured 269k
+    -> ~300 candidates on the sf0.1 corpus). Recall 1.0 is verified vs an
+    all-pairs SQL oracle on the synthetic corpora. Candidates then go
+    through the SAME exact-Jaccard verify as ``minhash_lsh_pairs`` — so
+    false positives are impossible and output jaccard doubles are
+    oracle-comparable.
+
+    Scale notes: the inverted-index shuffle is ``sketch_size`` rows of
+    ~16 bytes per doc (hash + id), bucketed on the shingle hash with
+    per-group caps against boilerplate shingles; everything downstream is
+    candidate-proportional (see ``_verify_candidate_pairs``)."""
+
+    def to_sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        # _n = sketch size, so the multiplicity filter can relax min_shared
+        # for docs whose whole sketch is smaller than it (short texts)
+        out = {"sh": [], "_id": [], "_n": []}
+        for did, text in zip(batch[id_col], batch[text_col]):
+            hv = _shingle_hashes(text, k)
+            if not len(hv):
+                # shingle-less doc: sentinel hash, mirroring the minhash
+                # all-MERSENNE signature — two empty docs are Jaccard 1.0
+                # by convention (both here and in the SQL oracle)
+                hv = np.array([np.iinfo(np.int64).min], dtype=np.int64)
+            elif len(hv) > sketch_size:
+                hv = np.partition(hv, sketch_size - 1)[:sketch_size]
+            n = len(hv)
+            # signed view: pandas->Arrow keeps int64 exact (uint64 >= 2^63
+            # would round-trip through float64)
+            for h in hv.astype(np.int64):
+                out["sh"].append(int(h))
+                out["_id"].append(did)
+                out["_n"].append(n)
+        return pd.DataFrame(out).astype(
+            {"sh": "int64", "_id": "int64", "_n": "int64"}
+        )
+
+    sketched = ds.map_batches(to_sketch, batch_format="pandas")
+
+    empty_ids = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    empty_raw = empty_ids.assign(_mn=pd.Series(dtype="int64"))
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        cand = bucket[bucket.duplicated("sh", keep=False)]
+        parts = []
+        for _sh, grp in cand.groupby("sh", sort=False):
+            g2 = grp.drop_duplicates("_id").sort_values("_id")
+            ids = g2["_id"].to_numpy()
+            ids = _cap_group(ids, max_group_size, "ngram sketch")
+            if len(ids) < 2:
+                continue
+            ns = g2["_n"].to_numpy()[: len(ids)]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ia],
+                        "id_b": ids[ib],
+                        "_mn": np.minimum(ns[ia], ns[ib]),
+                    }
+                )
+            )
+        if not parts:
+            return empty_raw.copy()
+        return pd.concat(parts, ignore_index=True).astype(
+            {"id_a": "int64", "id_b": "int64", "_mn": "int64"}
+        )
+
+    from .agg import bucketed_map_groups
+
+    pairs = bucketed_map_groups(
+        sketched, "sh", per_bucket, num_buckets=64, empty_result=empty_raw
+    ).materialize()
+
+    # pair multiplicity == number of shared sketch hashes (each shingle
+    # group emits a pair at most once); bucketing on id_a co-locates every
+    # occurrence of an unordered pair, so the count is global. Docs whose
+    # WHOLE sketch is smaller than min_shared (short/empty texts) can't
+    # share min_shared hashes — relax the bar to the smaller sketch size.
+    def keep_multishared(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["id_a", "id_b"], as_index=False).agg(
+            _cnt=("_mn", "size"), _mn=("_mn", "min")
+        )
+        need = np.minimum(min_shared, g["_mn"].to_numpy())
+        return g[g["_cnt"].to_numpy() >= need][["id_a", "id_b"]].astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+
+    pairs = bucketed_map_groups(
+        pairs, "id_a", keep_multishared, num_buckets=16, empty_result=empty_ids
+    ).materialize()
+
+    if driver_pair_limit is None:
+        driver_pair_limit = max(broadcast_max_candidates * sketch_size, 100_000)
+    return _verify_candidate_pairs(
+        ds,
+        pairs,
+        text_col,
+        id_col,
+        k=k,
+        threshold=threshold,
+        verify_partitions=verify_partitions,
+        broadcast_max_candidates=broadcast_max_candidates,
+        driver_pair_limit=driver_pair_limit,
+    )
 
 
 def simhash_dup_pairs(

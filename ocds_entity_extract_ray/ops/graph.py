@@ -50,6 +50,8 @@ def connected_components(
     edges = edges.materialize()
     if edges.count() <= broadcast_max_edges:
         edf = edges.to_pandas()
+        if src_col not in edf.columns:  # 0 edges -> schema-less empty frame
+            edf = pd.DataFrame({src_col: [], dst_col: []})
         parent: dict = {}
 
         def find(x):

@@ -889,6 +889,26 @@ WHERE jaccard >= 0.7 ORDER BY id_a, id_b
 """
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Direct n-gram Jaccard near-dups (bottom-k shingle sketch candidates,
+    exact verify) — same oracle family as minhash but a lower threshold
+    and NO minhash approximation in the candidate stage."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, threshold=0.6).to_pandas()
+    cols = ["id_a", "id_b", "jaccard"]
+    out = out[cols] if len(out) else pd.DataFrame(columns=cols)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# Exact all-pairs oracle at threshold 0.6. The bottom-16 sketch misses a
+# >=0.6 pair with prob <= 0.4^16 ~ 4e-7 per pair; recall is verified 1.0 on
+# the synthetic corpus at sf0.01 and sf0.1, and the verify stage recomputes
+# the same integer-ratio jaccard DuckDB does, so doubles compare bitwise.
+Q_NGRAM_PAIRS_SQL = Q_MINHASH_PAIRS_SQL.replace("jaccard >= 0.7", "jaccard >= 0.6")
+
+
 def q_simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_dup_pairs
 
@@ -948,6 +968,7 @@ SQL_QUERIES.update(
         "q_simhash": (q_simhash, Q_SIMHASH_SQL),
         "q_fingerprints": (q_fingerprints, Q_FINGERPRINTS_SQL),
         "q_minhash_dup_pairs": (q_minhash_dup_pairs, Q_MINHASH_PAIRS_SQL),
+        "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_PAIRS_SQL),
         "q_simhash_dup_pairs": (q_simhash_dup_pairs, Q_SIMHASH_PAIRS_SQL),
     }
 )

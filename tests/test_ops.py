@@ -80,6 +80,40 @@ def test_minhash_lsh_finds_planted_near_dups(doc_corpus):
     assert (0, 103) in got  # planted exact dup of doc 0
 
 
+def test_ngram_jaccard_pairs_matches_bruteforce(doc_corpus):
+    """Bottom-k sketch candidates + exact verify == brute-force all-pairs
+    Jaccard at the same threshold (recall 1.0 on this corpus; precision 1.0
+    by construction)."""
+    import itertools
+
+    from ocds_entity_extract_ray.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(doc_corpus, threshold=0.6).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    docs = doc_corpus.to_pandas()
+    exp = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(
+        zip(docs["doc_id"], docs["text"]), 2
+    ):
+        if ngram_jaccard(ta, tb) >= 0.6:
+            exp.add((min(ia, ib), max(ia, ib)))
+    assert got == exp and (200, 201) in got
+
+
+def test_ngram_jaccard_pairs_distributed_branch(doc_corpus):
+    """driver_pair_limit=0 + broadcast_max_candidates=0 forces the fully
+    distributed path (bucketed dedup, Bloom candidate filter, hash-join
+    verify); pairs must match the broadcast branch."""
+    from ocds_entity_extract_ray.ops.dedup import ngram_jaccard_pairs
+
+    a = ngram_jaccard_pairs(doc_corpus, threshold=0.6).to_pandas()
+    b = ngram_jaccard_pairs(
+        doc_corpus, threshold=0.6, broadcast_max_candidates=0, driver_pair_limit=0
+    ).to_pandas()
+    assert set(zip(a["id_a"], a["id_b"])) == set(zip(b["id_a"], b["id_b"]))
+    assert len(a)
+
+
 def test_simhash_finds_planted_near_dups(doc_corpus):
     pairs = simhash_dup_pairs(doc_corpus, max_hamming=6).to_pandas()
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}

@@ -6,7 +6,7 @@ from __future__ import annotations
 import copy
 import json
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ocds_entity_extract_ray.extraction.state import (
@@ -304,6 +304,7 @@ def test_range_join_matches_bruteforce(seed):
 
 @given(st.integers(0, 10_000))
 @settings(max_examples=8, deadline=None)
+@example(118)  # regression: a draw with ZERO edges (schema-less empty frame)
 def test_connected_components_matches_bruteforce(seed):
     """Random sparse graphs: both component paths equal a BFS baseline."""
     import numpy as np
