@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     # round-3 additions (compare from r03 on)
     "q13_order_count_distribution",
     "q18_large_orders",
+    "q_ngram_jaccard_pairs",
 ]
 
 

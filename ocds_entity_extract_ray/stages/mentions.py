@@ -153,16 +153,30 @@ def extract_mentions(
       measured fastest (and beat the autoscaling pool) on this workload.
     """
     if compute == "actors":
+        import pickle
+
         import ray as _ray
 
-        # ship the (possibly large) broadcast dicts as ObjectRefs nested in
-        # kwargs: put ONCE, fetched once per actor in __init__ — avoids
-        # Ray's "actor constructor args in object store" warning (#53727)
+        # Size-adaptive broadcast: small state (the common lookup-table
+        # case) ships INLINE in the constructor kwargs; large state (a
+        # real model/index) is put ONCE and shipped as ObjectRefs
+        # resolved in __init__ rather than copied into every actor's
+        # task spec. Either way Ray Data itself ray.put()s the wrapped
+        # UDF bundle for actor pools, so the ray#53727 "constructor
+        # arguments in the object store" notice is emitted for EVERY
+        # actor-pool map_batches — it is Ray-internal and benign here
+        # (the dataset plan owns the bundle for the job's lifetime).
+        small = (
+            len(pickle.dumps(classifier_list)) + len(pickle.dumps(product_index))
+            <= 65536
+        )
         return ds.map_batches(
             MentionExtractor,
             fn_constructor_kwargs={
-                "classifier_list": _ray.put(classifier_list),
-                "product_index": _ray.put(product_index),
+                "classifier_list": classifier_list
+                if small
+                else _ray.put(classifier_list),
+                "product_index": product_index if small else _ray.put(product_index),
                 "num_buckets": num_buckets,
             },
             batch_format="pyarrow",
