@@ -11,7 +11,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dup_pairs,
 )
-from .graph import connected_components
+from .graph import connected_components, pagerank, pagerank_sql
 from .joins import (
     broadcast_hash_join,
     default_join_partitions,
@@ -64,6 +64,8 @@ __all__ = [
     "broadcast_hash_join",
     "bucketed_map_groups",
     "connected_components",
+    "pagerank",
+    "pagerank_sql",
     "cosine_topk",
     "default_join_partitions",
     "detect_lang",

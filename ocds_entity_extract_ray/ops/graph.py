@@ -176,3 +176,237 @@ def connected_components(
         ),
         batch_format="pandas",
     )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    scale: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    num_buckets: int = 32,
+    broadcast_max_edges: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Fixed-point integer PageRank: (node, rank) after ``iters`` power
+    iterations, rank in 1/``scale`` units.
+
+    ALL arithmetic is int64 floor division/addition — deliberately, so the
+    result is bit-identical regardless of summation order (float PageRank
+    is order-dependent and can never be hash-compared across engines; this
+    one has an EXACT SQL twin, see ``pagerank_sql``). Semantics (the
+    simplified variant, mirrored by the twin): edges are deduped; nodes =
+    distinct endpoints; r0 = scale // n;
+    r_{i+1}(v) = base + sum_{u->v} (damp_num * r_i(u)) // (damp_den * outdeg(u)),
+    base = ((damp_den - damp_num) * scale) // (damp_den * n).
+    Dangling-node mass is not redistributed (it decays, like the common
+    "simple" formulation).
+
+    Adaptive like ``connected_components``: small edge lists run the loop
+    on the driver (vectorized int64 numpy); larger ones run distributed —
+    per iteration, 2 bucketed shuffles of edge-/node-sized int rows
+    (co-locate each edge with its source's rank -> contributions;
+    group-sum per destination). The driver never holds more than the
+    small-path edge list; the distributed path keeps everything a
+    Dataset."""
+    dedup = bucketed_map_groups(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"src": b[src_col], "dst": b[dst_col]}
+            ).astype({"src": "int64", "dst": "int64"}),
+            batch_format="pandas",
+        ),
+        "src",
+        lambda b: b.drop_duplicates(["src", "dst"]),
+        num_buckets=num_buckets,
+        empty_result=pd.DataFrame(
+            {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+        ),
+    ).materialize()
+
+    if dedup.count() <= broadcast_max_edges:
+        edf = dedup.to_pandas()
+        if "src" not in edf.columns:  # 0 edges
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {"node": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64")}
+                )
+            )
+        nodes = np.unique(np.concatenate([edf["src"], edf["dst"]])).astype("int64")
+        n = len(nodes)
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        s = edf["src"].map(idx).to_numpy()
+        d = edf["dst"].map(idx).to_numpy()
+        outdeg = np.zeros(n, dtype=np.int64)
+        np.add.at(outdeg, s, 1)
+        base = ((damp_den - damp_num) * scale) // (damp_den * n)
+        r = np.full(n, scale // n, dtype=np.int64)
+        for _ in range(iters):
+            contrib = (damp_num * r[s]) // (damp_den * outdeg[s])
+            nxt = np.full(n, base, dtype=np.int64)
+            np.add.at(nxt, d, contrib)
+            r = nxt
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": nodes, "rank": r}).astype(
+                {"node": "int64", "rank": "int64"}
+            )
+        )
+
+    # ---- distributed path -------------------------------------------------
+    # node list + outdeg (outdeg 0 for sink nodes), one-time
+    endpoints = dedup.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()]),
+                "deg": np.concatenate(
+                    [np.ones(len(b), dtype=np.int64), np.zeros(len(b), dtype=np.int64)]
+                ),
+            }
+        ).astype({"node": "int64", "deg": "int64"}),
+        batch_format="pandas",
+    )
+    empty_nd = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+    )
+    meta = grouped_agg(
+        endpoints,
+        ["node"],
+        {"deg": ("deg", "sum")},
+        final="bucketed",
+        num_buckets=num_buckets,
+        empty_result=empty_nd,
+    ).materialize()
+    n = meta.count()
+    base = ((damp_den - damp_num) * scale) // (damp_den * n)
+    r0 = scale // n
+
+    # state rows carry outdeg along so no per-iteration join is needed
+    state = meta.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["node"], "rank": np.int64(r0), "deg": b["deg"]}
+        ).astype({"node": "int64", "rank": "int64", "deg": "int64"}),
+        batch_format="pandas",
+    ).materialize()
+
+    tagged_edges = dedup.map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["src"], "val": b["dst"], "kind": 1, "rank": 0, "deg": 0}
+        ).astype("int64"),
+        batch_format="pandas",
+    ).materialize()
+
+    empty_contrib = pd.DataFrame(
+        {
+            "node": pd.Series(dtype="int64"),
+            "contrib": pd.Series(dtype="int64"),
+            "deg": pd.Series(dtype="int64"),
+        }
+    )
+
+    def contribute(bucket: pd.DataFrame) -> pd.DataFrame:
+        st = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        # own rows keep every node (and its outdeg) alive through the agg
+        own = pd.DataFrame(
+            {"node": st["key"].to_numpy(), "contrib": 0, "deg": st["deg"].to_numpy()}
+        )
+        j = edg[["key", "val"]].merge(
+            st[["key", "rank", "deg"]].rename(columns={"deg": "_sd"}), on="key"
+        )
+        car = pd.DataFrame(
+            {
+                "node": j["val"].to_numpy(),
+                "contrib": (damp_num * j["rank"].to_numpy())
+                // (damp_den * j["_sd"].to_numpy()),
+                "deg": 0,
+            }
+        )
+        return pd.concat([own, car], ignore_index=True).astype(
+            {"node": "int64", "contrib": "int64", "deg": "int64"}
+        )
+
+    for _ in range(iters):
+        tagged = state.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["node"],
+                    "val": 0,
+                    "kind": 0,
+                    "rank": b["rank"],
+                    "deg": b["deg"],
+                }
+            ).astype("int64"),
+            batch_format="pandas",
+        )
+        # shuffle 1: co-locate edges with their source's rank
+        contrib = bucketed_map_groups(
+            tagged.union(tagged_edges),
+            "key",
+            contribute,
+            num_buckets=num_buckets,
+            empty_result=empty_contrib,
+        )
+        # shuffle 2: sum contributions per destination (+ recover outdeg
+        # from the own row via max — contribution rows carry 0)
+        agg = grouped_agg(
+            contrib,
+            ["node"],
+            {"contrib": ("contrib", "sum"), "deg": ("deg", "max")},
+            final="bucketed",
+            num_buckets=num_buckets,
+            empty_result=empty_contrib,
+        )
+        state = agg.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "rank": base + b["contrib"], "deg": b["deg"]}
+            ).astype({"node": "int64", "rank": "int64", "deg": "int64"}),
+            batch_format="pandas",
+        ).materialize()
+
+    return state.map_batches(
+        lambda b: b[["node", "rank"]].astype({"node": "int64", "rank": "int64"}),
+        batch_format="pandas",
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    *,
+    iters: int = 10,
+    scale: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> str:
+    """The exact DuckDB twin of ``pagerank`` — same integer recurrence,
+    iterations unrolled as chained CTEs. ``edges_sql`` must produce
+    DISTINCT (src, dst) rows."""
+    head = (
+        f"WITH edges AS ({edges_sql}),\n"
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),\n"
+        "nn AS (SELECT COUNT(*) AS c FROM nodes),\n"
+        "outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),\n"
+        f"r0 AS (SELECT node, {scale} // (SELECT c FROM nn) AS rank FROM nodes),\n"
+    )
+    body = []
+    for i in range(1, iters + 1):
+        body.append(
+            f"r{i} AS (\n"
+            "  SELECT nd.node,\n"
+            f"         (({damp_den} - {damp_num}) * {scale}::BIGINT)"
+            f" // ({damp_den} * (SELECT c FROM nn))\n"
+            f"         + COALESCE(SUM(({damp_num} * r.rank) // ({damp_den} * o.d)), 0)"
+            " AS rank\n"
+            "  FROM nodes nd\n"
+            "  LEFT JOIN edges e ON e.dst = nd.node\n"
+            f"  LEFT JOIN r{i - 1} r ON r.node = e.src\n"
+            "  LEFT JOIN outdeg o ON o.node = e.src\n"
+            "  GROUP BY nd.node\n"
+            ")"
+        )
+    return (
+        head
+        + ",\n".join(body)
+        + f"\nSELECT node, rank FROM r{iters} ORDER BY node"
+    )

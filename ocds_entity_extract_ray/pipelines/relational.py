@@ -2144,3 +2144,48 @@ SQL_QUERIES.update(
         "q_bloom_semi_suppliers": (q_bloom_semi_suppliers, Q_BLOOM_SEMI_SQL),
     }
 )
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Fixed-point integer PageRank over the bidirected customer-supplier
+    purchase graph (edges = distinct (custkey, suppkey) pairs through
+    orders x lineitem, both directions; supplier ids offset by 10M to keep
+    the node namespaces apart). The ONLY hash-exact-oracle-able PageRank:
+    all-integer arithmetic makes the result independent of summation
+    order, so DuckDB reproduces it bit for bit (ops/graph.py:pagerank_sql
+    unrolls the same recurrence as chained CTEs)."""
+    from ..ops.graph import pagerank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    edges = j.map_batches(
+        lambda b: pd.concat(
+            [
+                pd.DataFrame(
+                    {"src": b["o_custkey"], "dst": b["l_suppkey"] + 10_000_000}
+                ),
+                pd.DataFrame(
+                    {"src": b["l_suppkey"] + 10_000_000, "dst": b["o_custkey"]}
+                ),
+            ],
+            ignore_index=True,
+        ).astype({"src": "int64", "dst": "int64"}),
+        batch_format="pandas",
+    )
+    out = pagerank(edges, iters=10).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+from ..ops.graph import pagerank_sql as _pagerank_sql  # noqa: E402
+
+Q_PAGERANK_SQL = _pagerank_sql(
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    " UNION "
+    "SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
+    iters=10,
+)
+
+SQL_QUERIES["q_pagerank"] = (q_pagerank, Q_PAGERANK_SQL)

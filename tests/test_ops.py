@@ -855,3 +855,63 @@ def test_curation_stress_degenerate_cluster_and_head_key(ray_session):
     assert set(range(300)) <= kept  # the tail survives
     assert 1000 in kept  # one representative survives
     assert len(kept & set(range(1000, 1150))) == 150 - len(losers)
+
+
+def test_pagerank_integer_paths_agree(ray_session):
+    """Driver and distributed PageRank paths equal a plain-Python integer
+    reference on a random directed graph — bit-exact (all-int arithmetic),
+    and the SQL twin generator reproduces it in DuckDB."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.graph import pagerank, pagerank_sql
+
+    def ref_pr(edges, iters=10, scale=10**12, dn=17, dd=20):
+        edges = sorted(set(edges))
+        nodes = sorted({x for e in edges for x in e})
+        n = len(nodes)
+        out = {v: 0 for v in nodes}
+        for s, _ in edges:
+            out[s] += 1
+        base = ((dd - dn) * scale) // (dd * n)
+        r = {v: scale // n for v in nodes}
+        for _ in range(iters):
+            nxt = {v: base for v in nodes}
+            for s, d in edges:
+                nxt[d] += (dn * r[s]) // (dd * out[s])
+            r = nxt
+        return pd.DataFrame({"node": nodes, "rank": [r[v] for v in nodes]})
+
+    rng = np.random.RandomState(11)
+    E = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(300, 2)) if a != b]
+    eds = ray.data.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(4)
+    want = ref_pr(E)
+    got_drv = pagerank(eds).to_pandas().sort_values("node").reset_index(drop=True)
+    got_dist = (
+        pagerank(eds, broadcast_max_edges=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got_drv.equals(want)
+    assert got_dist.equals(want)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in sorted(set(E)))
+        + ") t(src,dst)"
+    )
+    exp = con.execute(pagerank_sql("SELECT DISTINCT src, dst FROM e")).df()
+    assert exp.astype({"node": "int64", "rank": "int64"}).equals(want)
+
+
+def test_pagerank_empty_edges(ray_session):
+    from ocds_entity_extract_ray.ops.graph import pagerank
+
+    eds = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+    )
+    out = pagerank(eds)
+    # NB: to_pandas() on a fully-empty Dataset drops columns (no blocks to
+    # concat) — the schema is the contract, as in the minhash empty test
+    assert out.schema().names == ["node", "rank"] and out.count() == 0
