@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q13_order_count_distribution",
     "q18_large_orders",
     "q_ngram_jaccard_pairs",
+    "q_salient_terms",
 ]
 
 

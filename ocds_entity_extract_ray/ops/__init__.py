@@ -44,6 +44,7 @@ from .textstats import (
     detect_lang,
     quality_stats,
     repetition_stats,
+    salient_terms,
     simhash64,
     token_count,
     winnowing_fingerprints,
@@ -87,6 +88,7 @@ __all__ = [
     "range_join",
     "resize_images",
     "repetition_stats",
+    "salient_terms",
     "sample_frames",
     "semi_join_filter",
     "sessionize",

@@ -196,3 +196,89 @@ def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
         return batch
 
     return ds.map_batches(sh, batch_format="pandas")
+
+
+def salient_terms(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_k: int = 3,
+    score_scale: int = 1_000_000,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """TF-IDF-style keyword extraction: the ``top_k`` most salient terms
+    per document, scored by the INTEGER ``(tf * score_scale) // df``
+    (term frequency in the doc over corpus document frequency). All-int
+    scoring + a total (score DESC, term ASC) order makes the result
+    deterministic and bitwise-reproducible in SQL — the float tf-idf log
+    formulation can't be hash-compared across engines.
+
+    Shape: per-batch vectorized (doc, term, tf) explode (NO shuffle — tf
+    is doc-local), then 2 bucketed shuffles of (doc, term, tf) int/str
+    rows: by term to count+attach df, by doc for the per-doc top-k. Rows
+    shuffled = distinct (doc, term) pairs, never documents. Output:
+    (doc_id, rank, term, tf, df)."""
+    from .agg import bucketed_map_groups
+
+    def explode_tf(b: pd.DataFrame) -> pd.DataFrame:
+        words = b.set_index(b[id_col])[text_col].str.lower().str.findall(
+            r"[a-z0-9]+"
+        )
+        ex = words.explode().dropna()
+        g = (
+            pd.DataFrame({id_col: ex.index, "term": ex.to_numpy()})
+            .groupby([id_col, "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return g.astype({id_col: "int64", "tf": "int64"})
+
+    tf_rows = ds.map_batches(explode_tf, batch_format="pandas")
+
+    empty_tf = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tf": pd.Series(dtype="int64"),
+        }
+    )
+    empty_df = empty_tf.assign(df=pd.Series(dtype="int64"))
+
+    def attach_df(bucket: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (doc, term), so df(term) == group size
+        out = bucket.copy()
+        out["df"] = out.groupby("term")["term"].transform("size").astype("int64")
+        return out
+
+    with_df = bucketed_map_groups(
+        tf_rows, "term", attach_df, num_buckets=num_buckets, empty_result=empty_df
+    )
+
+    empty_out = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tf": pd.Series(dtype="int64"),
+            "df": pd.Series(dtype="int64"),
+        }
+    )
+
+    def per_doc_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy()
+        b["_score"] = (b["tf"].to_numpy() * score_scale) // b["df"].to_numpy()
+        b = b.sort_values(
+            [id_col, "_score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        b["rank"] = b.groupby(id_col).cumcount() + 1
+        b = b[b["rank"] <= top_k]
+        return b[[id_col, "rank", "term", "tf", "df"]].astype(
+            {id_col: "int64", "rank": "int64", "tf": "int64", "df": "int64"}
+        )
+
+    return bucketed_map_groups(
+        with_df, id_col, per_doc_topk, num_buckets=num_buckets, empty_result=empty_out
+    )

@@ -2189,3 +2189,32 @@ Q_PAGERANK_SQL = _pagerank_sql(
 )
 
 SQL_QUERIES["q_pagerank"] = (q_pagerank, Q_PAGERANK_SQL)
+
+
+def q_salient_terms(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF-style keyword extraction: top-3 salient terms per document by
+    the integer score (tf * 1e6) // df (ops/textstats.py:salient_terms —
+    2 bucketed shuffles of (doc, term, tf) rows, tf computed map-side)."""
+    from ..ops.textstats import salient_terms
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = salient_terms(docs, top_k=3).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+# integer score + total (score DESC, term ASC) order -> deterministic,
+# engine-independent ranking (float log-idf could never hash-match)
+Q_SALIENT_TERMS_SQL = r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY (t.tf * 1000000) // d.df DESC, t.term ASC) AS rank
+  FROM tf t JOIN df d USING (term))
+SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+SQL_QUERIES["q_salient_terms"] = (q_salient_terms, Q_SALIENT_TERMS_SQL)

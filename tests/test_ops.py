@@ -915,3 +915,48 @@ def test_pagerank_empty_edges(ray_session):
     # NB: to_pandas() on a fully-empty Dataset drops columns (no blocks to
     # concat) — the schema is the contract, as in the minhash empty test
     assert out.schema().names == ["node", "rank"] and out.count() == 0
+
+
+def test_salient_terms_matches_bruteforce(ray_session):
+    """Integer tf-idf top-k per doc == a pandas single-process reference
+    (same score, same total order)."""
+    import re
+
+    from ocds_entity_extract_ray.ops.textstats import salient_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple banana apple cherry apple",
+                "banana cherry banana durian",
+                "unique words only here",
+                "",
+            ],
+        }
+    )
+    got = (
+        salient_terms(ray.data.from_pandas(docs).repartition(2), top_k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        c: dict = {}
+        for w in re.findall(r"[a-z0-9]+", text.lower()):
+            c[w] = c.get(w, 0) + 1
+        rows += [(did, t, n) for t, n in c.items()]
+    tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    df = tf.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+    j = tf.merge(df, on="term")
+    j["_s"] = (j["tf"] * 1_000_000) // j["df"]
+    j = j.sort_values(["doc_id", "_s", "term"], ascending=[True, False, True])
+    j["rank"] = j.groupby("doc_id").cumcount() + 1
+    want = (
+        j[j["rank"] <= 2][["doc_id", "rank", "term", "tf", "df"]]
+        .astype({"doc_id": "int64", "rank": "int64", "tf": "int64", "df": "int64"})
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert 4 not in set(got["doc_id"])  # empty doc emits no terms
