@@ -2218,3 +2218,62 @@ SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3 ORDER BY doc_id, r
 """
 
 SQL_QUERIES["q_salient_terms"] = (q_salient_terms, Q_SALIENT_TERMS_SQL)
+
+
+def q_pivot_segment_priority(sf_dir: str) -> pd.DataFrame:
+    """Pivot/crosstab: order counts by customer market segment (rows) x
+    order priority (columns). Map-side per-batch crosstab partials (each
+    batch emits at most one row per segment with 5 int columns), then one
+    tiny grouped sum — the wide shuffle carries ~25 rows total. The
+    customer dimension is broadcast-joined (ray.put once), never shuffled."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    )
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = ["n_p1", "n_p2", "n_p3", "n_p4", "n_p5"]
+
+    def crosstab(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.groupby(["c_mktsegment", "o_orderpriority"], as_index=False)
+            .size()
+            .pivot_table(
+                index="c_mktsegment",
+                columns="o_orderpriority",
+                values="size",
+                aggfunc="sum",
+                fill_value=0,
+            )
+        )
+        out = pd.DataFrame({"c_mktsegment": g.index})
+        for p, c in zip(prios, cols):
+            out[c] = (
+                g[p].to_numpy() if p in g.columns else np.zeros(len(g), dtype="int64")
+            )
+        return out.astype({c: "int64" for c in cols})
+
+    out = grouped_agg(
+        joined,
+        ["c_mktsegment"],
+        {c: (c, "sum") for c in cols},
+        pre=crosstab,
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q_PIVOT_SQL = """
+SELECT c_mktsegment,
+  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_p1,
+  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_p2,
+  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS n_p3,
+  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS n_p4,
+  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS n_p5
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+SQL_QUERIES["q_pivot_segment_priority"] = (q_pivot_segment_priority, Q_PIVOT_SQL)
