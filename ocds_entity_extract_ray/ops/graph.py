@@ -254,8 +254,24 @@ def pagerank(
             )
         )
 
-    # ---- distributed path -------------------------------------------------
-    # node list + outdeg (outdeg 0 for sink nodes), one-time
+    # ---- distributed path: BSP with edge shards pinned on actors ----------
+    # Ray Data has no iterate-in-place primitive, and re-shuffling the
+    # STATIC edge list every round (the union-loop shape components uses)
+    # would cost O(iters x edges) network. The canonical iterative-graph
+    # shape is bulk-synchronous instead: partition the edges ONCE onto
+    # shard actors (hash(src) % nb), then each round ships only node-sized
+    # rank frames in and (dst, contrib) int pieces out — the edges never
+    # move again. Driver holds ObjectRefs and scalars only. This is the
+    # documented drop-to-raw-actors case: per-round mutable state the
+    # Dataset API cannot keep in place.
+    import ray as _ray
+
+    # one shard actor per bucket: cap at the cluster's CPU count so the
+    # pool doesn't oversubscribe worker processes on small clusters
+    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+
+    # node -> outdeg (0 for sinks), via the Dataset API, then split into
+    # per-bucket frames WITHOUT a driver round-trip (num_returns fan-out)
     endpoints = dedup.map_batches(
         lambda b: pd.DataFrame(
             {
@@ -275,97 +291,97 @@ def pagerank(
         ["node"],
         {"deg": ("deg", "sum")},
         final="bucketed",
-        num_buckets=num_buckets,
+        num_buckets=nb,
         empty_result=empty_nd,
     ).materialize()
     n = meta.count()
     base = ((damp_den - damp_num) * scale) // (damp_den * n)
     r0 = scale // n
 
-    # state rows carry outdeg along so no per-iteration join is needed
-    state = meta.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b["node"], "rank": np.int64(r0), "deg": b["deg"]}
-        ).astype({"node": "int64", "rank": "int64", "deg": "int64"}),
-        batch_format="pandas",
-    ).materialize()
+    @_ray.remote
+    def _split(df: pd.DataFrame, col: str, cols: tuple):
+        if col not in df.columns:  # schema-less empty block (sparse bucket)
+            df = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        bkt = df[col].to_numpy() % nb
+        return tuple(df[bkt == b] for b in range(nb))
 
-    tagged_edges = dedup.map_batches(
-        lambda b: pd.DataFrame(
-            {"key": b["src"], "val": b["dst"], "kind": 1, "rank": 0, "deg": 0}
-        ).astype("int64"),
-        batch_format="pandas",
-    ).materialize()
+    # pieces[i][b]: block i's rows for bucket b — each edge/node row moves
+    # through the object store exactly once
+    edge_pieces = [
+        _split.options(num_returns=nb).remote(r, "src", ("src", "dst"))
+        for r in dedup.to_pandas_refs()
+    ]
+    rank_pieces = [
+        _split.options(num_returns=nb).remote(r, "node", ("node", "deg"))
+        for r in meta.to_pandas_refs()
+    ]
 
-    empty_contrib = pd.DataFrame(
-        {
-            "node": pd.Series(dtype="int64"),
-            "contrib": pd.Series(dtype="int64"),
-            "deg": pd.Series(dtype="int64"),
-        }
-    )
+    @_ray.remote
+    class _PRShard:
+        """Holds one src-bucket of edges for the whole job (loaded once,
+        pre-grouped by destination bucket)."""
 
-    def contribute(bucket: pd.DataFrame) -> pd.DataFrame:
-        st = bucket[bucket["kind"] == 0]
-        edg = bucket[bucket["kind"] == 1]
-        # own rows keep every node (and its outdeg) alive through the agg
-        own = pd.DataFrame(
-            {"node": st["key"].to_numpy(), "contrib": 0, "deg": st["deg"].to_numpy()}
+        def __init__(self, *parts):
+            e = pd.concat(parts, ignore_index=True)
+            e["_db"] = (e["dst"].to_numpy() % nb).astype("int64")
+            self.e = e
+
+        def contribs(self, ranks: pd.DataFrame):
+            j = self.e.merge(ranks, left_on="src", right_on="node")
+            out = pd.DataFrame(
+                {
+                    "dst": j["dst"].to_numpy(),
+                    "contrib": (damp_num * j["rank"].to_numpy())
+                    // (damp_den * j["deg"].to_numpy()),
+                    "_db": j["_db"].to_numpy(),
+                }
+            )
+            return tuple(
+                out.loc[out["_db"] == b, ["dst", "contrib"]] for b in range(nb)
+            )
+
+    shards = [
+        _PRShard.remote(*[edge_pieces[i][b] for i in range(len(edge_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote
+    def _init_rank(*parts):
+        m = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else empty_nd.copy()
         )
-        j = edg[["key", "val"]].merge(
-            st[["key", "rank", "deg"]].rename(columns={"deg": "_sd"}), on="key"
-        )
-        car = pd.DataFrame(
-            {
-                "node": j["val"].to_numpy(),
-                "contrib": (damp_num * j["rank"].to_numpy())
-                // (damp_den * j["_sd"].to_numpy()),
-                "deg": 0,
-            }
-        )
-        return pd.concat([own, car], ignore_index=True).astype(
-            {"node": "int64", "contrib": "int64", "deg": "int64"}
-        )
+        return m.assign(rank=np.int64(r0))[["node", "rank", "deg"]].astype("int64")
+
+    rank_refs = [
+        _init_rank.remote(*[rank_pieces[i][b] for i in range(len(rank_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote
+    def _reduce(prev: pd.DataFrame, *pieces):
+        allc = pd.concat(pieces, ignore_index=True)
+        s = allc.groupby("dst")["contrib"].sum()
+        out = prev.copy()
+        out["rank"] = base + out["node"].map(s).fillna(0).astype("int64")
+        return out[["node", "rank", "deg"]].astype("int64")
 
     for _ in range(iters):
-        tagged = state.map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "key": b["node"],
-                    "val": 0,
-                    "kind": 0,
-                    "rank": b["rank"],
-                    "deg": b["deg"],
-                }
-            ).astype("int64"),
-            batch_format="pandas",
-        )
-        # shuffle 1: co-locate edges with their source's rank
-        contrib = bucketed_map_groups(
-            tagged.union(tagged_edges),
-            "key",
-            contribute,
-            num_buckets=num_buckets,
-            empty_result=empty_contrib,
-        )
-        # shuffle 2: sum contributions per destination (+ recover outdeg
-        # from the own row via max — contribution rows carry 0)
-        agg = grouped_agg(
-            contrib,
-            ["node"],
-            {"contrib": ("contrib", "sum"), "deg": ("deg", "max")},
-            final="bucketed",
-            num_buckets=num_buckets,
-            empty_result=empty_contrib,
-        )
-        state = agg.map_batches(
-            lambda b: pd.DataFrame(
-                {"node": b["node"], "rank": base + b["contrib"], "deg": b["deg"]}
-            ).astype({"node": "int64", "rank": "int64", "deg": "int64"}),
-            batch_format="pandas",
-        ).materialize()
+        grid = [
+            shards[b].contribs.options(num_returns=nb).remote(rank_refs[b])
+            for b in range(nb)
+        ]
+        rank_refs = [
+            _reduce.remote(rank_refs[d], *[grid[b][d] for b in range(nb)])
+            for d in range(nb)
+        ]
 
-    return state.map_batches(
+    # NB: don't ray.kill the shards here — the final round's contribs
+    # calls may still be queued; the handles go out of scope on return and
+    # Ray reaps the actors once their pending calls drain.
+    out = ray.data.from_pandas_refs(rank_refs)
+    return out.map_batches(
         lambda b: b[["node", "rank"]].astype({"node": "int64", "rank": "int64"}),
         batch_format="pandas",
     )
