@@ -33,6 +33,8 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"RAWV":
         return "rawv"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -167,3 +169,123 @@ def resize_nearest(rgb: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     yi = (np.arange(target_h) * h) // target_h
     xi = (np.arange(target_w) * w) // target_w
     return rgb[yi[:, None], xi[None, :]]
+
+
+# --- PNG (8-bit RGB/RGBA, non-interlaced; stdlib zlib) ------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """HxWx3 (or HxWx4) uint8 -> PNG bytes (filter 0 rows, one IDAT)."""
+    import zlib
+
+    h, w, ch = rgb.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png expects RGB or RGBA")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters 0-4. Sub/Avg/Paeth are per-pixel sequential by
+    spec (each byte depends on the reconstructed left neighbour) — fine for
+    the fixture-scale images this kernel serves; None/Up rows vectorize."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraps, per spec (mod 256)
+        elif ft in (1, 3, 4):
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 1:  # Sub
+                    pr = a
+                elif ft == 3:  # Average
+                    pr = (a + b) >> 1
+                else:  # Paeth
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx3 uint8 RGB (8-bit truecolor RGB/RGBA only,
+    non-interlaced; alpha dropped). All five row filters supported."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = h = ch = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, colortype={ctype}, interlace={interlace})"
+                )
+            ch = 3 if ctype == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    return px[:, :, :3].copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch BMP/PPM/PNG decode by magic; raises NotImplementedError for
+    codecs this container genuinely cannot decode (JPEG etc. need PIL)."""
+    kind = sniff(payload or b"")
+    if kind == "bmp":
+        return decode_bmp(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    if kind == "png":
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"compressed image codec ({kind or 'unknown'}) requires PIL/"
+        "torchvision — not in this container (BMP/PPM/PNG decode natively)"
+    )

@@ -4,12 +4,13 @@ columns with typed metadata.
 Two decode modes per stage:
 - ``decode="fake"``: deterministic pure-python fake (hash-derived) — the
   plumbing-only mode.
-- ``decode="real"``: REAL decode kernels for uncompressed containers
-  (BMP / PPM images, PCM16 WAV audio, RAWV frame streams — pure
-  numpy+struct, see ops/codecs.py). ``NotImplementedError`` remains only
-  for genuinely compressed codecs (JPEG/PNG/MP3/H.264 — PIL/libav are
-  not in this container) and is raised at the dispatch point where those
-  libraries would plug in.
+- ``decode="real"``: REAL decode kernels (BMP / PPM / PNG images — PNG
+  via stdlib zlib incl. all five row filters, PCM16 WAV audio, RAWV frame
+  streams — pure numpy+struct+zlib, see ops/codecs.py).
+  ``NotImplementedError`` remains only for codecs that genuinely need
+  external libraries (JPEG/MP3/H.264 — PIL/libav are not in this
+  container) and is raised at the dispatch point where those would plug
+  in.
 
 The Ray side — actor-pool stage, batch sizing for large binaries, output
 schema — is identical in both modes and tested.
@@ -41,18 +42,8 @@ class ImageFeaturizer:
         if self.decode == "real":
             from . import codecs
 
-            payload = payload or b""
-            kind = codecs.sniff(payload)
-            if kind == "bmp":
-                rgb = codecs.decode_bmp(payload)
-            elif kind == "ppm":
-                rgb = codecs.decode_ppm(payload)
-            else:
-                raise NotImplementedError(
-                    f"compressed image codec ({kind or 'unknown'}) requires "
-                    "PIL/torchvision — not in this container; plug the real "
-                    "decoder here (BMP/PPM decode natively)"
-                )
+            # raises NotImplementedError for codecs needing PIL (JPEG...)
+            rgb = codecs.decode_image(payload or b"")
             # feature = dim-bin intensity histogram (density) — the
             # deterministic stand-in for a real embedding model's forward
             hist, _ = np.histogram(rgb, bins=self.dim, range=(0, 256))
@@ -126,19 +117,20 @@ class ImageResizer:
             from . import codecs
 
             kind = codecs.sniff(payload)
-            if kind == "bmp":
-                rgb = codecs.decode_bmp(payload)
-                return codecs.encode_bmp(
-                    codecs.resize_nearest(rgb, self.target_w, self.target_h)
+            encoders = {
+                "bmp": codecs.encode_bmp,
+                "ppm": codecs.encode_ppm,
+                "png": codecs.encode_png,
+            }
+            if kind not in encoders:
+                raise NotImplementedError(
+                    f"compressed image codec ({kind or 'unknown'}) requires "
+                    "PIL — not in this container; plug in here "
+                    "(BMP/PPM/PNG resize natively)"
                 )
-            if kind == "ppm":
-                rgb = codecs.decode_ppm(payload)
-                return codecs.encode_ppm(
-                    codecs.resize_nearest(rgb, self.target_w, self.target_h)
-                )
-            raise NotImplementedError(
-                f"compressed image codec ({kind or 'unknown'}) requires PIL — "
-                "not in this container; plug in here (BMP/PPM resize natively)"
+            rgb = codecs.decode_image(payload)
+            return encoders[kind](
+                codecs.resize_nearest(rgb, self.target_w, self.target_h)
             )
         w, h = (
             int(_json.loads(meta or "{}").get(d, 64)) for d in ("w", "h")

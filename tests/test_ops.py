@@ -960,3 +960,78 @@ def test_salient_terms_matches_bruteforce(ray_session):
     )
     assert got.equals(want)
     assert 4 not in set(got["doc_id"])  # empty doc emits no terms
+
+
+def test_png_codec_real_path(ray_session):
+    """PNG round-trip through stdlib zlib + the real featurize/resize path
+    (output stays PNG); unknown codecs still gate with NotImplementedError."""
+    from ocds_entity_extract_ray.ops.codecs import decode_png, encode_png, sniff
+    from ocds_entity_extract_ray.ops.multimodal import ImageFeaturizer, ImageResizer
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    b = encode_png(img)
+    assert sniff(b) == "png"
+    assert np.array_equal(decode_png(b), img)
+    # RGBA alpha dropped
+    rgba = rng.randint(0, 256, (5, 7, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba[:, :, :3])
+
+    feat = ImageFeaturizer(decode="real")._decode(b)
+    hist, _ = np.histogram(img, bins=16, range=(0, 256))
+    assert np.allclose(feat, hist / img.size)
+
+    rz = ImageResizer(target_w=4, target_h=4, decode="real")._resize(b, "{}")
+    assert sniff(rz) == "png"
+    assert decode_png(rz).shape == (4, 4, 3)
+
+
+def test_png_decode_all_filter_types(ray_session):
+    """Hand-built PNG exercising every row filter (None/Sub/Up/Avg/Paeth)
+    decodes to the original pixels."""
+    import struct
+    import zlib
+
+    from ocds_entity_extract_ray.ops.codecs import decode_png
+
+    rng = np.random.RandomState(7)
+    w, h, ch = 6, 5, 3
+    px = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    rows = []
+    prev = np.zeros(stride, np.uint8)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = px[y].reshape(-1)
+        enc = cur.copy()
+        for x in range(stride - 1, -1, -1):
+            a = int(cur[x - ch]) if x >= ch else 0
+            bb = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ft == 0:
+                pr = 0
+            elif ft == 1:
+                pr = a
+            elif ft == 2:
+                pr = bb
+            elif ft == 3:
+                pr = (a + bb) >> 1
+            else:
+                p = a + bb - c
+                pa, pb_, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pr = a if (pa <= pb_ and pa <= pc) else (bb if pb_ <= pc else c)
+            enc[x] = (int(cur[x]) - pr) & 0xFF
+        rows.append(bytes([ft]) + enc.tobytes())
+        prev = cur
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
