@@ -140,6 +140,67 @@ def _kg_degree_hist(sf_dir: str):
     return out.sort_values("pred").reset_index(drop=True)
 
 
+def _kg_entity_pagerank(sf_dir: str):
+    """Rows-only: entity importance over the produced KG — fixed-point
+    integer PageRank (ops/graph.py:pagerank, bit-deterministic) on the
+    membership-edge graph (E1-E6 predicates; subj/obj entity ids hashed
+    to int64 nodes, ranks joined back). Top-100 by (rank desc, entity)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocds_entity_extract_ray.extraction.triples import ROLE_PREDICATES
+    from ocds_entity_extract_ray.ops.graph import pagerank
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    clist, pidx = _kg_inputs()
+    entities = build_entities(
+        read_pages(pages_dir, columns=["url", "html"]), clist, pidx, num_buckets=64
+    )
+    triples = materialize_triples(entities)
+
+    preds = sorted(set(ROLE_PREDICATES.values()))
+
+    def _h(s: str) -> int:
+        # 63-bit (non-negative int64) stable hash of the entity id
+        return (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            >> 1
+        )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["pred"].isin(preds)]
+        return pd.DataFrame(
+            {
+                "src": [_h(x) for x in m["subj"]],
+                "dst": [_h(x) for x in m["obj"]],
+            }
+        ).astype({"src": "int64", "dst": "int64"})
+
+    def to_names(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["pred"].isin(preds)]
+        ids = pd.concat([m["subj"], m["obj"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame(
+            {"node": [_h(x) for x in ids], "entity": ids.to_numpy()}
+        ).astype({"node": "int64"})
+
+    ranks = pagerank(
+        triples.map_batches(to_edges, batch_format="pandas"), iters=10
+    ).to_pandas()
+    names = (
+        triples.map_batches(to_names, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates("node")
+    )
+    out = ranks.merge(names, on="node")[["entity", "rank"]]
+    out = out.sort_values(["rank", "entity"], ascending=[False, True]).head(100)
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocds_entity_extract_ray.pipelines.relational import (
         ROWS_ONLY_QUERIES,
@@ -154,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_triples_from_records"] = _kg_triples_from_records
     out["kg_text_hashes"] = _kg_text_hashes
     out["kg_degree_hist"] = _kg_degree_hist
+    out["kg_entity_pagerank"] = _kg_entity_pagerank
     return out
 
 

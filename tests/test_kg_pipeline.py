@@ -280,3 +280,20 @@ def test_kg_degree_hist_matches_oracle_rollup(ray_session):
         .astype({"n_triples": "int64", "n_subjects": "int64"})
     )
     pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
+
+
+def test_kg_entity_pagerank_deterministic(ray_session):
+    """Entity-importance PageRank over the KG membership graph: stable
+    across runs (integer arithmetic), hub entities (countries) rank top."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    q = e.queries()["kg_entity_pagerank"]
+    a = q("/root/testdata/sf0.001")
+    b = q("/root/testdata/sf0.001")
+    assert a.equals(b) and len(a) > 0
+    assert list(a.columns) == ["entity", "rank"]
+    assert a["rank"].is_monotonic_decreasing or len(a) == 1
+    assert a.iloc[0]["entity"] == "mx"  # the dominant membership hub
