@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q_ngram_jaccard_pairs",
     "q_salient_terms",
+    "q_contamination",
 ]
 
 

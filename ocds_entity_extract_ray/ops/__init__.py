@@ -4,6 +4,7 @@ processing operator the engine adds beyond the reference's KG pipeline."""
 from .agg import bucketed_map_groups, grouped_agg
 from .asof import asof_join
 from .dedup import (
+    contamination_counts,
     exact_dedup,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -52,6 +53,7 @@ from .textstats import (
 from .windows import sessionize, tumbling_window_agg
 
 __all__ = [
+    "contamination_counts",
     "add_langid",
     "add_repetition_stats",
     "add_simhash",

@@ -637,3 +637,36 @@ def simhash_dup_pairs(
         num_buckets=16,
         empty_result=empty_out,
     )
+
+
+def contamination_counts(
+    ds: ray.data.Dataset,
+    probe_shingles: set,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: per doc, how many of its word k-shingles
+    appear in the probe set (the benchmark / eval corpus shingles).
+
+    The probe set is benchmark-sized — small by definition — so it ships
+    once via ray.put and the scan is a pure map (ZERO shuffles) over the
+    corpus: the canonical broadcast-semi pattern. Output
+    (id, n_probe_hits int64)."""
+    import ray as _ray
+
+    from .joins import _fetch
+
+    ref = _ray.put(frozenset(probe_shingles))
+
+    def count_hits(b: pd.DataFrame) -> pd.DataFrame:
+        probe = _fetch(ref)
+        hits = [
+            len(shingles(t, k) & probe) for t in b[text_col]
+        ]
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "n_probe_hits": hits}).astype(
+            {id_col: "int64", "n_probe_hits": "int64"}
+        )
+
+    return ds.map_batches(count_hits, batch_format="pandas")

@@ -2277,3 +2277,40 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 SQL_QUERIES["q_pivot_segment_priority"] = (q_pivot_segment_priority, Q_PIVOT_SQL)
+
+
+def q_contamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: for every document, how many of its word
+    3-shingles appear in the 'benchmark' probe set (here: the shingles of
+    docs 0-9). The probe set is collected driver-side (benchmark-sized by
+    definition), broadcast once, and the corpus scan is a pure map — zero
+    shuffles (ops/dedup.py:contamination_counts)."""
+    from ..ops.dedup import contamination_counts, shingles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    probe_df = docs.map_batches(
+        lambda b: b[b["doc_id"] < 10], batch_format="pandas"
+    ).to_pandas()
+    probe: set = set()
+    for t in probe_df["text"]:
+        probe |= shingles(t, 3)
+    out = contamination_counts(docs, probe).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# same shingle CTE as the minhash oracle; probe = union of docs 0-9's
+# shingles as ONE list, hits = len(list_intersect(...)) — integer-exact
+Q_CONTAMINATION_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+       WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+  END AS s FROM w),
+probe AS (SELECT list_distinct(flatten(list(s))) AS pl FROM sh WHERE doc_id < 10)
+SELECT sh.doc_id, len(list_intersect(sh.s, probe.pl))::BIGINT AS n_probe_hits
+FROM sh CROSS JOIN probe ORDER BY sh.doc_id
+"""
+
+SQL_QUERIES["q_contamination"] = (q_contamination, Q_CONTAMINATION_SQL)

@@ -1035,3 +1035,27 @@ def test_png_decode_all_filter_types(ray_session):
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(payload), px)
+
+
+def test_contamination_counts(doc_corpus):
+    """Probe-overlap counts == per-doc set intersection computed serially;
+    exact dups of a probe doc hit every probe shingle."""
+    from ocds_entity_extract_ray.ops.dedup import contamination_counts, shingles
+
+    docs = doc_corpus.to_pandas()
+    probe = set()
+    for t in docs[docs["doc_id"] < 5]["text"]:
+        probe |= shingles(t, 3)
+    got = (
+        contamination_counts(doc_corpus, probe)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = {
+        did: len(shingles(t, 3) & probe)
+        for did, t in zip(docs["doc_id"], docs["text"])
+    }
+    assert dict(zip(got["doc_id"], got["n_probe_hits"])) == want
+    # doc 103 is an exact dup of probe doc 0 -> full overlap
+    assert want[103] == len(shingles(docs.loc[docs.doc_id.eq(0), "text"].iloc[0], 3))
