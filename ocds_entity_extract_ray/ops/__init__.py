@@ -22,7 +22,7 @@ from .joins import (
 from .multimodal import featurize_images, resize_images, sample_frames, transcribe_audio
 from .quantiles import approx_quantiles
 from .rangejoin import range_join
-from .sampling import hash_sample, stratified_hash_sample
+from .sampling import assign_splits, hash_sample, stratified_hash_sample
 from .scan import pack_documents
 from .similarity import (
     cosine_topk,
@@ -53,6 +53,7 @@ from .textstats import (
 from .windows import sessionize, tumbling_window_agg
 
 __all__ = [
+    "assign_splits",
     "contamination_counts",
     "add_langid",
     "add_repetition_stats",

@@ -78,3 +78,42 @@ def stratified_hash_sample(
         return batch[h < cuts]
 
     return ds.map_batches(flt, batch_format="pandas")
+
+
+def split_cut_ints(boundaries: list) -> list:
+    """Cumulative hash cut-points for assign_splits, as exact ints.
+    Computed ONCE here and embedded verbatim into any SQL twin, so the
+    two engines can never disagree through float-cumsum drift."""
+    cuts = []
+    cum = 0.0
+    for _name, frac in boundaries:
+        cum += frac
+        cuts.append(min(MOD, int(cum * MOD)))
+    cuts[-1] = MOD  # fractions sum to ~1.0; the last band takes the tail
+    return cuts
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    key_col: str,
+    boundaries: list | None = None,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from the same multiplicative hash the samplers use, so the assignment
+    is reproducible on any partitioning / rerun / engine (the canonical
+    dataset-split step of a training pipeline; one CASE expression of
+    SQL). ``boundaries`` = [(name, fraction), ...] in band order, default
+    80/10/10 train/val/test. Pure map, zero shuffles."""
+    boundaries = boundaries or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    names = [n for n, _ in boundaries]
+    cuts = np.array(split_cut_ints(boundaries), dtype=np.uint64)
+
+    def asg(batch: pd.DataFrame) -> pd.DataFrame:
+        k = _key_ints(batch[key_col].to_numpy()) % np.uint64(MOD)
+        h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+        idx = np.minimum(
+            np.searchsorted(cuts, h, side="right"), len(names) - 1
+        )
+        return batch.assign(split=np.array(names, dtype=object)[idx])
+
+    return ds.map_batches(asg, batch_format="pandas")

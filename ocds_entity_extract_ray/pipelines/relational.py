@@ -2314,3 +2314,49 @@ FROM sh CROSS JOIN probe ORDER BY sh.doc_id
 """
 
 SQL_QUERIES["q_contamination"] = (q_contamination, Q_CONTAMINATION_SQL)
+
+
+def q_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test split over documents (the
+    canonical dataset-split step): assign_splits adds the split column via
+    the shared multiplicative hash (pure map), then a 3-row grouped
+    rollup (n_docs + total chars per split)."""
+    from ..ops.sampling import assign_splits
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = assign_splits(docs, "doc_id")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(n_chars=b["text"].str.len().astype("int64"))[
+            ["split", "n_chars"]
+        ]
+
+    out = grouped_agg(
+        ds,
+        ["split"],
+        {"n_docs": ("split", "count"), "sum_chars": ("n_chars", "sum")},
+        pre=pre,
+    )
+    for c in ("n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def _split_sql() -> str:
+    from ..ops.sampling import KNUTH_MULT, MOD, split_cut_ints
+
+    cuts = split_cut_ints([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    h = f"((doc_id % {MOD})::UBIGINT * {KNUTH_MULT}) % {MOD}"
+    return f"""
+SELECT CASE WHEN {h} < {cuts[0]} THEN 'train'
+            WHEN {h} < {cuts[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(length(text))::BIGINT AS sum_chars
+FROM documents GROUP BY split ORDER BY split
+"""
+
+
+Q_SPLIT_SQL = _split_sql()
+
+SQL_QUERIES["q_split_counts"] = (q_split_counts, Q_SPLIT_SQL)

@@ -1059,3 +1059,35 @@ def test_contamination_counts(doc_corpus):
     assert dict(zip(got["doc_id"], got["n_probe_hits"])) == want
     # doc 103 is an exact dup of probe doc 0 -> full overlap
     assert want[103] == len(shingles(docs.loc[docs.doc_id.eq(0), "text"].iloc[0], 3))
+
+
+def test_assign_splits_deterministic(ray_session):
+    """Split assignment is partitioning-independent and reproducible; the
+    bands follow the shared multiplicative hash exactly."""
+    from ocds_entity_extract_ray.ops.sampling import (
+        KNUTH_MULT,
+        MOD,
+        assign_splits,
+        split_cut_ints,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype="int64")})
+    a = (
+        assign_splits(ray.data.from_pandas(df), "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        assign_splits(ray.data.from_pandas(df).repartition(7), "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    cuts = split_cut_ints([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    h = (df["doc_id"].to_numpy().astype("uint64") % MOD) * KNUTH_MULT % MOD
+    want = np.where(h < cuts[0], "train", np.where(h < cuts[1], "val", "test"))
+    assert list(a["split"]) == list(want)
+    vc = a["split"].value_counts()
+    assert vc["train"] > vc["val"] and vc["train"] > vc["test"]
