@@ -7,6 +7,7 @@ from .dedup import (
     contamination_counts,
     exact_dedup,
     exact_dup_groups,
+    fingerprint_overlap_pairs,
     minhash_lsh_pairs,
     ngram_jaccard,
     ngram_jaccard_pairs,
@@ -76,6 +77,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "exact_dedup",
     "exact_dup_groups",
+    "fingerprint_overlap_pairs",
     "featurize_images",
     "grouped_agg",
     "hash_join",

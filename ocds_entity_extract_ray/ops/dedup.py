@@ -670,3 +670,82 @@ def contamination_counts(
         )
 
     return ds.map_batches(count_hits, batch_format="pandas")
+
+
+def fingerprint_overlap_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_shared: int = 3,
+    k: int = 30,
+    window: int = 8,
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """MOSS-style exact-substring reuse detection: pairs of docs sharing
+    >= ``min_shared`` DISTINCT winnowing fingerprints (rolling k-char
+    hashes, min-in-window selection — ops/textstats.py), with the shared
+    count. Default k=30: a 30-char verbatim run is a strong reuse signal,
+    while short grams (k=8) are cross-doc boilerplate that degenerates
+    the inverted index (measured: 5.5M junk pairs at sf0.1). Shared fingerprints mean shared k-char substrings at sampled
+    positions, so a high count means long verbatim reuse (quotes,
+    boilerplate, plagiarized spans) even when the docs are NOT global
+    near-duplicates — the detector Jaccard-style dedup misses.
+
+    Shape: (fingerprint, id) int rows explode map-side (winnowing keeps
+    ~1/window of the grams), one bucketed shuffle on the fingerprint with
+    capped groups -> pair rows, one bucketed count per pair. The count is
+    itself the verdict (pure ints) — no text verify join, and the SQL twin
+    computes the identical integer, so the oracle is exact.
+    Output: (id_a, id_b, n_shared int64)."""
+    from .agg import bucketed_map_groups
+    from .textstats import winnowing_fingerprints
+
+    def to_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"fp": [], "_id": []}
+        for did, text in zip(b[id_col], b[text_col]):
+            for h in set(winnowing_fingerprints(text, k=k, window=window)):
+                # signed int64 view (md5-low64 values reach 2^64)
+                out["fp"].append(h - (1 << 64) if h >= (1 << 63) else h)
+                out["_id"].append(did)
+        return pd.DataFrame(out).astype({"fp": "int64", "_id": "int64"})
+
+    rows = ds.map_batches(to_rows, batch_format="pandas")
+
+    empty_pairs = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        cand = bucket[bucket.duplicated("fp", keep=False)]
+        parts = []
+        for _fp, grp in cand.groupby("fp", sort=False):
+            ids = np.unique(grp["_id"].to_numpy())
+            ids = _cap_group(ids, max_group_size, "fingerprint")
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not parts:
+            return empty_pairs.copy()
+        return pd.concat(parts, ignore_index=True).astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+
+    pairs = bucketed_map_groups(
+        rows, "fp", per_bucket, num_buckets=num_buckets, empty_result=empty_pairs
+    )
+
+    empty_out = _empty_pairs("n_shared", "int64")
+
+    def count_shared(b: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (pair, fingerprint) — distinct fps per doc
+        # map-side, group caps aside — so the group size IS the count
+        g = b.groupby(["id_a", "id_b"], as_index=False).size()
+        g = g[g["size"] >= min_shared].rename(columns={"size": "n_shared"})
+        return g.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
+
+    return bucketed_map_groups(
+        pairs, "id_a", count_shared, num_buckets=16, empty_result=empty_out
+    )

@@ -2360,3 +2360,44 @@ FROM documents GROUP BY split ORDER BY split
 Q_SPLIT_SQL = _split_sql()
 
 SQL_QUERIES["q_split_counts"] = (q_split_counts, Q_SPLIT_SQL)
+
+
+def q_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
+    """MOSS-style substring-reuse pairs: docs sharing >= 3 distinct
+    30-char winnowing fingerprints, with the shared count
+    (ops/dedup.py:fingerprint_overlap_pairs — catches verbatim span reuse
+    that global-Jaccard dedup misses)."""
+    from ..ops.dedup import fingerprint_overlap_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fingerprint_overlap_pairs(docs, min_shared=3).to_pandas()
+    cols = ["id_a", "id_b", "n_shared"]
+    out = out[cols] if len(out) else pd.DataFrame(columns=cols)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# same winnowing CTE as Q_FINGERPRINTS_SQL; the DISTINCT minima per doc
+# equal set(winnowing_fingerprints) (consecutive-dedup preserves the set),
+# and the shared-count is a pure integer -> exact both engines
+Q_FINGERPRINT_OVERLAP_SQL = r"""
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+grams AS (
+  SELECT doc_id, g.i AS i, md5_number_lower(substring(lt, g.i::INT, 30)) AS h
+  FROM t, UNNEST(generate_series(1, length(lt) - 29)) AS g(i)
+  WHERE length(lt) >= 30
+),
+winmin AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS g_cnt
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, m FROM winmin WHERE i <= greatest(g_cnt - 7, 1))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+SQL_QUERIES["q_fingerprint_overlap"] = (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL)

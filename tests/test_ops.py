@@ -1091,3 +1091,37 @@ def test_assign_splits_deterministic(ray_session):
     assert list(a["split"]) == list(want)
     vc = a["split"].value_counts()
     assert vc["train"] > vc["val"] and vc["train"] > vc["test"]
+
+
+def test_fingerprint_overlap_pairs(ray_session):
+    """Docs sharing a long verbatim span pair up with the exact shared-
+    fingerprint count; unrelated docs don't."""
+    from ocds_entity_extract_ray.ops.dedup import fingerprint_overlap_pairs
+    from ocds_entity_extract_ray.ops.textstats import winnowing_fingerprints
+
+    span = (
+        "this exact long boilerplate disclaimer paragraph is reused "
+        "verbatim across partner sites for compliance reasons and spans "
+        "well over a hundred characters of identical text content"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "intro alpha. " + span + " outro alpha.",
+                "different beginning here! " + span + " and a different end.",
+                "totally unrelated document with its own words and nothing shared",
+            ],
+        }
+    )
+    got = (
+        fingerprint_overlap_pairs(ray.data.from_pandas(docs), min_shared=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == [(1, 2)]
+    shared = set(winnowing_fingerprints(docs["text"][0], k=30, window=8)) & set(
+        winnowing_fingerprints(docs["text"][1], k=30, window=8)
+    )
+    assert got["n_shared"].iloc[0] == len(shared) >= 3
