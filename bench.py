@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "q_ngram_jaccard_pairs",
     "q_salient_terms",
     "q_contamination",
+    "q_pivot_segment_priority",
+    "q_split_counts",
+    "q_fingerprint_overlap",
 ]
 
 

@@ -1125,3 +1125,24 @@ def test_fingerprint_overlap_pairs(ray_session):
         winnowing_fingerprints(docs["text"][1], k=30, window=8)
     )
     assert got["n_shared"].iloc[0] == len(shared) >= 3
+
+
+def test_pagerank_bsp_matches_driver_on_larger_graph(ray_session):
+    """BSP actor-shard path == driver path on a 50k-edge random graph
+    (both all-int, so equality is bitwise)."""
+    from ocds_entity_extract_ray.ops.graph import pagerank
+
+    rng = np.random.RandomState(23)
+    E = pd.DataFrame(
+        rng.randint(0, 5000, size=(50_000, 2)), columns=["src", "dst"]
+    ).query("src != dst").astype("int64")
+    eds = ray.data.from_pandas(E).repartition(8)
+    drv = pagerank(eds, iters=6).to_pandas().sort_values("node").reset_index(drop=True)
+    bsp = (
+        pagerank(eds, iters=6, broadcast_max_edges=0, num_buckets=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert drv.equals(bsp)
+    assert len(drv) == 5000
