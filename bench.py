@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_pivot_segment_priority",
     "q_split_counts",
     "q_fingerprint_overlap",
+    "q_curation_v2",
 ]
 
 

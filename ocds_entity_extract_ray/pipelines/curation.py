@@ -142,3 +142,90 @@ def run_curation(
     part.write_parquet(out_dir, partition_cols=["pack_range"], mode="overwrite")
     m = mf.write_manifest(out_dir, fp, {"secs": round(time.monotonic() - t0, 3)})
     return {"resumed": False, "rows": m["total_rows"], "secs": round(time.monotonic() - t0, 3)}
+
+
+def curate_documents_v2(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_max_id: int = 10,
+    max_probe_hits: int = 5,
+    min_words: int = 20,
+    fp_min_shared: int = 3,
+) -> ray.data.Dataset:
+    """The round-3 curation chain — every stage a round-3 operator, the
+    whole thing under ONE composed oracle (Q_CURATION_V2_SQL):
+
+      documents
+        -> train split            (assign_splits, deterministic hash)
+        -> decontamination        (drop docs with >= max_probe_hits
+                                   shingles from the benchmark probe set
+                                   [docs 0..probe_max_id-1]; broadcast)
+        -> exact dedup            (content hash, keep min id)
+        -> quality filter         (>= min_words \\w+ words)
+        -> substring-reuse dedup  (fingerprint_overlap_pairs ->
+                                   connected components -> keep the
+                                   min-id representative)
+        -> salient-term annotation (integer tf-idf over the SURVIVOR
+                                   corpus — df changes as docs drop, so
+                                   this genuinely tests the composition)
+
+    Output: (doc_id, top_term, tf, df) for every surviving train doc."""
+    import re as _re
+
+    import ray as _ray
+
+    from ..ops.dedup import fingerprint_overlap_pairs, shingles
+    from ..ops.joins import _fetch
+    from ..ops.sampling import assign_splits
+    from ..ops.textstats import salient_terms
+
+    train = assign_splits(docs, id_col).map_batches(
+        lambda b: b[b["split"] == "train"][[id_col, text_col]],
+        batch_format="pandas",
+    )
+
+    # probe set from the FULL corpus (the benchmark includes held-out docs)
+    probe_df = docs.map_batches(
+        lambda b: b[b[id_col] < probe_max_id][[text_col]], batch_format="pandas"
+    ).to_pandas()
+    probe: set = set()
+    for t in probe_df[text_col]:
+        probe |= shingles(t, 3)
+    ref = _ray.put(frozenset(probe))
+
+    word_re = _re.compile(r"\w+", _re.UNICODE)
+
+    def decont_and_quality(b: pd.DataFrame) -> pd.DataFrame:
+        pr = _fetch(ref)
+        mask = np.empty(len(b), dtype=bool)
+        for i, t in enumerate(b[text_col]):
+            mask[i] = (
+                len(shingles(t, 3) & pr) < max_probe_hits
+                and len(word_re.findall((t or "").lower())) >= min_words
+            )
+        return b[mask]
+
+    clean = train.map_batches(decont_and_quality, batch_format="pandas")
+    deduped = exact_dedup(clean, text_col=text_col, id_col=id_col).materialize()
+
+    pairs = fingerprint_overlap_pairs(
+        deduped, text_col=text_col, id_col=id_col, min_shared=fp_min_shared
+    )
+    comp = connected_components(deduped, pairs, node_col=id_col)
+    loser_ids = near_dup_loser_ids(comp)
+    lref = _ray.put(loser_ids)
+
+    def drop_losers(b: pd.DataFrame) -> pd.DataFrame:
+        ids = _fetch(lref)
+        return b[~b[id_col].isin(ids)]
+
+    surv = deduped.map_batches(drop_losers, batch_format="pandas")
+    top = salient_terms(surv, text_col=text_col, id_col=id_col, top_k=1)
+    return top.map_batches(
+        lambda b: b[b["rank"] == 1][[id_col, "term", "tf", "df"]].rename(
+            columns={"term": "top_term"}
+        ),
+        batch_format="pandas",
+    )

@@ -2401,3 +2401,87 @@ ORDER BY id_a, id_b
 """
 
 SQL_QUERIES["q_fingerprint_overlap"] = (q_fingerprint_overlap, Q_FINGERPRINT_OVERLAP_SQL)
+
+
+def q_curation_v2(sf_dir: str) -> pd.DataFrame:
+    """Round-3 composed curation: train split -> decontamination -> exact
+    dedup -> quality filter -> substring-reuse cluster dedup -> tf-idf
+    top-term annotation over the survivors (pipelines/curation.py:
+    curate_documents_v2). ONE SQL oracle reproduces the whole chain."""
+    from .curation import curate_documents_v2
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = curate_documents_v2(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _curation_v2_sql() -> str:
+    from ..ops.sampling import KNUTH_MULT, MOD, split_cut_ints
+
+    cuts = split_cut_ints([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    h = f"((doc_id % {MOD})::UBIGINT * {KNUTH_MULT}) % {MOD}"
+    return (
+        r"""
+WITH RECURSIVE
+shw AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+shg AS (SELECT doc_id,
+  CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+       WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+  END AS s FROM shw),
+probe AS (SELECT list_distinct(flatten(list(s))) AS pl FROM shg WHERE doc_id < 10),
+cont AS (SELECT shg.doc_id, len(list_intersect(shg.s, probe.pl)) AS nh
+         FROM shg CROSS JOIN probe),
+s1 AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN cont USING (doc_id) JOIN shw USING (doc_id)
+  WHERE """
+        + f"{h} < {cuts[0]}"
+        + r"""
+    AND cont.nh < 5
+    AND len(shw.ws) >= 20
+),
+s2 AS (SELECT doc_id, text FROM s1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+t AS (SELECT doc_id, lower(text) AS lt FROM s2),
+grams AS (
+  SELECT doc_id, g.i AS i, md5_number_lower(substring(lt, g.i::INT, 30)) AS m30
+  FROM t, UNNEST(generate_series(1, length(lt) - 29)) AS g(i)
+  WHERE length(lt) >= 30
+),
+winmin AS (
+  SELECT doc_id, i,
+         MIN(m30) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS g_cnt
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, m FROM winmin WHERE i <= greatest(g_cnt - 7, 1)),
+fpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
+),
+edg AS (SELECT id_a AS a, id_b AS b FROM fpairs UNION ALL SELECT id_b, id_a FROM fpairs),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM s2
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edg e ON r.m = e.a
+),
+reps AS (SELECT n AS doc_id FROM (SELECT n, MIN(m) AS mn FROM reach GROUP BY n) WHERE n = mn),
+surv AS (SELECT s2.doc_id, s2.text FROM s2 JOIN reps USING (doc_id)),
+wrd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM surv),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM wrd GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+rk AS (SELECT t2.doc_id, t2.term, t2.tf, d2.df,
+              ROW_NUMBER() OVER (PARTITION BY t2.doc_id
+                                 ORDER BY (t2.tf * 1000000) // d2.df DESC, t2.term ASC) AS rn
+       FROM tf t2 JOIN df d2 USING (term))
+SELECT doc_id, term AS top_term, tf, df FROM rk WHERE rn = 1 ORDER BY doc_id
+"""
+    )
+
+
+Q_CURATION_V2_SQL = _curation_v2_sql()
+
+SQL_QUERIES["q_curation_v2"] = (q_curation_v2, Q_CURATION_V2_SQL)
