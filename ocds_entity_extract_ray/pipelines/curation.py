@@ -42,6 +42,45 @@ def near_dup_loser_ids(comp: ray.data.Dataset) -> frozenset:
     return frozenset(losers_df["node"].tolist())
 
 
+def drop_near_dup_losers(
+    deduped: ray.data.Dataset,
+    comp: ray.data.Dataset,
+    id_col: str = "doc_id",
+    *,
+    broadcast_max_losers: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Keep only cluster representatives: anti-filter the NON-rep nodes
+    out of ``deduped``. Adaptive like the dedup verify: the loser set is
+    duplicate-bounded (singletons label themselves), so it is usually
+    broadcast-small — ship a frozenset once, zero shuffles. But a
+    boilerplate-heavy web crawl can push the duplicate fraction toward
+    half the corpus, so above ``broadcast_max_losers`` the filter becomes
+    a distributed left_anti hash join and NOTHING id-shaped touches the
+    driver."""
+    losers = comp.map_batches(
+        lambda b: b[b["node"] != b["cluster_id"]][["node"]], batch_format="pandas"
+    ).materialize()
+    n = losers.count()
+    if n == 0:
+        return deduped
+    if n <= broadcast_max_losers:
+        import ray as _ray
+
+        from ..ops.joins import _fetch
+
+        ref = _ray.put(frozenset(losers.to_pandas()["node"].tolist()))
+
+        def drop(b: pd.DataFrame) -> pd.DataFrame:
+            ids = _fetch(ref)
+            return b[~b[id_col].isin(ids)]
+
+        return deduped.map_batches(drop, batch_format="pandas")
+
+    from ..ops.joins import hash_join
+
+    return hash_join(deduped, losers, "left_anti", on=(id_col,), right_on=("node",))
+
+
 def curate_documents(
     docs: ray.data.Dataset,
     *,
@@ -80,25 +119,11 @@ def curate_documents(
     )
     comp = connected_components(deduped, pairs, node_col=id_col)
     # keep representatives (node == component min) by dropping everything
-    # else. The broadcast set is the NON-representatives (node !=
-    # cluster_id): only nodes that sit in a multi-member near-dup cluster
-    # and lost — bounded by the DUPLICATE cardinality (itself bounded by
-    # the capped candidate-pair count), NOT the corpus. Broadcasting the
-    # rep set instead would ship every surviving doc id (singletons are
-    # their own reps) — a driver OOM at web scale.
-    loser_ids = near_dup_loser_ids(comp)
-
-    import ray as _ray
-
-    from ..ops.joins import _fetch
-
-    ref = _ray.put(loser_ids)
-
-    def drop_losers(b: pd.DataFrame) -> pd.DataFrame:
-        ids = _fetch(ref)
-        return b[~b[id_col].isin(ids)]
-
-    final_docs = deduped.map_batches(drop_losers, batch_format="pandas")
+    # else — adaptive: broadcast the duplicate-bounded loser set when
+    # small, distributed left_anti join when a dup-heavy crawl makes it
+    # large (drop_near_dup_losers). Broadcasting the REP set instead
+    # would ship every surviving doc id — a driver OOM at web scale.
+    final_docs = drop_near_dup_losers(deduped, comp, id_col)
     return pack_documents(
         final_docs, budget=pack_budget, id_col=id_col, text_col=text_col
     )
@@ -214,14 +239,7 @@ def curate_documents_v2(
         deduped, text_col=text_col, id_col=id_col, min_shared=fp_min_shared
     )
     comp = connected_components(deduped, pairs, node_col=id_col)
-    loser_ids = near_dup_loser_ids(comp)
-    lref = _ray.put(loser_ids)
-
-    def drop_losers(b: pd.DataFrame) -> pd.DataFrame:
-        ids = _fetch(lref)
-        return b[~b[id_col].isin(ids)]
-
-    surv = deduped.map_batches(drop_losers, batch_format="pandas")
+    surv = drop_near_dup_losers(deduped, comp, id_col)
     top = salient_terms(surv, text_col=text_col, id_col=id_col, top_k=1)
     return top.map_batches(
         lambda b: b[b["rank"] == 1][[id_col, "term", "tf", "df"]].rename(

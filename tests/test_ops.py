@@ -1146,3 +1146,27 @@ def test_pagerank_bsp_matches_driver_on_larger_graph(ray_session):
     )
     assert drv.equals(bsp)
     assert len(drv) == 5000
+
+
+def test_drop_near_dup_losers_distributed_branch(ray_session):
+    """broadcast_max_losers=0 forces the left_anti hash-join path; it must
+    keep exactly the same representatives as the broadcast filter."""
+    from ocds_entity_extract_ray.ops.graph import connected_components
+    from ocds_entity_extract_ray.pipelines.curation import drop_near_dup_losers
+
+    docs = pd.DataFrame({"doc_id": np.arange(50, dtype="int64"), "v": np.arange(50)})
+    nodes = ray.data.from_pandas(docs[["doc_id"]].rename(columns={"doc_id": "node"}))
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]}).astype("int64")
+    )
+    comp = connected_components(nodes, edges)
+    ds = ray.data.from_pandas(docs)
+    a = drop_near_dup_losers(ds, comp).to_pandas().sort_values("doc_id")
+    b = (
+        drop_near_dup_losers(ds, comp, broadcast_max_losers=0)
+        .to_pandas()[["doc_id", "v"]]
+        .sort_values("doc_id")
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    kept = set(a["doc_id"])
+    assert {2, 3, 11}.isdisjoint(kept) and {1, 10}.issubset(kept)
