@@ -364,7 +364,14 @@ def pagerank(
         allc = pd.concat(pieces, ignore_index=True)
         s = allc.groupby("dst")["contrib"].sum()
         out = prev.copy()
-        out["rank"] = base + out["node"].map(s).fillna(0).astype("int64")
+        # stay in int64 end to end: Series.map would widen to float64 for
+        # nodes with no contribution (NaN fill), silently corrupting low
+        # bits once rank sums pass 2^53 (large caller-supplied scale)
+        vals = np.zeros(len(out), dtype=np.int64)
+        pos = s.index.get_indexer(out["node"])
+        m = pos >= 0
+        vals[m] = s.to_numpy()[pos[m]]
+        out["rank"] = base + vals
         return out[["node", "rank", "deg"]].astype("int64")
 
     for _ in range(iters):

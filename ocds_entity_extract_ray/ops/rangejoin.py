@@ -68,25 +68,27 @@ def range_join(
         e = b[end_col].astype("datetime64[ns]").astype("int64").to_numpy()
         first_tb = s // width_ns
         n_span = (e - 1) // width_ns - first_tb  # buckets beyond the first
-        parts = []
-        # explode each range into EVERY bucket it overlaps: the loop runs
-        # to the batch's longest interval, but each row only survives the
-        # shifts it actually spans — shuffle cost stays proportional
-        for shift in range(int(n_span.max(initial=0)) + 1):
-            keep = n_span >= shift
-            out = pd.DataFrame(
-                {
-                    "_k": b[key_col].to_numpy()[keep],
-                    "_tb": (first_tb + shift)[keep],
-                    "_kind": 1,
-                    "_ts": s[keep],  # start rides in _ts, end in _te
-                    "_te": e[keep],
-                }
-            )
-            for c in range_cols:
-                out[f"r_{c}"] = b[c].to_numpy()[keep]
-            parts.append(out)
-        return pd.concat(parts, ignore_index=True)
+        # explode each range into EVERY bucket it overlaps with ONE
+        # np.repeat (work proportional to the OUTPUT row count): a
+        # per-shift loop over the whole batch would cost
+        # O(batch x longest_span) — one year-long outlier interval at 1h
+        # width would scan the batch 8,760 times
+        reps = np.maximum(n_span + 1, 0).astype(np.int64)  # [s,s) spans 0
+        idx = np.repeat(np.arange(len(b)), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        shift = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+        out = pd.DataFrame(
+            {
+                "_k": b[key_col].to_numpy()[idx],
+                "_tb": first_tb[idx] + shift,
+                "_kind": 1,
+                "_ts": s[idx],  # start rides in _ts, end in _te
+                "_te": e[idx],
+            }
+        )
+        for c in range_cols:
+            out[f"r_{c}"] = b[c].to_numpy()[idx]
+        return out
 
     p = points.map_batches(tag_points, batch_format="pandas").map_batches(
         lambda b: b.assign(_te=np.int64(0)), batch_format="pandas"

@@ -32,6 +32,14 @@ def _key_ints(keys) -> np.ndarray:
     arr = np.asarray(keys)
     if np.issubdtype(arr.dtype, np.integer):
         return arr.astype(np.uint64)
+    if arr.dtype == object and all(
+        isinstance(v, (int, np.integer)) and not isinstance(v, bool) for v in arr
+    ):
+        # integer keys that arrive as object dtype (nullable Int64 blocks,
+        # post-join upcasts) MUST take the integer route — falling through
+        # to crc32(str(v)) would silently select a different sample than
+        # the documented integer SQL-twin predicate
+        return arr.astype(np.int64).astype(np.uint64)
     return np.asarray(
         [zlib.crc32(str(v).encode()) for v in keys], dtype=np.uint64
     )

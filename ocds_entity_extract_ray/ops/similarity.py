@@ -334,9 +334,17 @@ def embedding_near_dup_pairs(
             batch_format="pandas",
         )
         bloom = bloom_build(cand_ids, "cid")
-        cand_vecs = bloom_semi_filter(
-            ds.map_batches(to_vec_bytes, batch_format="pandas"), bloom, id_col
+        # bloom-filter the RAW rows first, serialize only the survivors:
+        # to_vec_bytes is a per-row Python pass, and on this branch (huge
+        # corpora) nearly all rows are non-candidates
+        survivors = bloom_semi_filter(
+            ds.map_batches(
+                lambda b: b[[id_col, vec_col]], batch_format="pandas"
+            ),
+            bloom,
+            id_col,
         )
+        cand_vecs = survivors.map_batches(to_vec_bytes, batch_format="pandas")
 
     def verify_frame(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):

@@ -52,14 +52,20 @@ def heavy_hitters(
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         s = _mg_summary(batch[col].tolist(), k)
-        out = pd.DataFrame({"value": list(s.keys()), "count": list(s.values())})
-        # ride the block's row count along so n_total needs no second pass
-        # over the input (ds.count() would re-execute the whole upstream
-        # lineage when the caller hasn't materialized)
-        out["block_rows"] = 0
-        if len(out):
-            out.iloc[0, out.columns.get_loc("block_rows")] = len(batch)
-        return out
+        vals = list(s.keys())
+        cnts = list(s.values())
+        br = [0] * len(s)
+        if len(batch):
+            # dedicated count-carrier row (count 0 never moves the merge):
+            # rides the block's row count along so n_total needs no second
+            # pass over the input, and it exists even when the MG summary
+            # is EMPTY — decrement-all can evict every counter on a block
+            # of many distinct values, which previously lost those rows
+            # from n_total
+            vals.append(batch[col].iloc[0])
+            cnts.append(0)
+            br.append(len(batch))
+        return pd.DataFrame({"value": vals, "count": cnts, "block_rows": br})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     n_total = int(parts["block_rows"].sum()) if len(parts) else 0
@@ -71,7 +77,8 @@ def heavy_hitters(
         if len(parts)
         else pd.Series(dtype="int64")
     )
-    merged = {v: int(c) for v, c in summed.items()}
+    # drop pure carrier entries (real MG counters are always >= 1)
+    merged = {v: int(c) for v, c in summed.items() if int(c) > 0}
     if len(merged) > k:
         cut = sorted(merged.values(), reverse=True)[k]
         merged = {v: c - cut for v, c in merged.items() if c - cut > 0}

@@ -36,10 +36,16 @@ def near_dup_loser_ids(comp: ray.data.Dataset) -> frozenset:
     cluster dedup: its size equals the number of docs that actually lose to
     a cluster representative — duplicate-bounded, never corpus-bounded
     (singleton clusters contribute nothing because they label themselves)."""
-    losers_df = comp.map_batches(
+    return frozenset(_losers_ds(comp).to_pandas()["node"].tolist())
+
+
+def _losers_ds(comp: ray.data.Dataset) -> ray.data.Dataset:
+    """Non-representative nodes of a components labelling — THE definition
+    of the representative rule, shared by the test helper above and the
+    pipeline filter below so the two can't drift apart."""
+    return comp.map_batches(
         lambda b: b[b["node"] != b["cluster_id"]][["node"]], batch_format="pandas"
-    ).to_pandas()
-    return frozenset(losers_df["node"].tolist())
+    )
 
 
 def drop_near_dup_losers(
@@ -57,9 +63,7 @@ def drop_near_dup_losers(
     half the corpus, so above ``broadcast_max_losers`` the filter becomes
     a distributed left_anti hash join and NOTHING id-shaped touches the
     driver."""
-    losers = comp.map_batches(
-        lambda b: b[b["node"] != b["cluster_id"]][["node"]], batch_format="pandas"
-    ).materialize()
+    losers = _losers_ds(comp).materialize()
     n = losers.count()
     if n == 0:
         return deduped

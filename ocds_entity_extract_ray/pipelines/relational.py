@@ -2004,7 +2004,9 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         ["l_partkey"],
         {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
     )
-    cut = dict(zip(stats["l_partkey"], 0.2 * stats["sum_qty"] / stats["n"]))
+    # 0.2 * (sum/n), NOT (0.2*sum)/n: AVG divides first in the oracle and
+    # the two float orderings can differ by 1 ulp right at a boundary qty
+    cut = dict(zip(stats["l_partkey"], 0.2 * (stats["sum_qty"] / stats["n"])))
     import ray as _ray
 
     from ..ops.joins import _fetch

