@@ -74,8 +74,8 @@ def range_join(
         # O(batch x longest_span) — one year-long outlier interval at 1h
         # width would scan the batch 8,760 times
         reps = np.maximum(n_span + 1, 0).astype(np.int64)  # [s,s) spans 0
+        starts = np.cumsum(reps) - reps  # exclusive prefix sum, len-0 safe
         idx = np.repeat(np.arange(len(b)), reps)
-        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
         shift = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
         out = pd.DataFrame(
             {

@@ -32,14 +32,22 @@ def _key_ints(keys) -> np.ndarray:
     arr = np.asarray(keys)
     if np.issubdtype(arr.dtype, np.integer):
         return arr.astype(np.uint64)
-    if arr.dtype == object and all(
-        isinstance(v, (int, np.integer)) and not isinstance(v, bool) for v in arr
-    ):
-        # integer keys that arrive as object dtype (nullable Int64 blocks,
-        # post-join upcasts) MUST take the integer route — falling through
-        # to crc32(str(v)) would silently select a different sample than
-        # the documented integer SQL-twin predicate
-        return arr.astype(np.int64).astype(np.uint64)
+    if arr.dtype == object:
+        # route PER VALUE, never per batch: integer keys that arrive as
+        # object dtype (nullable Int64 blocks, post-join upcasts) take the
+        # integer route — v % 2^64 is exactly what int64->uint64 astype
+        # produces, incl. the negative wrap, and also handles ints >= 2^63
+        # without OverflowError — while non-int values in the SAME batch
+        # still crc32. A batch-level all()-gate would make a key's hash
+        # depend on which rows share its batch, breaking the documented
+        # any-partitioning determinism.
+        out = np.empty(len(arr), dtype=np.uint64)
+        for i, v in enumerate(arr):
+            if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+                out[i] = int(v) % (1 << 64)
+            else:
+                out[i] = zlib.crc32(str(v).encode())
+        return out
     return np.asarray(
         [zlib.crc32(str(v).encode()) for v in keys], dtype=np.uint64
     )

@@ -29,6 +29,37 @@ MENTION_SCHEMA = pa.schema(
 DEFAULT_NUM_BUCKETS = 64
 
 
+class _SizeCapReached(Exception):
+    pass
+
+
+class _CappedSink:
+    """File-like that aborts the pickler once ``cap`` bytes have passed."""
+
+    def __init__(self, cap: int):
+        self.n = 0
+        self.cap = cap
+
+    def write(self, b) -> int:
+        self.n += len(b)
+        if self.n > self.cap:
+            raise _SizeCapReached
+        return len(b)
+
+
+def _pickles_under(obj, cap: int) -> bool:
+    """True iff pickle(obj) is <= cap bytes — measured WITHOUT fully
+    serializing large objects (the pickler is aborted at the cap)."""
+    import pickle
+
+    sink = _CappedSink(cap)
+    try:
+        pickle.Pickler(sink, protocol=pickle.HIGHEST_PROTOCOL).dump(obj)
+    except _SizeCapReached:
+        return False
+    return True
+
+
 class MentionExtractor:
     """Actor-pool stage: pages batch -> partially-combined mention states."""
 
@@ -153,8 +184,6 @@ def extract_mentions(
       measured fastest (and beat the autoscaling pool) on this workload.
     """
     if compute == "actors":
-        import pickle
-
         import ray as _ray
 
         # Size-adaptive broadcast: small state (the common lookup-table
@@ -166,14 +195,12 @@ def extract_mentions(
         # arguments in the object store" notice is emitted for EVERY
         # actor-pool map_batches — it is Ray-internal and benign here
         # (the dataset plan owns the bundle for the job's lifetime).
-        # entry-count gate first so a genuinely large model/index is never
-        # pickled twice (once to measure, again inside ray.put); only
-        # plausibly-small state pays the (cheap) exact size check
-        n_entries = len(classifier_list or {}) + len(product_index or {})
-        small = n_entries <= 4096 and (
-            len(pickle.dumps(classifier_list)) + len(pickle.dumps(product_index))
-            <= 65536
-        )
+        # size probe with an early abort: a genuinely large model/index
+        # must not be fully pickled just to learn it's large (it gets
+        # serialized again inside ray.put) — the capped writer stops the
+        # pickler within one buffer of the threshold, whatever the entry
+        # count or per-entry payload size
+        small = _pickles_under((classifier_list, product_index), 65536)
         return ds.map_batches(
             MentionExtractor,
             fn_constructor_kwargs={
