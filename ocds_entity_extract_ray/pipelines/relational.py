@@ -2487,3 +2487,184 @@ SELECT doc_id, term AS top_term, tf, df FROM rk WHERE rn = 1 ORDER BY doc_id
 Q_CURATION_V2_SQL = _curation_v2_sql()
 
 SQL_QUERIES["q_curation_v2"] = (q_curation_v2, Q_CURATION_V2_SQL)
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """Q8-flavored national market share: of all MEDIUM-part volume sold to
+    AMERICA-region customers per order year, the fraction supplied by
+    NATION_3. Dimensions (part-type keyset, supplier nation, customer
+    region) broadcast; the one fact x fact edge is lineitem x orders. The
+    share divides the two CENT-quantized sums — identical integer operands
+    in both engines, so the ratio doubles compare bitwise."""
+    part = _small(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pk = set(
+        part.to_pandas().query("p_type == 'MEDIUM'")["p_partkey"].tolist()
+    )
+    nation = _small(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _small(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    america = set(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .query("r_name == 'AMERICA'")["n_nationkey"]
+        .tolist()
+    )
+    target_nk = set(nation.query("n_name == 'NATION_3'")["n_nationkey"].tolist())
+    sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_c = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+
+    import ray as _ray
+
+    from ..ops.joins import _fetch
+
+    ref = _ray.put((frozenset(pk), frozenset(america), frozenset(target_nk)))
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        pks, amer, tgt = _fetch(ref)
+        yr = b["o_orderdate"].dt.year
+        m = (
+            b["l_partkey"].isin(pks)
+            & b["c_nationkey"].isin(amer)
+            & yr.isin([1995, 1996])
+        )
+        b = b[m]
+        vol = b["l_extendedprice"] * (1 - b["l_discount"])
+        return pd.DataFrame(
+            {
+                "o_year": b["o_orderdate"].dt.year.astype("int64"),
+                "volume": vol,
+                "target_volume": vol.where(
+                    b["s_nationkey"].isin(tgt), 0.0
+                ),
+            }
+        )
+
+    out = grouped_agg(
+        joined,
+        ["o_year"],
+        {"volume": ("volume", "sum"), "target_volume": ("target_volume", "sum")},
+        pre=pre,
+    )
+    num = _round(out["target_volume"] * 100)
+    den = _round(out["volume"] * 100)
+    out = pd.DataFrame(
+        {
+            "o_year": out["o_year"].astype("int64"),
+            "mkt_share": num / den,
+        }
+    )
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+Q8_SQL = """
+WITH amer AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+),
+vol AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         CASE WHEN s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+              THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS target_volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'MEDIUM'
+    AND c_nationkey IN (SELECT n_nationkey FROM amer)
+    AND year(o_orderdate) IN (1995, 1996)
+)
+SELECT o_year,
+       ROUND(SUM(target_volume) * 100, 0) / ROUND(SUM(volume) * 100, 0) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+SQL_QUERIES["q8_market_share"] = (q8_market_share, Q8_SQL)
+
+
+def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Q21-flavored (adapted to this schema: 'late' = shipped more than 90
+    days after the order date — the synthetic lineitem has no
+    receipt/commit dates): suppliers from NATION_5 who, on a finished
+    multi-supplier order, were the ONLY late supplier. The EXISTS /
+    NOT-EXISTS pair becomes one bucketed per-order group: distinct
+    suppliers vs distinct late suppliers, all integer logic."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+    f_orders = orders.map_batches(
+        lambda b: b[b["o_orderstatus"] == "F"][["o_orderkey", "o_orderdate"]],
+        batch_format="pandas",
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = hash_join(li, f_orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        late = b["l_shipdate"] > (b["o_orderdate"] + pd.Timedelta(days=90))
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "l_suppkey": b["l_suppkey"].astype("int64"),
+                "late": late.astype("int64"),
+            }
+        ).drop_duplicates()
+
+    tagged = j.map_batches(tag, batch_format="pandas")
+
+    from ..ops.agg import bucketed_map_groups
+
+    empty_w = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64")})
+
+    def per_order(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _ok, grp in bucket.groupby("l_orderkey", sort=False):
+            supps = set(grp["l_suppkey"])
+            late = set(grp.loc[grp["late"] == 1, "l_suppkey"])
+            if len(supps) > 1 and len(late) == 1:
+                out.append(next(iter(late)))
+        return pd.DataFrame({"l_suppkey": pd.Series(out, dtype="int64")})
+
+    waiting = bucketed_map_groups(
+        tagged, "l_orderkey", per_order, num_buckets=16, empty_result=empty_w
+    )
+
+    sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+
+    counts = grouped_agg(waiting, ["l_suppkey"], {"numwait": ("l_suppkey", "count")})
+    out = counts.merge(sup[["s_suppkey", "s_name"]], left_on="l_suppkey", right_on="s_suppkey")
+    out["numwait"] = out["numwait"].astype("int64")
+    out = out.sort_values(["numwait", "s_name"], ascending=[False, True], kind="mergesort")
+    return out[["s_name", "numwait"]].head(100).reset_index(drop=True)
+
+
+Q21_SQL = """
+WITH tagged AS (
+  SELECT DISTINCT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY)::INT AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS the_late
+  FROM tagged GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*)::BIGINT AS numwait
+FROM per_order
+JOIN supplier ON the_late = s_suppkey
+WHERE n_supps > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+SQL_QUERIES["q21_waiting_suppliers"] = (q21_waiting_suppliers, Q21_SQL)
