@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q_split_counts",
     "q_fingerprint_overlap",
     "q_curation_v2",
+    "q8_market_share",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -2511,31 +2511,42 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
     sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     cust = _small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders_c = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
-    li = _read(
-        sf_dir,
-        "lineitem",
-        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-    li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
-    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
-
     import ray as _ray
 
     from ..ops.joins import _fetch
 
     ref = _ray.put((frozenset(pk), frozenset(america), frozenset(target_nk)))
 
-    def pre(b: pd.DataFrame) -> pd.DataFrame:
-        pks, amer, tgt = _fetch(ref)
-        yr = b["o_orderdate"].dt.year
-        m = (
-            b["l_partkey"].isin(pks)
+    # every filter runs BELOW the fact x fact join: the part-type keyset
+    # prunes lineitem (~1/3 survives) and the year + region predicates
+    # prune orders before anything shuffles
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_c = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def keep_orders(b: pd.DataFrame) -> pd.DataFrame:
+        _pks, amer, _tgt = _fetch(ref)
+        return b[
+            b["o_orderdate"].dt.year.isin([1995, 1996])
             & b["c_nationkey"].isin(amer)
-            & yr.isin([1995, 1996])
-        )
-        b = b[m]
+        ][["o_orderkey", "o_orderdate"]]
+
+    orders_f = orders_c.map_batches(keep_orders, batch_format="pandas")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def keep_li(b: pd.DataFrame) -> pd.DataFrame:
+        pks, _amer, _tgt = _fetch(ref)
+        return b[b["l_partkey"].isin(pks)].drop(columns=["l_partkey"])
+
+    li_f = li.map_batches(keep_li, batch_format="pandas")
+    li_s = broadcast_hash_join(li_f, sup, left_on="l_suppkey", right_on="s_suppkey")
+    joined = hash_join(li_s, orders_f, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        _pks, _amer, tgt = _fetch(ref)
         vol = b["l_extendedprice"] * (1 - b["l_discount"])
         return pd.DataFrame(
             {
@@ -2623,13 +2634,16 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     empty_w = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64")})
 
     def per_order(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _ok, grp in bucket.groupby("l_orderkey", sort=False):
-            supps = set(grp["l_suppkey"])
-            late = set(grp.loc[grp["late"] == 1, "l_suppkey"])
-            if len(supps) > 1 and len(late) == 1:
-                out.append(next(iter(late)))
-        return pd.DataFrame({"l_suppkey": pd.Series(out, dtype="int64")})
+        # tag() dedups per batch only; the same (order, supp, late) triple
+        # can arrive from several batches — dedup once per bucket, then
+        # the whole EXISTS/NOT-EXISTS logic is two vectorized groupbys
+        b = bucket.drop_duplicates(["l_orderkey", "l_suppkey", "late"])
+        n_supps = b.groupby("l_orderkey")["l_suppkey"].nunique()
+        lt = b[b["late"] == 1]
+        gl = lt.groupby("l_orderkey")["l_suppkey"].agg(["count", "first"])
+        m = gl[gl["count"] == 1].join(n_supps.rename("n_supps"))
+        m = m[m["n_supps"] > 1]
+        return pd.DataFrame({"l_suppkey": m["first"].astype("int64").to_numpy()})
 
     waiting = bucketed_map_groups(
         tagged, "l_orderkey", per_order, num_buckets=16, empty_result=empty_w
