@@ -2682,3 +2682,99 @@ LIMIT 100
 """
 
 SQL_QUERIES["q21_waiting_suppliers"] = (q21_waiting_suppliers, Q21_SQL)
+
+
+def q_json_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured column processing: parse the events table's JSON
+    ``props`` column per batch and aggregate the extracted integer field
+    by event type (count / sum / min / max — all ints, exact). The JSON
+    parse is the map stage a web-scale metadata/sidecar column needs; the
+    aggregation is the standard two-stage combine."""
+    import json as _json
+
+    events = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        ks = np.fromiter(
+            (int(_json.loads(p)["k"]) for p in b["props"]),
+            dtype=np.int64,
+            count=len(b),
+        )
+        return pd.DataFrame({"event_type": b["event_type"].to_numpy(), "k": ks})
+
+    out = grouped_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": ("k", "count"),
+            "sum_k": ("k", "sum"),
+            "min_k": ("k", "min"),
+            "max_k": ("k", "max"),
+        },
+        pre=pre,
+    )
+    for c in ("n_events", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_JSON_PROPS_SQL = r"""
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       MIN(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       MAX(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+SQL_QUERIES["q_json_props_stats"] = (q_json_props_stats, Q_JSON_PROPS_SQL)
+
+
+def q_source_dup_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-crawl-source duplication profile: docs, distinct texts, and
+    exact-dup count per source — the report that decides which crawl
+    sources are boilerplate factories. Distinct texts via (source,
+    content-hash) rows through one bucketed dedup; counts are integers,
+    so the oracle (COUNT(DISTINCT text)) is exact."""
+    from ..ops.agg import bucketed_map_groups
+    from ..ops.dedup import text_hash
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    hashed = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"source": b["source"].to_numpy(), "_h": b["text"].map(text_hash)}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    empty_sh = pd.DataFrame(
+        {"source": pd.Series(dtype="object"), "_h": pd.Series(dtype="object")}
+    )
+    distinct = bucketed_map_groups(
+        hashed,
+        "_h",
+        lambda b: b.drop_duplicates(["source", "_h"]),
+        num_buckets=16,
+        empty_result=empty_sh,
+    )
+    n_distinct = grouped_agg(distinct, ["source"], {"n_distinct": ("_h", "count")})
+    n_docs = grouped_agg(docs, ["source"], {"n_docs": ("source", "count")})
+    out = n_docs.merge(n_distinct, on="source")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["n_dups"] = (out["n_docs"] - out["n_distinct"]).astype("int64")
+    return (
+        out[["source", "n_docs", "n_distinct", "n_dups"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+Q_SOURCE_DUP_SQL = """
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT text)::BIGINT AS n_distinct,
+       (COUNT(*) - COUNT(DISTINCT text))::BIGINT AS n_dups
+FROM documents GROUP BY source ORDER BY source
+"""
+
+SQL_QUERIES["q_source_dup_profile"] = (q_source_dup_profile, Q_SOURCE_DUP_SQL)
