@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q_curation_v2",
     "q8_market_share",
     "q21_waiting_suppliers",
+    "q_json_props_stats",
+    "q_source_dup_profile",
 ]
 
 

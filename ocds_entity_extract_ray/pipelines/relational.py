@@ -2494,8 +2494,12 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
     AMERICA-region customers per order year, the fraction supplied by
     NATION_3. Dimensions (part-type keyset, supplier nation, customer
     region) broadcast; the one fact x fact edge is lineitem x orders. The
-    share divides the two CENT-quantized sums — identical integer operands
-    in both engines, so the ratio doubles compare bitwise."""
+    volume is quantized PER ROW to integers (price cents x (100 - discount
+    percent) — both columns are exact 2-decimal, so the rounding is
+    boundary-free), summed as int64, and the share divides the two integer
+    sums: bitwise-identical in both engines. Rounding an aggregated float
+    sum instead would sit on .5 boundaries and flip with summation order
+    (the repo's float-discipline rule)."""
     part = _small(sf_dir, "part", columns=["p_partkey", "p_type"])
     pk = set(
         part.to_pandas().query("p_type == 'MEDIUM'")["p_partkey"].tolist()
@@ -2509,51 +2513,54 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
     )
     target_nk = set(nation.query("n_name == 'NATION_3'")["n_nationkey"].tolist())
     sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_df = _small(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    amer_cust = frozenset(
+        cust_df[cust_df["c_nationkey"].isin(america)]["c_custkey"].tolist()
+    )
 
     import ray as _ray
 
-    from ..ops.joins import _fetch
-
-    ref = _ray.put((frozenset(pk), frozenset(america), frozenset(target_nk)))
+    from ..ops.joins import _fetch, semi_join_filter
 
     # every filter runs BELOW the fact x fact join: the part-type keyset
-    # prunes lineitem (~1/3 survives) and the year + region predicates
-    # prune orders before anything shuffles
+    # semi-filters lineitem (~1/3 survives) and the year predicate + the
+    # AMERICA-customer keyset prune orders before anything shuffles (no
+    # customer merge at all — the nation key was only ever a predicate)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders_c = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
-
-    def keep_orders(b: pd.DataFrame) -> pd.DataFrame:
-        _pks, amer, _tgt = _fetch(ref)
-        return b[
-            b["o_orderdate"].dt.year.isin([1995, 1996])
-            & b["c_nationkey"].isin(amer)
-        ][["o_orderkey", "o_orderdate"]]
-
-    orders_f = orders_c.map_batches(keep_orders, batch_format="pandas")
+    orders_y = orders.map_batches(
+        lambda b: b[b["o_orderdate"].dt.year.isin([1995, 1996])],
+        batch_format="pandas",
+    )
+    orders_f = semi_join_filter(orders_y, amer_cust, "o_custkey").map_batches(
+        lambda b: b[["o_orderkey", "o_orderdate"]], batch_format="pandas"
+    )
     li = _read(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-
-    def keep_li(b: pd.DataFrame) -> pd.DataFrame:
-        pks, _amer, _tgt = _fetch(ref)
-        return b[b["l_partkey"].isin(pks)].drop(columns=["l_partkey"])
-
-    li_f = li.map_batches(keep_li, batch_format="pandas")
+    li_f = semi_join_filter(li, frozenset(pk), "l_partkey").map_batches(
+        lambda b: b.drop(columns=["l_partkey"]), batch_format="pandas"
+    )
     li_s = broadcast_hash_join(li_f, sup, left_on="l_suppkey", right_on="s_suppkey")
     joined = hash_join(li_s, orders_f, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
+    tref = _ray.put(frozenset(target_nk))
+
     def pre(b: pd.DataFrame) -> pd.DataFrame:
-        _pks, _amer, tgt = _fetch(ref)
-        vol = b["l_extendedprice"] * (1 - b["l_discount"])
+        tgt = _fetch(tref)
+        # boundary-free per-row integer quantization: cents x percent
+        vol = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64) * (
+            100 - np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        )
         return pd.DataFrame(
             {
                 "o_year": b["o_orderdate"].dt.year.astype("int64"),
                 "volume": vol,
-                "target_volume": vol.where(
-                    b["s_nationkey"].isin(tgt), 0.0
+                "target_volume": np.where(
+                    b["s_nationkey"].isin(tgt).to_numpy(), vol, 0
                 ),
             }
         )
@@ -2564,12 +2571,11 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         {"volume": ("volume", "sum"), "target_volume": ("target_volume", "sum")},
         pre=pre,
     )
-    num = _round(out["target_volume"] * 100)
-    den = _round(out["volume"] * 100)
     out = pd.DataFrame(
         {
             "o_year": out["o_year"].astype("int64"),
-            "mkt_share": num / den,
+            "mkt_share": out["target_volume"].astype("int64")
+            / out["volume"].astype("int64"),
         }
     )
     return out.sort_values("o_year").reset_index(drop=True)
@@ -2582,9 +2588,12 @@ WITH amer AS (
 ),
 vol AS (
   SELECT year(o_orderdate)::BIGINT AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         ROUND(l_extendedprice * 100, 0)::BIGINT
+           * (100 - ROUND(l_discount * 100, 0)::BIGINT) AS volume,
          CASE WHEN s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
-              THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS target_volume
+              THEN ROUND(l_extendedprice * 100, 0)::BIGINT
+                     * (100 - ROUND(l_discount * 100, 0)::BIGINT)
+              ELSE 0 END AS target_volume
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN orders ON l_orderkey = o_orderkey
@@ -2595,7 +2604,7 @@ vol AS (
     AND year(o_orderdate) IN (1995, 1996)
 )
 SELECT o_year,
-       ROUND(SUM(target_volume) * 100, 0) / ROUND(SUM(volume) * 100, 0) AS mkt_share
+       SUM(target_volume)::BIGINT / SUM(volume)::BIGINT AS mkt_share
 FROM vol GROUP BY o_year ORDER BY o_year
 """
 
@@ -2605,8 +2614,9 @@ SQL_QUERIES["q8_market_share"] = (q8_market_share, Q8_SQL)
 def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     """Q21-flavored (adapted to this schema: 'late' = shipped more than 90
     days after the order date — the synthetic lineitem has no
-    receipt/commit dates): suppliers from NATION_5 who, on a finished
-    multi-supplier order, were the ONLY late supplier. The EXISTS /
+    receipt/commit dates): suppliers who, on a finished multi-supplier
+    order, were the ONLY late supplier — top-100 by incident count,
+    across all nations. The EXISTS /
     NOT-EXISTS pair becomes one bucketed per-order group: distinct
     suppliers vs distinct late suppliers, all integer logic."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
@@ -2757,7 +2767,10 @@ def q_source_dup_profile(sf_dir: str) -> pd.DataFrame:
         empty_result=empty_sh,
     )
     n_distinct = grouped_agg(distinct, ["source"], {"n_distinct": ("_h", "count")})
-    n_docs = grouped_agg(docs, ["source"], {"n_docs": ("source", "count")})
+    # separate column-pruned read for the count leg: re-consuming ``docs``
+    # would re-read and decode the text payload just to count rows
+    src_only = _read(sf_dir, "documents", columns=["source"])
+    n_docs = grouped_agg(src_only, ["source"], {"n_docs": ("source", "count")})
     out = n_docs.merge(n_distinct, on="source")
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_distinct"] = out["n_distinct"].astype("int64")
