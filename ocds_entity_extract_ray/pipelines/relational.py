@@ -62,6 +62,29 @@ def _round(x, decimals: int = 0):
     return float(np.sign(x) * np.floor(abs(x) * scale + 0.5) / scale)
 
 
+def _cents(col) -> np.ndarray:
+    """Exact-2-decimal column -> int64 cents (rint is boundary-free here:
+    the float is within 1e-10 of an integer/100)."""
+    return np.rint(np.asarray(col, dtype=np.float64) * 100).astype(np.int64)
+
+
+def _int_rev(price, disc) -> np.ndarray:
+    """PER-ROW integer-quantized revenue: price_cents x (100 - disc_pct),
+    scale 1e4 of currency units. Summation-order independent, so revenue
+    aggregates are bitwise-identical in any engine. Rounding the
+    AGGREGATED float sum instead is NOT safe: a 4-decimal product sum can
+    land exactly on the .5 rounding boundary and flip with summation
+    order (a q7 group measured 1.2e-10 from the boundary at sf0.01)."""
+    return _cents(price) * (100 - _cents(disc))
+
+
+# the SQL twin of _int_rev
+_SQL_INT_REV = (
+    "ROUND(l_extendedprice * 100, 0)::BIGINT"
+    " * (100 - ROUND(l_discount * 100, 0)::BIGINT)"
+)
+
+
 # --- TPC-H-flavored ----------------------------------------------------------
 
 
@@ -82,8 +105,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-02")].copy()
-        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
-        b["charge"] = b["disc_price"] * (1 + b["l_tax"])
+        pc, dp, tp = _cents(b["l_extendedprice"]), _cents(b["l_discount"]), _cents(b["l_tax"])
+        b["l_quantity"] = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        b["l_extendedprice"] = pc  # base price in cents
+        b["disc_price"] = pc * (100 - dp)
+        b["charge"] = pc * (100 - dp) * (100 + tp)
         return b
 
     out = grouped_agg(
@@ -99,7 +125,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         pre=derive,
     )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        out[c] = _round(out[c])
+        out[c] = out[c].astype("int64")
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     out["count_order"] = out["count_order"].astype("int64")
     return out
@@ -107,12 +133,12 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 0) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 0) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
+       SUM(ROUND(l_quantity, 0)::BIGINT)::BIGINT AS sum_qty,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_base_price,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS sum_disc_price,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT) * (100 + ROUND(l_tax * 100, 0)::BIGINT))::BIGINT AS sum_charge,
        COUNT(*)::BIGINT AS count_order,
-       ROUND(SUM(l_quantity), 0) / COUNT(*) AS avg_qty
+       SUM(ROUND(l_quantity, 0)::BIGINT)::BIGINT / COUNT(*) AS avg_qty
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
@@ -139,7 +165,7 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
 
     def f_li(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] > pd.Timestamp("1998-01-01")].copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["l_orderkey", "revenue"]]
 
     li_f = li.map_batches(f_li, batch_format="pandas")
@@ -157,14 +183,14 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
             {
                 "l_orderkey": pd.Series(dtype="int64"),
                 "o_orderdate": pd.Series(dtype="datetime64[ns]"),
-                "revenue": pd.Series(dtype="float64"),
+                "revenue": pd.Series(dtype="int64"),
             }
         ),
     )
 
     def topk(bucket: pd.DataFrame) -> pd.DataFrame:
         bucket = bucket.copy()
-        bucket["revenue"] = _round(bucket["revenue"])
+        bucket["revenue"] = bucket["revenue"].astype("int64")
         return bucket.sort_values(
             ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
         ).head(10)
@@ -177,7 +203,8 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
 
 
 Q3_SQL = """
-SELECT l_orderkey, o_orderdate, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+SELECT l_orderkey, o_orderdate,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -218,7 +245,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     def f_same_nation(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["s_nationkey"] == b["c_nationkey"]].copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["s_nationkey", "revenue"]]
 
     per_nation = grouped_agg(
@@ -227,12 +254,13 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     out = per_nation.merge(nr, left_on="s_nationkey", right_on="n_nationkey")[
         ["n_name", "revenue"]
     ]
-    out["revenue"] = _round(out["revenue"])
+    out["revenue"] = out["revenue"].astype("int64")
     return out.sort_values("n_name").reset_index(drop=True)
 
 
 Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+SELECT n_name,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -258,17 +286,17 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
             & (b["l_quantity"] < 24)
         )
         b = b[m].copy()
-        b["revenue"] = b["l_extendedprice"] * b["l_discount"]
+        b["revenue"] = _cents(b["l_extendedprice"]) * _cents(b["l_discount"])
         return b[["revenue"]]
 
     parts = ds.map_batches(
         lambda b: pd.DataFrame({"revenue": [f(b)["revenue"].sum()]}), batch_format="pandas"
     ).to_pandas()
-    return pd.DataFrame({"revenue": [_round(float(parts["revenue"].sum()))]})
+    return pd.DataFrame({"revenue": [int(parts["revenue"].sum())]})
 
 
 Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 0) AS revenue
+SELECT SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * ROUND(l_discount * 100, 0)::BIGINT)::BIGINT AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -300,7 +328,7 @@ def q_top_suppliers(sf_dir: str) -> pd.DataFrame:
 
     def rev(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["l_suppkey", "revenue"]]
 
     agg = grouped_agg(li, ["l_suppkey"], {"revenue": ("revenue", "sum")}, pre=rev)
@@ -308,7 +336,7 @@ def q_top_suppliers(sf_dir: str) -> pd.DataFrame:
     out = agg.merge(sup, left_on="l_suppkey", right_on="s_suppkey")[
         ["s_suppkey", "s_name", "revenue"]
     ]
-    out["revenue"] = _round(out["revenue"])
+    out["revenue"] = out["revenue"].astype("int64")
     return (
         out.sort_values(["revenue", "s_suppkey"], ascending=[False, True])
         .head(5)
@@ -317,7 +345,8 @@ def q_top_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 Q_TOP_SUPPLIERS_SQL = """
-SELECT s_suppkey, s_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+SELECT s_suppkey, s_name,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_suppkey, s_name ORDER BY revenue DESC, s_suppkey LIMIT 5
 """
@@ -1128,7 +1157,7 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["ship_year"] = b["l_shipdate"].dt.year.astype("int64")
-        b["volume"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["volume"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["s_nationkey", "c_nationkey", "ship_year", "volume"]]
 
     out = grouped_agg(
@@ -1137,14 +1166,14 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
         {"volume": ("volume", "sum"), "n_items": ("volume", "count")},
         pre=pre,
     )
-    out["volume"] = _round(out["volume"])
+    out["volume"] = out["volume"].astype("int64")
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values(["s_nationkey", "c_nationkey", "ship_year"]).reset_index(drop=True)
 
 
 Q7_SQL = """
 SELECT s_nationkey, c_nationkey, year(l_shipdate)::BIGINT AS ship_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS volume,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS volume,
        COUNT(*)::BIGINT AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -1165,7 +1194,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
     def pre_li(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_returnflag"] == "R"].copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["l_orderkey", "revenue"]]
 
     li_r = li.map_batches(pre_li, batch_format="pandas")
@@ -1180,13 +1209,13 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         final="bucketed",
         num_buckets=16,
         empty_result=pd.DataFrame(
-            {"o_custkey": pd.Series(dtype="int64"), "revenue": pd.Series(dtype="float64")}
+            {"o_custkey": pd.Series(dtype="int64"), "revenue": pd.Series(dtype="int64")}
         ),
     )
 
     def topk(bucket: pd.DataFrame) -> pd.DataFrame:
         bucket = bucket.copy()
-        bucket["revenue"] = _round(bucket["revenue"])
+        bucket["revenue"] = bucket["revenue"].astype("int64")
         return bucket.sort_values(
             ["revenue", "o_custkey"], ascending=[False, True], kind="mergesort"
         ).head(20)
@@ -1200,7 +1229,8 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 Q10_SQL = """
-SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
+SELECT c_custkey, c_name,
+       SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE l_returnflag = 'R'
@@ -1400,8 +1430,8 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     """Q14-flavored: share of revenue from PROMO parts in a ship-date
-    window — the CASE-sum-over-join + global-ratio pattern. Ratio divides
-    the two ROUNDED cent sums, so both engines divide identical ints."""
+    window — the CASE-sum-over-join + global-ratio pattern. Revenue is
+    quantized per row to ints, so both engines divide identical sums."""
     part = _small(sf_dir, "part", columns=["p_partkey", "p_type"])
     li = _read(
         sf_dir, "lineitem",
@@ -1413,7 +1443,7 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
             (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
             & (b["l_shipdate"] < pd.Timestamp("1997-01-01"))
         ].copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["l_partkey", "revenue"]]
 
     joined = broadcast_hash_join(
@@ -1431,22 +1461,23 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     parts = joined.map_batches(split, batch_format="pandas").to_pandas()
-    promo_cents = _round(float(parts["promo_rev"].sum()) * 100)
-    total_cents = _round(float(parts["total_rev"].sum()) * 100)
+    promo_i = int(parts["promo_rev"].sum())
+    total_i = int(parts["total_rev"].sum())
     return pd.DataFrame(
         {
-            "promo_rev_cents": [promo_cents],
-            "total_rev_cents": [total_cents],
-            "promo_share": [promo_cents / total_cents if total_cents else 0.0],
+            "promo_rev_cents": [promo_i],
+            "total_rev_cents": [total_i],
+            "promo_share": [promo_i / total_i if total_i else 0.0],
         }
     )
 
 
 Q14_SQL = """
 WITH s AS (
-  SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100, 0) AS promo_rev_cents,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) AS total_rev_cents
+  SELECT SUM(CASE WHEN p_type = 'PROMO'
+                   THEN ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT)
+                   ELSE 0 END)::BIGINT AS promo_rev_cents,
+         SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS total_rev_cents
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 )
@@ -1519,18 +1550,18 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
             | ((b["p_brand"] == "Brand#34") & (q >= 20) & (q <= 30))
         )
         b = b[keep].copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["revenue"]]
 
     parts = joined.map_batches(
         lambda b: pd.DataFrame({"revenue": [pre(b)["revenue"].sum()]}),
         batch_format="pandas",
     ).to_pandas()
-    return pd.DataFrame({"revenue_cents": [_round(float(parts["revenue"].sum()) * 100)]})
+    return pd.DataFrame({"revenue_cents": [int(parts["revenue"].sum())]})
 
 
 Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0) AS revenue_cents
+SELECT SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS revenue_cents
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
@@ -1935,7 +1966,7 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
             (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
             & (b["l_shipdate"] < pd.Timestamp("1996-04-01"))
         ].copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
         return b[["l_suppkey", "revenue"]]
 
     rev = grouped_agg(
@@ -1946,20 +1977,20 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
         final="bucketed",
         num_buckets=16,
         empty_result=pd.DataFrame(
-            {"l_suppkey": pd.Series(dtype="int64"), "total_revenue": pd.Series(dtype="float64")}
+            {"l_suppkey": pd.Series(dtype="int64"), "total_revenue": pd.Series(dtype="int64")}
         ),
     ).map_batches(
-        lambda b: b.assign(total_revenue=_round(b["total_revenue"])),
+        lambda b: b.assign(total_revenue=b["total_revenue"].astype("int64")),
         batch_format="pandas",
     ).materialize()
     bucket_maxima = rev.map_batches(
-        lambda b: pd.DataFrame({"m": [float(b["total_revenue"].max())]})
+        lambda b: pd.DataFrame({"m": [int(b["total_revenue"].max())]})
         if len(b)
-        else pd.DataFrame({"m": pd.Series(dtype="float64")}),
+        else pd.DataFrame({"m": pd.Series(dtype="int64")}),
         batch_size=None,
         batch_format="pandas",
     ).to_pandas()
-    top = float(bucket_maxima["m"].max())
+    top = int(bucket_maxima["m"].max())
     winners = rev.map_batches(
         lambda b: b[b["total_revenue"] == top], batch_format="pandas"
     ).to_pandas()
@@ -1976,7 +2007,7 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS total_revenue
+         SUM(ROUND(l_extendedprice * 100, 0)::BIGINT * (100 - ROUND(l_discount * 100, 0)::BIGINT))::BIGINT AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
@@ -2015,16 +2046,17 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
 
     def small(b: pd.DataFrame) -> pd.DataFrame:
         cuts = _fetch(ref)
-        mask = b["l_quantity"] < b["l_partkey"].map(cuts)
-        return pd.DataFrame({"s": [float(b.loc[mask, "l_extendedprice"].sum())]})
+        mask = (b["l_quantity"] < b["l_partkey"].map(cuts)).to_numpy()
+        return pd.DataFrame({"s": [int(_cents(b["l_extendedprice"])[mask].sum())]})
 
     parts = li_b.map_batches(small, batch_format="pandas").to_pandas()
-    total = _round(float(parts["s"].sum()))
-    return pd.DataFrame({"avg_yearly": [_round(total / 7.0, 2)]})
+    # exact integer cent total -> both engines divide the same ints
+    total_cents = int(parts["s"].sum())
+    return pd.DataFrame({"avg_yearly": [_round(total_cents / 100.0 / 7.0, 2)]})
 
 
 Q17_SQL = """
-SELECT ROUND(ROUND(SUM(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+SELECT ROUND(SUM(ROUND(l_extendedprice * 100, 0)::BIGINT)::BIGINT / 100.0 / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#4' AND l_quantity < (
   SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
