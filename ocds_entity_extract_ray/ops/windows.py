@@ -46,6 +46,40 @@ def tumbling_window_agg(
     return out
 
 
+def window_over(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    assign,
+    num_buckets: int = 32,
+    empty_result: pd.DataFrame | None = None,
+) -> ray.data.Dataset:
+    """SQL window-function engine: ``... OVER (PARTITION BY key ORDER BY
+    order_cols)`` as ONE hash-bucket shuffle on the partition key plus one
+    vectorized pandas pass per bucket. ``assign(sorted_bucket, grouper)``
+    receives the bucket already sorted by (key, *order_cols) and a
+    ``sorted_bucket.groupby(key_col)`` grouper; it returns the output
+    frame (typically the pass-through keys plus the window columns —
+    cumulative sums via ``grouper[c].cumsum()``, lag via
+    ``grouper[c].shift()``, ranks via ``grouper[c].rank()``).
+
+    Scale story: the only exchange is the bucket shuffle (same key a
+    downstream groupby would need anyway); each key's rows are contiguous
+    in exactly one bucket, so every window family (frame-less aggregates,
+    offsets, ranks) is a single O(bucket) vectorized pass. Assumes no
+    single key exceeds a bucket's memory — the same per-key-fits
+    assumption SQL engines make before spilling a window partition."""
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([key_col, *order_cols], kind="mergesort")
+        return assign(b, b.groupby(key_col, sort=False))
+
+    return bucketed_map_groups(
+        ds, key_col, per_bucket, num_buckets=num_buckets, empty_result=empty_result
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     *,

@@ -2823,3 +2823,165 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 SQL_QUERIES["q_source_dup_profile"] = (q_source_dup_profile, Q_SOURCE_DUP_SQL)
+
+
+# --- SQL window functions (running total / lag / dense rank) -----------------
+# ops/windows.py:window_over — PARTITION BY key ORDER BY ... as one
+# hash-bucket shuffle + a vectorized pandas pass per bucket. Reference
+# parity: the reference's per-buyer "earliest contract" scans
+# (extract.js firstDate handling) are this family's degenerate case.
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running order spend: SUM(...) OVER (PARTITION BY
+    custkey ORDER BY orderdate, orderkey). Summands are integer cents, so
+    every prefix sum is summation-order independent -> hash-exact."""
+    from ..ops.windows import window_over
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        cents = pd.Series(_cents(b["o_totalprice"]), index=b.index)
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "running_cents": cents.groupby(b["o_custkey"], sort=False)
+                .cumsum()
+                .astype("int64"),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "running_cents": pd.Series(dtype="int64"),
+        }
+    )
+    out = window_over(
+        orders,
+        key_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        assign=assign,
+        empty_result=empty,
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_RUNNING_TOTAL_SQL = """
+SELECT o_orderkey, o_custkey,
+       SUM(ROUND(o_totalprice * 100, 0)::BIGINT) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS running_cents
+FROM orders
+"""
+
+SQL_QUERIES["q_running_total"] = (q_running_total, Q_RUNNING_TOTAL_SQL)
+
+
+def q_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Days since the customer's previous order: LAG() OVER the same
+    deterministic (orderdate, orderkey) ordering; first orders dropped so
+    the output is NULL-free for the hash compare."""
+    from ..ops.windows import window_over
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        prev = g["o_orderdate"].shift()
+        keep = prev.notna()
+        gap = (b["o_orderdate"] - prev).dt.days
+        return pd.DataFrame(
+            {
+                "o_orderkey": b.loc[keep, "o_orderkey"].astype("int64"),
+                "o_custkey": b.loc[keep, "o_custkey"].astype("int64"),
+                "gap_days": gap[keep].astype("int64"),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "gap_days": pd.Series(dtype="int64"),
+        }
+    )
+    out = window_over(
+        orders,
+        key_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        assign=assign,
+        empty_result=empty,
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_ORDER_GAPS_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         LAG(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders)
+SELECT o_orderkey, o_custkey,
+       date_diff('day', prev, o_orderdate)::BIGINT AS gap_days
+FROM w WHERE prev IS NOT NULL
+"""
+
+SQL_QUERIES["q_order_gaps"] = (q_order_gaps, Q_ORDER_GAPS_SQL)
+
+
+def q_supplier_rank(sf_dir: str) -> pd.DataFrame:
+    """DENSE_RANK of suppliers by account balance within nation. Ranking
+    on integer cents keeps ties (and therefore the dense ranks) identical
+    in both engines regardless of float formatting."""
+    from ..ops.windows import window_over
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        cents = pd.Series(_cents(b["s_acctbal"]), index=b.index)
+        rnk = (
+            cents.groupby(b["s_nationkey"], sort=False)
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "s_suppkey": b["s_suppkey"].astype("int64"),
+                "s_nationkey": b["s_nationkey"].astype("int64"),
+                "rnk": rnk,
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series(dtype="int64"),
+            "s_nationkey": pd.Series(dtype="int64"),
+            "rnk": pd.Series(dtype="int64"),
+        }
+    )
+    out = window_over(
+        sup,
+        key_col="s_nationkey",
+        order_cols=["s_acctbal", "s_suppkey"],
+        assign=assign,
+        num_buckets=16,
+        empty_result=empty,
+    ).to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q_SUPPLIER_RANK_SQL = """
+SELECT s_suppkey, s_nationkey,
+       DENSE_RANK() OVER (
+         PARTITION BY s_nationkey
+         ORDER BY ROUND(s_acctbal * 100, 0)::BIGINT DESC
+       ) AS rnk
+FROM supplier
+"""
+
+SQL_QUERIES["q_supplier_rank"] = (q_supplier_rank, Q_SUPPLIER_RANK_SQL)
