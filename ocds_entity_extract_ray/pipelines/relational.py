@@ -2985,3 +2985,243 @@ FROM supplier
 """
 
 SQL_QUERIES["q_supplier_rank"] = (q_supplier_rank, Q_SUPPLIER_RANK_SQL)
+
+
+# --- rollup / set ops --------------------------------------------------------
+
+
+def q_rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(priority, status): one distributed fine-grained
+    aggregate (the only corpus-sized pass), then the subtotal levels are
+    DERIVED from that tiny fine frame (group-domain-sized, ~15 rows) —
+    never a second scan. NULL level markers surface as 'ALL'."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "priority": b["o_orderpriority"].to_numpy(),
+                "status": b["o_orderstatus"].to_numpy(),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    fine = grouped_agg(
+        orders,
+        ["priority", "status"],
+        {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
+        pre=pre,
+    )
+    lvl1 = (
+        fine.groupby("priority", as_index=False)[["n_orders", "sum_cents"]]
+        .sum()
+        .assign(status="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "priority": ["ALL"],
+            "status": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "sum_cents": [fine["sum_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return (
+        out[["priority", "status", "n_orders", "sum_cents"]]
+        .sort_values(["priority", "status"])
+        .reset_index(drop=True)
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(ROUND(o_totalprice * 100, 0)::BIGINT) AS sum_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+SQL_QUERIES["q_rollup_orders"] = (q_rollup_orders, Q_ROLLUP_SQL)
+
+
+def q_brand_set_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT over derived sets (brands stocked in big vs
+    small part sizes) computed as ONE distributed aggregate: per-batch
+    (brand, in_big, in_small) flag pre-distinct, max-combine, then a
+    vectorized driver tag over the brand-domain-sized result."""
+    part = _read(sf_dir, "part", columns=["p_brand", "p_size"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        sz = b["p_size"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "p_brand": b["p_brand"].to_numpy(),
+                "in_big": (sz >= 40).astype("int64"),
+                "in_small": (sz <= 10).astype("int64"),
+            }
+        )
+        return out.groupby("p_brand", as_index=False).max()
+
+    flags = grouped_agg(
+        part,
+        ["p_brand"],
+        {"in_big": ("in_big", "max"), "in_small": ("in_small", "max")},
+        pre=pre,
+    )
+    tag = np.select(
+        [
+            (flags["in_big"] == 1) & (flags["in_small"] == 1),
+            (flags["in_big"] == 1),
+            (flags["in_small"] == 1),
+        ],
+        ["both", "big_only", "small_only"],
+        default="",
+    )
+    out = flags.assign(tag=tag)
+    out = out[out["tag"] != ""][["p_brand", "tag"]]
+    return out.sort_values(["p_brand", "tag"]).reset_index(drop=True)
+
+
+Q_BRAND_SET_OPS_SQL = """
+WITH big AS (SELECT DISTINCT p_brand FROM part WHERE p_size >= 40),
+     small AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10)
+SELECT p_brand, 'both' AS tag
+FROM (SELECT p_brand FROM big INTERSECT SELECT p_brand FROM small)
+UNION ALL
+SELECT p_brand, 'big_only' AS tag
+FROM (SELECT p_brand FROM big EXCEPT SELECT p_brand FROM small)
+UNION ALL
+SELECT p_brand, 'small_only' AS tag
+FROM (SELECT p_brand FROM small EXCEPT SELECT p_brand FROM big)
+ORDER BY p_brand, tag
+"""
+
+SQL_QUERIES["q_brand_set_ops"] = (q_brand_set_ops, Q_BRAND_SET_OPS_SQL)
+
+
+# --- graph + search-index operators over derived web-scale structures --------
+
+
+def q_supplier_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count of the supplier co-occurrence graph (suppliers
+    co-appearing in >= 5 order line pairs): per-order pair generation via
+    one bucketed self-merge, a bucketed weight aggregate, then the exact
+    two-join triangle count (ops/graph.py:triangle_count). The SQL twin
+    is the identical self-join formulation, so the scalar is exact."""
+    from ..ops.agg import bucketed_map_groups
+    from ..ops.graph import triangle_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="l_orderkey")
+        m = m[m["l_suppkey_x"] < m["l_suppkey_y"]]
+        return pd.DataFrame(
+            {"u": m["l_suppkey_x"].to_numpy(), "v": m["l_suppkey_y"].to_numpy()}
+        ).astype({"u": "int64", "v": "int64"})
+
+    empty_uv = pd.DataFrame(
+        {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+    )
+    pair_ds = bucketed_map_groups(
+        li, "l_orderkey", pairs, num_buckets=32, empty_result=empty_uv
+    )
+    weights = grouped_agg(
+        pair_ds,
+        ["u", "v"],
+        {"w": ("u", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "u": pd.Series(dtype="int64"),
+                "v": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+    edges = weights.map_batches(
+        lambda b: b[b["w"] >= 5][["u", "v"]], batch_format="pandas"
+    )
+    n = triangle_count(edges)
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+Q_SUPPLIER_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), e AS (
+  SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 5
+)
+SELECT COUNT(*)::BIGINT AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+SQL_QUERIES["q_supplier_triangles"] = (q_supplier_triangles, Q_SUPPLIER_TRIANGLES_SQL)
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Search-index construction: mid-frequency terms (5 <= df <= n/5)
+    with their sorted posting lists. (term, doc_id) pairs dedup per batch
+    (each document is one row, so per-batch distinct IS global distinct),
+    then one bucketed-by-term pass builds df + the posting string. The
+    df band keeps stopword-sized postings out of the output; the band's
+    corpus size comes from parquet metadata, not a second scan."""
+    from ..ops.agg import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = int(_small(sf_dir, "documents", columns=["doc_id"]).num_rows)
+    max_df = n_docs // 5
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        words = b.set_index("doc_id")["text"].str.lower().str.findall(r"[a-z0-9]+")
+        e = words.explode().dropna()
+        out = pd.DataFrame({"doc_id": e.index.to_numpy(), "term": e.to_numpy()})
+        return out.drop_duplicates()
+
+    pairs = docs.map_batches(pre, batch_format="pandas")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["term", "doc_id"], kind="mergesort")
+        g = b.groupby("term", sort=False)["doc_id"]
+        out = g.agg(
+            df="count", postings=lambda s: ",".join(str(x) for x in s)
+        ).reset_index()
+        out = out[(out["df"] >= 5) & (out["df"] <= max_df)]
+        return out.astype({"df": "int64"})[["term", "df", "postings"]]
+
+    empty = pd.DataFrame(
+        {
+            "term": pd.Series(dtype="object"),
+            "df": pd.Series(dtype="int64"),
+            "postings": pd.Series(dtype="object"),
+        }
+    )
+    out = bucketed_map_groups(
+        pairs, "term", per_bucket, num_buckets=16, empty_result=empty
+    ).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
+
+Q_INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, w AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(w)
+)
+SELECT term, COUNT(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY term
+HAVING COUNT(*) >= 5
+   AND COUNT(*) <= (SELECT COUNT(*) FROM documents) // 5
+ORDER BY term
+"""
+
+SQL_QUERIES["q_inverted_index"] = (q_inverted_index, Q_INVERTED_INDEX_SQL)

@@ -1213,3 +1213,26 @@ def test_pickles_under_early_abort():
 
     assert _pickles_under({"a": 1}, 65536)
     assert not _pickles_under({"blob": b"x" * 200_000}, 65536)
+
+
+def test_triangle_count_planted_graph(ray_session):
+    """K4 on {1,2,3,4} (4 triangles) + a pendant chain 4-5, 5-6 (0 new
+    triangles) + one extra triangle {6,7,8}; count must be exact and
+    independent of bucket count."""
+    import itertools
+
+    from ocds_entity_extract_ray.ops.graph import triangle_count
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    extra = [(4, 5), (5, 6), (6, 7), (6, 8), (7, 8)]
+    edges = pd.DataFrame(k4 + extra, columns=["u", "v"]).astype("int64")
+    ds = ray.data.from_pandas(edges)
+    assert triangle_count(ds) == 5
+    assert triangle_count(ds, num_buckets=3) == 5
+
+
+def test_triangle_count_no_triangles(ray_session):
+    from ocds_entity_extract_ray.ops.graph import triangle_count
+
+    path = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]}).astype("int64")
+    assert triangle_count(ray.data.from_pandas(path)) == 0
