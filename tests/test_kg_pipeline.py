@@ -297,3 +297,98 @@ def test_kg_entity_pagerank_deterministic(ray_session):
     assert list(a.columns) == ["entity", "rank"]
     assert a["rank"].is_monotonic_decreasing or len(a) == 1
     assert a.iloc[0]["entity"] == "mx"  # the dominant membership hub
+
+
+def test_incremental_equals_full_rebuild(ray_session, pages_dir, tmp_path):
+    """init(A) + update(B) + export == full pipeline over A∪B, byte-exact:
+    the A1-A7 accumulators are associative/commutative with deterministic
+    tie-breaks, so merging persisted state with a delta reproduces the
+    from-scratch result. Also checks the update touched only the delta's
+    buckets (the O(delta), not O(corpus), claim)."""
+    import os
+    import shutil
+
+    from ocds_entity_extract_ray.pipelines.kg import run_kg
+    from ocds_entity_extract_ray.pipelines.kg_incremental import (
+        kg_export,
+        kg_init,
+        kg_update,
+    )
+
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+
+    # split the deterministic corpus into two shard-aligned page dirs
+    files = sorted(
+        f for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    assert len(files) >= 4
+    a_dir, b_dir = str(tmp_path / "pages_a"), str(tmp_path / "pages_b")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(pages_dir, f), (a_dir if i % 3 else b_dir))
+
+    store = str(tmp_path / "store")
+    init_rep = kg_init(a_dir, store, clist, pidx, num_buckets=8)
+    assert init_rep["entities"] > 0
+    upd_rep = kg_update(b_dir, store, clist, pidx)
+    assert upd_rep["touched_buckets"]
+    assert set(upd_rep["touched_buckets"]) <= set(range(8))
+    inc_out = str(tmp_path / "inc_out")
+    kg_export(store, inc_out)
+
+    full_out = str(tmp_path / "full_out")
+    run_kg(pages_dir, full_out, clist, pidx, num_buckets=8)
+
+    def entity_set(out):
+        rows = (
+            pads.dataset(out + "/entities", format="parquet", partitioning="hive")
+            .to_table()
+            .to_pylist()
+        )
+        return {(r["_id"], r["doc"]) for r in rows}
+
+    def triple_set(out):
+        rows = (
+            pads.dataset(out + "/triples", format="parquet", partitioning="hive")
+            .to_table()
+            .to_pylist()
+        )
+        return {(r["subj"], r["pred"], r["obj"], r["props"]) for r in rows}
+
+    assert entity_set(inc_out) == entity_set(full_out)
+    assert triple_set(inc_out) == triple_set(full_out)
+
+
+def test_incremental_update_is_idempotent(ray_session, pages_dir, tmp_path):
+    """Re-applying the same delta leaves the store unchanged (crash-replay
+    safety: a failed update is repaired by re-running it)."""
+    import os
+    import shutil
+
+    from ocds_entity_extract_ray.pipelines.kg_incremental import kg_init, kg_update
+
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+    files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    a_dir, b_dir = str(tmp_path / "pa"), str(tmp_path / "pb")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(pages_dir, f), (a_dir if i % 2 else b_dir))
+
+    store = str(tmp_path / "store2")
+    kg_init(a_dir, store, clist, pidx, num_buckets=8)
+    rep1 = kg_update(b_dir, store, clist, pidx)
+    rows1 = (
+        pads.dataset(store + "/states", format="parquet", partitioning="hive")
+        .to_table()
+        .sort_by([("key", "ascending")])
+    )
+    rep2 = kg_update(b_dir, store, clist, pidx)
+    rows2 = (
+        pads.dataset(store + "/states", format="parquet", partitioning="hive")
+        .to_table()
+        .sort_by([("key", "ascending")])
+    )
+    assert rep1["touched_buckets"] == rep2["touched_buckets"]
+    assert rows1.column("key").to_pylist() == rows2.column("key").to_pylist()
