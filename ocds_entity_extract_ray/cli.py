@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="test mode: print per-table counts + a sample, write nothing")
     p.add_argument("--resumable", action="store_true",
                    help="shard-granular checkpointing (skip completed input shards)")
+    p.add_argument("--incremental", metavar="STORE_DIR",
+                   help="incremental mode: merge the input as a DELTA into "
+                   "the persisted state store at STORE_DIR (bootstrap it if "
+                   "absent), then export entities+triples to --out")
     p.add_argument("--num-buckets", type=int, default=128)
     p.add_argument("--num-shards", type=int, default=16)
     p.add_argument("--num-cpus", type=int, default=None,
@@ -103,6 +107,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         counts = write_ndjson_tables(entities, args.out)
         print(json.dumps({"sink": "ndjson", "out": args.out, "tables": counts}))
+        return 0
+
+    if args.incremental:
+        import os
+
+        from .pipelines.kg_incremental import kg_export, kg_init, kg_update
+
+        store = args.incremental
+        src_kind = "records" if args.records else "pages"
+        if os.path.exists(os.path.join(store, "meta.json")):
+            report = kg_update(
+                source_path, store, classifier_list, product_index, source=src_kind
+            )
+            report["mode"] = "update"
+        else:
+            report = kg_init(
+                source_path, store, classifier_list, product_index,
+                num_buckets=args.num_buckets, source=src_kind,
+            )
+            report["mode"] = "init"
+        report.update(kg_export(store, args.out))
+        print(json.dumps(report))
         return 0
 
     if args.resumable:

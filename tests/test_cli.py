@@ -56,3 +56,28 @@ def test_cli_resumable(cli_pages, tmp_path, capsys):
     assert main(["--pages", cli_pages, "--out", out, "--resumable", "--num-shards", "2", "--num-buckets", "16"]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["shards_resumed"] == 2
+
+
+def test_cli_incremental_mode(cli_pages, tmp_path, capsys):
+    """--incremental STORE bootstraps on first run, merges a delta on the
+    second, and exports entities+triples both times."""
+    import shutil
+
+    files = sorted(f for f in os.listdir(cli_pages) if f.endswith(".parquet"))
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(cli_pages, f), (a_dir if i % 2 else b_dir))
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "kg_inc")
+    assert main(["--pages", a_dir, "--out", out, "--incremental", store,
+                 "--num-buckets", "8"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "init" and rep["entities"] > 0
+
+    assert main(["--pages", b_dir, "--out", out, "--incremental", store,
+                 "--num-buckets", "8"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["mode"] == "update" and rep2["touched_buckets"]
+    assert rep2["entities"] >= rep["entities"]
+    assert os.path.isdir(os.path.join(out, "triples"))
