@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "q_json_props_stats",
     "q_source_dup_profile",
+    # round-3 continuation (window functions / graph / search index)
+    "q_running_total",
+    "q_supplier_triangles",
+    "q_inverted_index",
 ]
 
 
@@ -196,6 +200,41 @@ def run_bench() -> dict:
             res.count()
         queries[name] = round(time.monotonic() - tq, 3)
 
+    # incremental materialization: measure a delta ingest against the
+    # bootstrap over the same store (the O(delta + touched-state), not
+    # O(corpus), claim with a number attached). Run at ~1/8 of the bench
+    # corpus so the extra wall-time stays modest.
+    from ocds_entity_extract_ray.pipelines.kg_incremental import kg_init, kg_update
+
+    inc_docs = max(2_000, n_docs // 4)
+    inc_corpus = generate_pages(
+        f"/tmp/ocds_ray_corpus/pages_inc_{inc_docs}",
+        inc_docs,
+        shard_rows=max(500, inc_docs // 64),
+    )
+    shard_files = sorted(
+        f for f in os.listdir(inc_corpus) if f.endswith(".parquet")
+    )
+    init_dir = f"/tmp/ocds_ray_inc_init_{inc_docs}"
+    delta_dir = f"/tmp/ocds_ray_inc_delta_{inc_docs}"
+    for d in (init_dir, delta_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    for i, f in enumerate(shard_files):
+        # every 16th shard is the "new crawl" delta (~6%)
+        dst = delta_dir if i % 16 == 0 else init_dir
+        os.symlink(os.path.join(inc_corpus, f), os.path.join(dst, f))
+    store = "/tmp/ocds_ray_inc_store"
+    shutil.rmtree(store, ignore_errors=True)
+    t_i = time.monotonic()
+    init_rep = kg_init(init_dir, store, clist, product_index(), num_buckets=max(64, NUM_CPUS * 4))
+    init_secs = time.monotonic() - t_i
+    t_u = time.monotonic()
+    upd_rep = kg_update(delta_dir, store, clist, product_index())
+    upd_secs = time.monotonic() - t_u
+    queries["kg_incremental_init"] = round(init_secs, 3)
+    queries["kg_incremental_update"] = round(upd_secs, 3)
+
     result = {
         "metric": "kg_pipeline_secs (pages->entities->triples) + per-query secs",
         "value": round(kg_secs, 3),
@@ -209,6 +248,17 @@ def run_bench() -> dict:
         "triples": report.get("triples"),
         "docs_per_sec": round(report.get("docs", 0) / kg_secs, 1),
         "triples_per_sec": round(report.get("triples", 0) / kg_secs, 1),
+        "incremental": {
+            "init_docs": inc_docs - inc_docs // 16,
+            "delta_docs": inc_docs // 16,
+            "init_secs": round(init_secs, 3),
+            "update_secs": round(upd_secs, 3),
+            "update_speedup_vs_rebuild": round(init_secs / upd_secs, 2)
+            if upd_secs
+            else None,
+            "touched_buckets": len(upd_rep.get("touched_buckets", [])),
+            "entities_after": upd_rep.get("merged_state_rows"),
+        },
     }
     ray.shutdown()
     return result
