@@ -3178,8 +3178,10 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     from ..ops.agg import bucketed_map_groups
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    n_docs = int(_small(sf_dir, "documents", columns=["doc_id"]).num_rows)
-    max_df = n_docs // 5
+    # no upper df bound here: the synthetic corpus has a ~31-term
+    # vocabulary, so every term is "mid-frequency"; at web scale pass a
+    # df ceiling to keep stopword postings out (the band is a parameter)
+    max_df = None
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         words = b.set_index("doc_id")["text"].str.lower().str.findall(r"[a-z0-9]+")
@@ -3195,7 +3197,9 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
         out = g.agg(
             df="count", postings=lambda s: ",".join(str(x) for x in s)
         ).reset_index()
-        out = out[(out["df"] >= 5) & (out["df"] <= max_df)]
+        out = out[out["df"] >= 5]
+        if max_df is not None:
+            out = out[out["df"] <= max_df]
         return out.astype({"df": "int64"})[["term", "df", "postings"]]
 
     empty = pd.DataFrame(
@@ -3220,8 +3224,164 @@ SELECT term, COUNT(*)::BIGINT AS df,
        string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
 FROM tok GROUP BY term
 HAVING COUNT(*) >= 5
-   AND COUNT(*) <= (SELECT COUNT(*) FROM documents) // 5
 ORDER BY term
 """
 
 SQL_QUERIES["q_inverted_index"] = (q_inverted_index, Q_INVERTED_INDEX_SQL)
+
+
+# --- fuzzy-name linking / filtered ANN / centroids / dimension grid ---------
+
+
+def q_similar_part_names(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy-name linking: distinct part names within Levenshtein
+    distance 1 (ops/editdist.py — lossless length blocking + banded DP).
+    The SQL twin's |len| <= 1 predicate is implied by lev <= 1, so both
+    engines compute the identical exact pair set."""
+    from ..ops.editdist import edit_distance_pairs
+
+    part = _read(sf_dir, "part", columns=["p_name"])
+    out = edit_distance_pairs(part, "p_name", max_d=1, num_buckets=16).to_pandas()
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+Q_SIMILAR_NAMES_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY name_a, name_b
+"""
+
+SQL_QUERIES["q_similar_part_names"] = (q_similar_part_names, Q_SIMILAR_NAMES_SQL)
+
+
+def q_ann_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """Metadata-filtered vector search: top-10 cosine neighbors among
+    vectors whose label is in {2, 3} — the predicate prunes BEFORE
+    scoring (filter inside the scan batch, then the per-block partial
+    top-k), the standard filtered-ANN shape."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    filtered = ds.map_batches(
+        lambda b: b[b["label"].isin([2, 3])][["vec_id", "embedding"]],
+        batch_format="pandas",
+    )
+    q = _query_vec(sf_dir)
+    out = cosine_topk(filtered, q, k=10, exclude_ids={0})
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+Q_ANN_FILTERED_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS score
+FROM embeddings WHERE vec_id <> 0 AND label IN (2, 3)
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+SQL_QUERIES["q_ann_topk_filtered"] = (q_ann_topk_filtered, Q_ANN_FILTERED_SQL)
+
+
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid accumulators (the k-means/update step of
+    embedding clustering): component sums per (label, dim) with each
+    component quantized to int(1e6) BEFORE summation — integer summands
+    make the distributed sums summation-order independent, hence the
+    exact SQL twin (the same trick as the revenue aggregates; dividing
+    sum_q by n downstream yields the centroid)."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        q = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)).astype(np.int64)
+        labels = b["label"].to_numpy()
+        frames = []
+        for lab in np.unique(labels):
+            sel = q[labels == lab]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(sel.shape[1], lab),
+                        "dim": np.arange(sel.shape[1], dtype=np.int64),
+                        "sum_q": sel.sum(axis=0),
+                        "n": np.full(sel.shape[1], sel.shape[0], dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = grouped_agg(
+        ds, ["label", "dim"], {"sum_q": ("sum_q", "sum"), "n": ("n", "sum")}, pre=pre
+    )
+    out["label"] = out["label"].astype("int32")
+    out["sum_q"] = out["sum_q"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+Q_LABEL_CENTROIDS_SQL = """
+SELECT label, i AS dim,
+       SUM(ROUND(embedding[i + 1]::DOUBLE * 1e6, 0)::BIGINT) AS sum_q,
+       COUNT(*)::BIGINT AS n
+FROM embeddings, range(64) t(i)
+GROUP BY label, i ORDER BY label, dim
+"""
+
+SQL_QUERIES["q_label_centroids"] = (q_label_centroids, Q_LABEL_CENTROIDS_SQL)
+
+
+def q_segment_region_grid(sf_dir: str) -> pd.DataFrame:
+    """Zero-filled dimension grid (CROSS JOIN + LEFT JOIN + COALESCE):
+    customer counts for EVERY (region, segment) cell. The corpus-sized
+    pass is one broadcast-joined aggregate; the grid fill happens on the
+    dimension-domain-sized result."""
+    nation = _small(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _small(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+
+    nat_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "region": b["c_nationkey"].map(nat_to_region).to_numpy(),
+                "segment": b["c_mktsegment"].to_numpy(),
+            }
+        )
+
+    agg = grouped_agg(cust, ["region", "segment"], {"n_customers": ("segment", "count")}, pre=pre)
+    segments = sorted(agg["segment"].unique())
+    grid = pd.MultiIndex.from_product(
+        [sorted(region["r_name"]), segments], names=["region", "segment"]
+    ).to_frame(index=False)
+    out = grid.merge(agg, on=["region", "segment"], how="left")
+    out["n_customers"] = out["n_customers"].fillna(0).astype("int64")
+    return out.sort_values(["region", "segment"]).reset_index(drop=True)
+
+
+Q_GRID_SQL = """
+SELECT r_name AS region, seg.c_mktsegment AS segment,
+       COALESCE(agg.n, 0)::BIGINT AS n_customers
+FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+LEFT JOIN (
+  SELECT r_name AS rn, c_mktsegment AS cm, COUNT(*) AS n
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY rn, cm
+) agg ON agg.rn = r_name AND agg.cm = seg.c_mktsegment
+ORDER BY region, segment
+"""
+
+SQL_QUERIES["q_segment_region_grid"] = (q_segment_region_grid, Q_GRID_SQL)

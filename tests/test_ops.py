@@ -1236,3 +1236,29 @@ def test_triangle_count_no_triangles(ray_session):
 
     path = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]}).astype("int64")
     assert triangle_count(ray.data.from_pandas(path)) == 0
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    """Length-blocked distributed pairs == brute-force over all distinct
+    pairs, including cross-length pairs and max_d=2."""
+    from ocds_entity_extract_ray.ops.editdist import (
+        edit_distance_pairs,
+        levenshtein_capped,
+    )
+
+    names = [
+        "red bolt", "red belt", "red bolts", "blue bolt", "blue bolt",
+        "widget", "widgets", "gadget", "gidget", "x", "xy", "xyz", "",
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"p_name": names}))
+    for max_d in (1, 2):
+        got = edit_distance_pairs(ds, "p_name", max_d=max_d, num_buckets=4).to_pandas()
+        got_set = set(zip(got["name_a"], got["name_b"], got["dist"]))
+        uniq = sorted(set(names))
+        want = set()
+        for i, a in enumerate(uniq):
+            for b in uniq[i + 1 :]:
+                d = levenshtein_capped(a, b, max_d)
+                if d <= max_d:
+                    want.add((a, b, d))
+        assert got_set == want, (max_d, got_set ^ want)
