@@ -3385,3 +3385,81 @@ ORDER BY region, segment
 """
 
 SQL_QUERIES["q_segment_region_grid"] = (q_segment_region_grid, Q_GRID_SQL)
+
+
+def q_name_clusters(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy-name ENTITY RESOLUTION, end to end: distinct part names ->
+    Levenshtein<=1 pair graph (ops/editdist.py) -> connected components
+    (ops/graph.py) -> (name, cluster_id). Node ids are md5-low64 >> 1 in
+    BOTH engines (DuckDB md5_number_lower // 2 — non-negative int64, so
+    signed and unsigned MIN agree), making the component labels of an
+    iterative algorithm hash-exact. This is the north-star
+    "name-normalization + fuzzy-dedup" composition as one distributed
+    query."""
+    from ..ops.editdist import edit_distance_pairs
+    from ..ops.graph import connected_components
+    from ..ops.textstats import _h64
+
+    part = _read(sf_dir, "part", columns=["p_name"])
+    pairs = edit_distance_pairs(part, "p_name", max_d=1, num_buckets=16)
+
+    def pair_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": [(_h64(x.encode()) >> 1) for x in b["name_a"]],
+                "id_b": [(_h64(x.encode()) >> 1) for x in b["name_b"]],
+            }
+        ).astype({"id_a": "int64", "id_b": "int64"})
+
+    edges = pairs.map_batches(pair_ids, batch_format="pandas")
+
+    from ..ops.agg import bucketed_map_groups
+
+    empty_nm = pd.DataFrame({"p_name": pd.Series(dtype="object")})
+    distinct = bucketed_map_groups(
+        part.map_batches(lambda b: b[["p_name"]].drop_duplicates(), batch_format="pandas"),
+        "p_name",
+        lambda b: b.drop_duplicates(["p_name"]),
+        num_buckets=16,
+        empty_result=empty_nm,
+    )
+    nodes = distinct.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": [(_h64(x.encode()) >> 1) for x in b["p_name"]],
+                "p_name": b["p_name"].to_numpy(),
+            }
+        ).astype({"node": "int64"}),
+        batch_format="pandas",
+    ).materialize()
+
+    comp = connected_components(
+        nodes.select_columns(["node"]), edges, node_col="node"
+    ).to_pandas()
+    names = nodes.to_pandas()
+    out = names.merge(comp, on="node")[["p_name", "cluster_id"]]
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out.sort_values("p_name").reset_index(drop=True)
+
+
+Q_NAME_CLUSTERS_SQL = r"""
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name FROM part),
+ids AS (SELECT p_name, (md5_number_lower(p_name) // 2)::BIGINT AS node FROM names),
+pairs AS (
+  SELECT a.node AS na, b.node AS nb
+  FROM ids a JOIN ids b ON a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 1
+),
+edges AS (SELECT na AS a, nb AS b FROM pairs UNION ALL SELECT nb, na FROM pairs),
+reach(n, m) AS (
+  SELECT node, node FROM ids
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT i.p_name, MIN(r.m)::BIGINT AS cluster_id
+FROM reach r JOIN ids i ON i.node = r.n
+GROUP BY i.p_name ORDER BY i.p_name
+"""
+
+SQL_QUERIES["q_name_clusters"] = (q_name_clusters, Q_NAME_CLUSTERS_SQL)
