@@ -201,6 +201,50 @@ def _kg_entity_pagerank(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _kg_incremental_triples(sf_dir: str):
+    """Rows-only: the incremental materialization surface — bootstrap the
+    persisted state store from ~2/3 of the corpus, merge the rest as a
+    delta, export, and return the triples. Byte-equality with the full
+    rebuild is pytest-pinned (tests/test_kg_pipeline.py); this entry
+    exercises init/update/export end to end under the driver."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ocds_entity_extract_ray.pipelines.kg_incremental import (
+        kg_export,
+        kg_init,
+        kg_update,
+    )
+
+    from ocds_entity_extract_ray.sources.readers import generate_pages
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    # finer shards than the shared corpus so the init/delta file split is
+    # non-degenerate even at the smallest scale
+    pages_dir = generate_pages(
+        f"/tmp/ocds_ray_corpus/pages_fine_{n}", n, shard_rows=max(25, n // 16)
+    )
+    clist, pidx = _kg_inputs()
+
+    base = f"/tmp/ocds_ray_corpus/inc_{n}"
+    init_dir, delta_dir = base + "/init", base + "/delta"
+    store, out = base + "/store", base + "/out"
+    for d in (init_dir, delta_dir, store, out):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        dst = delta_dir if i % 3 == 0 else init_dir
+        os.symlink(os.path.join(pages_dir, f), os.path.join(dst, f))
+
+    kg_init(init_dir, store, clist, pidx, num_buckets=64)
+    kg_update(delta_dir, store, clist, pidx)
+    kg_export(store, out)
+    return ray.data.read_parquet(os.path.join(out, "triples"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocds_entity_extract_ray.pipelines.relational import (
         ROWS_ONLY_QUERIES,
@@ -216,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_text_hashes"] = _kg_text_hashes
     out["kg_degree_hist"] = _kg_degree_hist
     out["kg_entity_pagerank"] = _kg_entity_pagerank
+    out["kg_incremental_triples"] = _kg_incremental_triples
     return out
 
 
