@@ -103,6 +103,162 @@ def broadcast_hash_join(
     return ds.map_batches(merge, batch_format="pandas")
 
 
+def detect_hot_keys(
+    ds: ray.data.Dataset, col: str, *, hot_fraction: float, mg_k: int = 256
+) -> tuple[frozenset, int]:
+    """Find join keys whose frequency is >= ``hot_fraction`` of the rows,
+    in ONE pass with a Misra–Gries sketch (O(mg_k) bytes per block on the
+    wire). Returns a guaranteed SUPERSET of the true hot set (plus the
+    total row count): MG undercounts by at most n/mg_k, so every key with
+    approx_count + n/mg_k >= threshold is kept. Requires
+    ``hot_fraction > 1/mg_k`` — below that the sketch cannot separate hot
+    from cold and the superset degenerates to everything."""
+    if hot_fraction <= 1.0 / mg_k:
+        raise ValueError(
+            f"hot_fraction={hot_fraction} must exceed 1/mg_k={1.0 / mg_k}: "
+            "the Misra-Gries error bound is n/mg_k, so a smaller threshold "
+            "is indistinguishable from sketch noise (raise mg_k or the "
+            "threshold)"
+        )
+    from .sketches import heavy_hitters
+
+    hh = heavy_hitters(ds, col, k=mg_k)
+    if not len(hh):
+        return frozenset(), 0
+    n = int(hh["n_total"].iloc[0])
+    slack = n / mg_k
+    hot = hh.loc[hh["approx_count"] + slack >= hot_fraction * n, "value"]
+    return frozenset(hot.tolist()), n
+
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    hot_fraction: float = 0.01,
+    mg_k: int = 256,
+    num_partitions: int | None = None,
+    max_broadcast_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Skew-aware inner join (the north rule's 'explicit skew handling for
+    head entities'): keys that dominate the left side would overload one
+    hash-shuffle partition, so they are detected with a one-pass
+    Misra–Gries sketch and routed around the shuffle.
+
+    Plan (adaptive, per key):
+    - sketch pass over ``left`` -> hot-key superset (``detect_hot_keys``);
+    - HOT rows: the right side's hot rows (bounded by |hot| <= mg_k keys x
+      rows-per-key; raises past ``max_broadcast_rows``) are ``ray.put``
+      ONCE and map-side merged — hot keys never enter a shuffle, so a key
+      holding 30% of the corpus costs zero partition imbalance;
+    - COLD rows: ordinary hash-partitioned ``Dataset.join``, now with a
+      bounded per-partition row count (< hot_fraction x n per key);
+    - union of both branches, columns normalized to left-then-right order.
+
+    Cost: left is scanned twice (sketch + join) — at 100 TB the sketch
+    pass is pure map (O(mg_k) bytes/block to the driver) and is the price
+    of never re-trying a blown shuffle partition. Non-key column names
+    must be disjoint between the two sides."""
+    rkey = right_on or on
+    hot, _n = detect_hot_keys(left, on, hot_fraction=hot_fraction, mg_k=mg_k)
+
+    # canonical output column order: left columns, then right non-key cols
+    left_cols = left.schema().names
+    right_cols = [c for c in right.schema().names if c != rkey]
+    dup = set(left_cols) & set(right_cols)
+    if dup:
+        raise ValueError(f"skew_join requires disjoint non-key columns; shared: {dup}")
+    out_cols = list(left_cols) + right_cols
+
+    # Dataset.join's output naming for an identical key name on both sides
+    # is version-dependent; give the right key an unambiguous temp name.
+    shuffle_rkey = rkey
+    def shuffle_right(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds
+    if rkey == on:
+        shuffle_rkey = "_skew_rkey"
+        def shuffle_right(ds: ray.data.Dataset) -> ray.data.Dataset:  # noqa: F811
+            return ds.map_batches(
+                lambda b: b.rename_columns(
+                    ["_skew_rkey" if n == rkey else n for n in b.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+
+    if not hot:
+        joined = hash_join(
+            left, shuffle_right(right), "inner",
+            on=(on,), right_on=(shuffle_rkey,), num_partitions=num_partitions,
+        )
+        return joined.map_batches(
+            lambda b, cols=out_cols: b.select(cols), batch_format="pyarrow"
+        )
+
+    hot_ref = ray.put(hot)
+
+    # Arrow-side filters: empty ARROW outputs stay typed (an all-empty
+    # pandas map output loses its schema and trips both the acero join and
+    # Ray's block-size estimator on object columns).
+    def split(batch: pa.Table, keep_hot: bool, col: str = on) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch[col], value_set=pa.array(list(_fetch(hot_ref))))
+        return batch.filter(mask if keep_hot else pc.invert(mask))
+
+    # hot branch: broadcast the right side's hot rows, map-side merge
+    right_hot = right.map_batches(
+        split, fn_kwargs={"keep_hot": True, "col": rkey}, batch_format="pyarrow"
+    ).to_pandas()
+    if len(right_hot) > max_broadcast_rows:
+        raise ValueError(
+            f"hot right rows ({len(right_hot)}) exceed max_broadcast_rows="
+            f"{max_broadcast_rows}; raise the cap or pre-aggregate the right side"
+        )
+    hot_joined = broadcast_hash_join(
+        left.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow"),
+        right_hot,
+        left_on=on,
+        right_on=rkey,
+        how="inner",
+    )
+    if rkey != on:
+        hot_joined = hot_joined.map_batches(
+            lambda b: b.drop(columns=[rkey]), batch_format="pandas"
+        )
+
+    # cold branch: ordinary hash join, hot rows filtered from BOTH sides.
+    # A side whose every block came out of the filter empty loses its
+    # schema (Ray drops it on all-empty map output) and crashes the acero
+    # join ("no match for key field") — the repo-standard guard is
+    # materialize + count, and the join consumes the already-staged blocks
+    # so the data moves through the object store once either way.
+    norm = lambda b, cols=out_cols: b[cols]  # noqa: E731
+    hot_joined = hot_joined.map_batches(norm, batch_format="pandas")
+    cold_left = left.map_batches(
+        split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow"
+    ).materialize()
+    if cold_left.count() == 0:
+        return hot_joined
+    cold_right = shuffle_right(
+        right.map_batches(
+            split, fn_kwargs={"keep_hot": False, "col": rkey}, batch_format="pyarrow"
+        )
+    ).materialize()
+    if cold_right.count() == 0:
+        return hot_joined
+    cold_joined = hash_join(
+        cold_left,
+        cold_right,
+        "inner",
+        on=(on,),
+        right_on=(shuffle_rkey,),
+        num_partitions=num_partitions,
+    )
+    return hot_joined.union(cold_joined.map_batches(norm, batch_format="pandas"))
+
+
 def semi_join_filter(
     ds: ray.data.Dataset, keys, on: str, anti: bool = False
 ) -> ray.data.Dataset:

@@ -3463,3 +3463,51 @@ GROUP BY i.p_name ORDER BY i.p_name
 """
 
 SQL_QUERIES["q_name_clusters"] = (q_name_clusters, Q_NAME_CLUSTERS_SQL)
+
+
+# --- skew-aware join ---------------------------------------------------------
+
+
+def q_skew_join_type_weight(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware join demo: every events.event_type holds ~20% of the
+    rows, so a hash-shuffle join on it would pile the whole table onto 5
+    partitions. ``ops.joins.skew_join`` detects the hot keys with a
+    one-pass Misra-Gries sketch and map-side-merges them (zero shuffle for
+    the hot rows); the oracle is the plain SQL join. All-integer weights,
+    so the aggregate is hash-exact."""
+    from ..ops.joins import skew_join
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    type_counts = grouped_agg(
+        _read(sf_dir, "events", columns=["event_type"]),
+        ["event_type"],
+        {"type_n": ("event_type", "count")},
+        final="driver",
+    )
+    type_counts["type_n"] = type_counts["type_n"].astype("int64")
+    joined = skew_join(
+        events,
+        ray.data.from_pandas(type_counts),
+        on="event_type",
+        hot_fraction=0.05,
+    )
+    out = grouped_agg(
+        joined,
+        ["user_id"],
+        {"weight": ("type_n", "sum"), "n_events": ("type_n", "count")},
+        final="driver",
+    )
+    out = out.astype({"user_id": "int64", "weight": "int64", "n_events": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_SKEW_JOIN_SQL = """
+WITH t AS (
+  SELECT event_type, COUNT(*)::BIGINT AS type_n FROM events GROUP BY event_type)
+SELECT e.user_id, SUM(t.type_n)::BIGINT AS weight, COUNT(*)::BIGINT AS n_events
+FROM events e JOIN t USING (event_type)
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+SQL_QUERIES["q_skew_join_type_weight"] = (q_skew_join_type_weight, Q_SKEW_JOIN_SQL)

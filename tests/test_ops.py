@@ -1262,3 +1262,74 @@ def test_edit_distance_pairs_matches_bruteforce(ray_session):
                 if d <= max_d:
                     want.add((a, b, d))
         assert got_set == want, (max_d, got_set ^ want)
+
+
+def test_skew_join_mixed_paths(ray_session):
+    """Planted skew: one key holds 40% of rows (hot), the tail is uniform
+    (cold). The result must equal a plain pandas merge, and the detector
+    must flag exactly the planted key."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.joins import detect_hot_keys, skew_join
+
+    rng = np.random.RandomState(7)
+    keys = np.where(rng.rand(20_000) < 0.4, 0, rng.randint(1, 5001, 20_000))
+    left = pd.DataFrame({"k": keys, "x": np.arange(20_000, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 5001, dtype=np.int64), "y": np.arange(0, 5001, dtype=np.int64) * 7}
+    )
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    hot, n = detect_hot_keys(lds, "k", hot_fraction=0.05)
+    assert n == 20_000
+    assert 0 in hot
+    # the MG superset may admit a few tail keys, but never the bulk
+    assert len(hot) < 300
+
+    out = (
+        skew_join(lds, rds, on="k", hot_fraction=0.05)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, on="k").sort_values(["k", "x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "x", "y"]], exp[["k", "x", "y"]])
+
+
+def test_skew_join_all_hot_and_all_cold(ray_session):
+    """Degenerate splits: every key hot (cold branch empty -> must not feed
+    a schema-less dataset into the acero join) and every key cold."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.joins import skew_join
+
+    left = pd.DataFrame({"k": np.repeat([1, 2], 500), "x": np.arange(1000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64), "y": np.array([10, 20, 30], dtype=np.int64)})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    all_hot = skew_join(lds, rds, on="k", hot_fraction=0.2).to_pandas()
+    exp = left.merge(right, on="k")
+    assert len(all_hot) == len(exp)
+    assert int(all_hot["y"].sum()) == int(exp["y"].sum())
+
+    rng = np.random.RandomState(3)
+    l2 = pd.DataFrame({"k": rng.randint(0, 1000, 2000), "x": np.arange(2000, dtype=np.int64)})
+    r2 = pd.DataFrame({"k": np.arange(1000, dtype=np.int64), "y": np.arange(1000, dtype=np.int64)})
+    out2 = skew_join(
+        ray.data.from_pandas(l2), ray.data.from_pandas(r2), on="k", hot_fraction=0.05
+    ).to_pandas()
+    exp2 = l2.merge(r2, on="k")
+    assert len(out2) == len(exp2)
+    assert int(out2["y"].sum()) == int(exp2["y"].sum())
+
+
+def test_detect_hot_keys_threshold_contract(ray_session):
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.joins import detect_hot_keys
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": np.zeros(10, dtype=np.int64)}))
+    with pytest.raises(ValueError, match="hot_fraction"):
+        detect_hot_keys(ds, "k", hot_fraction=0.001, mg_k=256)
