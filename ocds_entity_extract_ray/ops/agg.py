@@ -123,3 +123,56 @@ def bucketed_map_groups(
         .sort("_bucket")
         .map_batches(run, batch_size=None, batch_format="pandas")
     )
+
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    *,
+    num_buckets: int = 64,
+    empty_result: pd.DataFrame | None = None,
+) -> ray.data.Dataset:
+    """Keep each key's row with the LARGEST ``order_cols`` tuple (the
+    per-key argmax SQL writes as ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY ... DESC) = 1``). Two-level: a per-batch argmax shrinks every
+    block to <= one row per key BEFORE the bucket shuffle (so a key with a
+    million versions ships one), then the bucketed pass re-argmaxes the
+    survivors. ``order_cols`` must be a deterministic total order per key
+    (add a unique id as the last tiebreak)."""
+
+    def keep_latest(frame: pd.DataFrame) -> pd.DataFrame:
+        srt = frame.sort_values(
+            [key_col, *order_cols],
+            ascending=[True] + [False] * len(order_cols),
+            kind="mergesort",
+        )
+        return srt.drop_duplicates([key_col], keep="first")
+
+    pre = ds.map_batches(keep_latest, batch_format="pandas")
+    return bucketed_map_groups(
+        pre, key_col, keep_latest, num_buckets=num_buckets, empty_result=empty_result
+    )
+
+
+def upsert_latest(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    *,
+    num_buckets: int = 64,
+    empty_result: pd.DataFrame | None = None,
+) -> ray.data.Dataset:
+    """CDC merge: apply a change log to a snapshot, latest version of each
+    key wins. Pure composition — union then per-key argmax — so the cost
+    is the one bucket shuffle ``latest_by_key`` already pays; at 100 TB
+    both sides would be bucket-partitioned on ``key_col`` and the union
+    respects it."""
+    return latest_by_key(
+        base.union(delta),
+        key_col,
+        order_cols,
+        num_buckets=num_buckets,
+        empty_result=empty_result,
+    )

@@ -3511,3 +3511,231 @@ ORDER BY e.user_id
 """
 
 SQL_QUERIES["q_skew_join_type_weight"] = (q_skew_join_type_weight, Q_SKEW_JOIN_SQL)
+
+
+# --- CDC / snapshot queries --------------------------------------------------
+
+
+def q_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Current-state snapshot from a change log: each user's most recent
+    event ((ts, event_id) is the deterministic version order). Runs
+    ``ops.agg.latest_by_key`` — per-batch argmax shrinks every block to
+    one row per key before the single bucket shuffle. value passes
+    through unaggregated, so the doubles compare bitwise."""
+    from ..ops.agg import latest_by_key
+
+    events = _read(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "event_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "event_type": pd.Series(dtype="object"),
+            "value": pd.Series(dtype="float64"),
+        }
+    )
+    out = latest_by_key(
+        events, "user_id", ["ts", "event_id"], num_buckets=32, empty_result=empty
+    ).to_pandas()
+    out = _us(out, "ts")
+    out = out.astype({"user_id": "int64", "event_id": "int64"})
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    return out[cols].sort_values("user_id").reset_index(drop=True)
+
+
+Q_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+SQL_QUERIES["q_latest_event_per_user"] = (q_latest_event_per_user, Q_LATEST_EVENT_SQL)
+
+
+def q_moving_sum(sf_dir: str) -> pd.DataFrame:
+    """Framed window aggregate: 5-row moving spend per customer (ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW) as cumsum minus group-shifted
+    cumsum — one bucket shuffle, integer cents, hash-exact."""
+    from ..ops.windows import window_over
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        cents = pd.Series(_cents(b["o_totalprice"]), index=b.index)
+        grp = cents.groupby(b["o_custkey"], sort=False)
+        cs = grp.cumsum()
+        lag = cs.groupby(b["o_custkey"], sort=False).shift(5)
+        moving = (cs - lag.fillna(0)).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "moving_cents": moving,
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "moving_cents": pd.Series(dtype="int64"),
+        }
+    )
+    out = window_over(
+        orders,
+        key_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        assign=assign,
+        empty_result=empty,
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_MOVING_SUM_SQL = """
+SELECT o_orderkey, o_custkey,
+       SUM(ROUND(o_totalprice * 100, 0)::BIGINT) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS moving_cents
+FROM orders
+"""
+
+SQL_QUERIES["q_moving_sum"] = (q_moving_sum, Q_MOVING_SUM_SQL)
+
+
+def q_cube_status_priority(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE over two dimensions: the three coarser grouping sets
+    are derived from the fine aggregate on the driver (15 rows), so the
+    input is scanned ONCE — the same no-second-scan shape as
+    q_rollup_orders, completing rollup -> cube."""
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "status": b["o_orderstatus"],
+                "priority": b["o_orderpriority"],
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    fine = grouped_agg(
+        orders,
+        ["status", "priority"],
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+        pre=pre,
+        final="driver",
+    )
+
+    def roll(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                n=("n", "sum"), sum_cents=("sum_cents", "sum")
+            )
+        else:
+            g = pd.DataFrame({"n": [df["n"].sum()], "sum_cents": [df["sum_cents"].sum()]})
+        for c in ("status", "priority"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        return g[["status", "priority", "n", "sum_cents"]]
+
+    out = pd.concat(
+        [
+            roll(fine, ["status", "priority"]),
+            roll(fine, ["status"]),
+            roll(fine, ["priority"]),
+            roll(fine, []),
+        ],
+        ignore_index=True,
+    )
+    out = out.astype({"n": "int64", "sum_cents": "int64"})
+    return out.sort_values(["status", "priority"]).reset_index(drop=True)
+
+
+Q_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*)::BIGINT AS n,
+       SUM(ROUND(o_totalprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+SQL_QUERIES["q_cube_status_priority"] = (q_cube_status_priority, Q_CUBE_SQL)
+
+
+def q_qty_discount_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of quantity vs discount per returnflag with
+    BITWISE-exact floats: the five moments are integer sums (quantity is
+    integral, discount exact at 2 decimals), and both engines evaluate
+    the identical float expression over identical int64 operands —
+    int->float64 conversion is exact below 2^53 and IEEE ops are
+    deterministic, so even the final doubles hash-match."""
+    lineitem = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        y = _cents(b["l_discount"])
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "x": x, "y": y, "xy": x * y, "xx": x * x, "yy": y * y,
+                "one": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    m = grouped_agg(
+        lineitem,
+        ["l_returnflag"],
+        {
+            "n": ("one", "sum"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxy": ("xy", "sum"),
+            "sxx": ("xx", "sum"),
+            "syy": ("yy", "sum"),
+        },
+        pre=pre,
+        final="driver",
+    )
+    n = m["n"].astype("int64")
+    num = (n * m["sxy"].astype("int64") - m["sx"].astype("int64") * m["sy"].astype("int64")).astype("float64")
+    vx = (n * m["sxx"].astype("int64") - m["sx"].astype("int64") ** 2).astype("float64")
+    vy = (n * m["syy"].astype("int64") - m["sy"].astype("int64") ** 2).astype("float64")
+    out = pd.DataFrame(
+        {
+            "l_returnflag": m["l_returnflag"],
+            "n": n,
+            "corr_qty_disc": num / np.sqrt(vx * vy),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*)::BIGINT AS n,
+         SUM(ROUND(l_quantity)::BIGINT)::BIGINT AS sx,
+         SUM(ROUND(l_discount * 100, 0)::BIGINT)::BIGINT AS sy,
+         SUM(ROUND(l_quantity)::BIGINT * ROUND(l_discount * 100, 0)::BIGINT)::BIGINT AS sxy,
+         SUM(ROUND(l_quantity)::BIGINT * ROUND(l_quantity)::BIGINT)::BIGINT AS sxx,
+         SUM(ROUND(l_discount * 100, 0)::BIGINT * ROUND(l_discount * 100, 0)::BIGINT)::BIGINT AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)::DOUBLE
+         / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+       AS corr_qty_disc
+FROM m ORDER BY l_returnflag
+"""
+
+SQL_QUERIES["q_qty_discount_corr"] = (q_qty_discount_corr, Q_CORR_SQL)

@@ -1333,3 +1333,58 @@ def test_detect_hot_keys_threshold_contract(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"k": np.zeros(10, dtype=np.int64)}))
     with pytest.raises(ValueError, match="hot_fraction"):
         detect_hot_keys(ds, "k", hot_fraction=0.001, mg_k=256)
+
+
+def test_upsert_latest_cdc_merge(ray_session):
+    """CDC semantics: delta rows with a newer version replace base rows,
+    stale delta rows lose, new keys insert, and ties break on the id
+    column — matching the QUALIFY row_number()=1 definition."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.agg import latest_by_key, upsert_latest
+
+    base = pd.DataFrame(
+        {"k": [1, 2, 3], "v": [10, 20, 30], "ver": [1, 5, 1], "id": [100, 101, 102]}
+    )
+    delta = pd.DataFrame(
+        {"k": [2, 3, 4, 3], "v": [99, 7, 40, 8], "ver": [2, 2, 1, 2], "id": [103, 104, 105, 106]}
+    )
+    out = (
+        upsert_latest(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(delta),
+            "k",
+            ["ver", "id"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 untouched; k=2 keeps base (ver 5 > 2); k=3 takes delta id=106
+    # (ver 2, higher id beats id=104); k=4 inserted
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["v"].tolist() == [10, 20, 8, 40]
+
+    # latest_by_key with many versions per key: one survivor per key
+    rng = np.random.RandomState(11)
+    log = pd.DataFrame(
+        {
+            "k": rng.randint(0, 50, 5000),
+            "ver": rng.randint(0, 1_000_000, 5000),
+            "id": np.arange(5000, dtype=np.int64),
+        }
+    )
+    got = (
+        latest_by_key(ray.data.from_pandas(log), "k", ["ver", "id"], num_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        log.sort_values(["k", "ver", "id"], ascending=[True, False, False])
+        .drop_duplicates("k")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "ver", "id"]], exp[["k", "ver", "id"]])
