@@ -3739,3 +3739,95 @@ FROM m ORDER BY l_returnflag
 """
 
 SQL_QUERIES["q_qty_discount_corr"] = (q_qty_discount_corr, Q_CORR_SQL)
+
+
+def q_table_diff(sf_dir: str) -> pd.DataFrame:
+    """Data-validation diff between two derived snapshots of orders: the
+    left drops every 7th key (-> only_right), the right rewrites URGENT
+    priorities (-> changed); identical keys vanish inside the bucketed
+    pass so only the difference reaches the driver. ``ops.diff.dataset_diff``
+    ships 17 bytes/row regardless of row width."""
+    from ..ops.diff import dataset_diff
+
+    orders_l = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b[b["o_orderkey"] % 7 != 0], batch_format="pandas"
+    )
+
+    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["o_orderkey", "o_orderpriority"]].copy()
+        out.loc[out["o_orderpriority"] == "1-URGENT", "o_orderpriority"] = "X"
+        return out
+
+    orders_r = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        mutate, batch_format="pandas"
+    )
+    out = dataset_diff(orders_l, orders_r, "o_orderkey", num_buckets=32).to_pandas()
+    out = out.astype({"o_orderkey": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_TABLE_DIFF_SQL = """
+WITH l AS (
+  SELECT o_orderkey, o_orderpriority AS p FROM orders WHERE o_orderkey % 7 != 0),
+r AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'X' ELSE o_orderpriority END AS p
+  FROM orders)
+SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+       CASE WHEN l.o_orderkey IS NULL THEN 'only_right'
+            WHEN r.o_orderkey IS NULL THEN 'only_left'
+            ELSE 'changed' END AS status
+FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL OR l.p != r.p
+ORDER BY 1
+"""
+
+SQL_QUERIES["q_table_diff"] = (q_table_diff, Q_TABLE_DIFF_SQL)
+
+
+def q_funnel_view_purchase(sf_dir: str) -> pd.DataFrame:
+    """Behavioral funnel: per user, did any 'view' happen strictly before
+    any 'purchase'? One bucket shuffle on user_id, then a vectorized
+    min-view-ts vs max-purchase-ts compare per user — the sequence-pattern
+    query event logs need at scale."""
+    from ..ops.agg import bucketed_map_groups
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"]).map_batches(
+        lambda b: b[b["event_type"].isin(("view", "purchase"))], batch_format="pandas"
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        views = b[b["event_type"] == "view"].groupby("user_id")["ts"].min()
+        buys = b[b["event_type"] == "purchase"].groupby("user_id")["ts"].max()
+        m = views.to_frame("first_view").join(buys.to_frame("last_buy"), how="outer")
+        converted = (
+            m["first_view"].notna()
+            & m["last_buy"].notna()
+            & (m["first_view"] < m["last_buy"])
+        )
+        return pd.DataFrame(
+            {"user_id": m.index.astype("int64"), "converted": converted.to_numpy()}
+        ).reset_index(drop=True)
+
+    empty = pd.DataFrame(
+        {"user_id": pd.Series(dtype="int64"), "converted": pd.Series(dtype="bool")}
+    )
+    out = bucketed_map_groups(
+        events, "user_id", per_bucket, num_buckets=32, empty_result=empty
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_FUNNEL_SQL = """
+SELECT user_id,
+       (MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+        AND MAX(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+        AND MIN(CASE WHEN event_type = 'view' THEN ts END)
+            < MAX(CASE WHEN event_type = 'purchase' THEN ts END)) AS converted
+FROM events
+WHERE event_type IN ('view', 'purchase')
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+SQL_QUERIES["q_funnel_view_purchase"] = (q_funnel_view_purchase, Q_FUNNEL_SQL)

@@ -1388,3 +1388,53 @@ def test_upsert_latest_cdc_merge(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "ver", "id"]], exp[["k", "ver", "id"]])
+
+
+def test_dataset_diff_classifies_and_drops_equal(ray_session):
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.diff import dataset_diff
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "a": [10, 20, 30, 40], "b": ["x", "y", "z", "w"]}
+    )
+    right = pd.DataFrame(
+        {"k": [2, 3, 4, 5], "a": [20, 99, 40, 50], "b": ["y", "z", "w", "v"]}
+    )
+    out = (
+        dataset_diff(ray.data.from_pandas(left), ray.data.from_pandas(right), "k", num_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 3, 5]
+    assert out["status"].tolist() == ["only_left", "changed", "only_right"]
+
+    # identical tables -> empty diff (but typed schema)
+    same = dataset_diff(
+        ray.data.from_pandas(left), ray.data.from_pandas(left.copy()), "k", num_buckets=4
+    ).to_pandas()
+    assert len(same) == 0
+
+    # column-order independence is NOT promised; compare_cols pins the set
+    sub = dataset_diff(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        "k",
+        compare_cols=["a"],
+        num_buckets=4,
+    ).to_pandas()
+    assert set(sub.loc[sub["status"] == "changed", "k"]) == {3}
+
+
+def test_dataset_diff_rejects_duplicate_keys(ray_session):
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.diff import dataset_diff
+
+    dup = pd.DataFrame({"k": [1, 1], "a": [1, 2]})
+    ok = pd.DataFrame({"k": [1], "a": [1]})
+    with pytest.raises(Exception, match="unique keys"):
+        dataset_diff(
+            ray.data.from_pandas(dup), ray.data.from_pandas(ok), "k", num_buckets=2
+        ).to_pandas()
