@@ -245,6 +245,46 @@ def _kg_incremental_triples(sf_dir: str):
     return ray.data.read_parquet(os.path.join(out, "triples"))
 
 
+def _kg_two_hop(sf_dir: str):
+    """Rows-only: graph-PATTERN query over the materialized KG — the
+    SPARQL shape ``?person contactPointOf ?org . ?org memberOf ?parent``
+    as a distributed self-join of the triples Dataset on obj == subj
+    (predicate-filtered sides, hash-partitioned join), then a count per
+    (pred pair, parent). Shows the engine QUERIES the graph it builds,
+    not just emits it; conformance-covered by the triple P/R suite that
+    pins the underlying triple set."""
+    import pandas as pd
+
+    from ocds_entity_extract_ray.ops.agg import grouped_agg
+    from ocds_entity_extract_ray.ops.joins import hash_join
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    clist, pidx = _kg_inputs()
+    entities = build_entities(
+        read_pages(pages_dir, columns=["url", "html"]), clist, pidx, num_buckets=64
+    )
+    triples = materialize_triples(entities)
+
+    def side(pred: str, rename: dict):
+        return triples.map_batches(
+            lambda b, p=pred, r=rename: b.loc[b["pred"] == p, list(r)].rename(columns=r),
+            batch_format="pandas",
+        )
+
+    hop1 = side("contactPointOf", {"subj": "person", "obj": "org"})
+    hop2 = side("memberOf", {"subj": "org2", "obj": "parent"})
+    paths = hash_join(hop1, hop2, "inner", on=("org",), right_on=("org2",))
+    out = grouped_agg(
+        paths, ["parent"], {"n_contact_paths": ("person", "count")}, final="driver"
+    )
+    out["n_contact_paths"] = out["n_contact_paths"].astype("int64")
+    return out.sort_values("parent").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocds_entity_extract_ray.pipelines.relational import (
         ROWS_ONLY_QUERIES,
@@ -261,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_degree_hist"] = _kg_degree_hist
     out["kg_entity_pagerank"] = _kg_entity_pagerank
     out["kg_incremental_triples"] = _kg_incremental_triples
+    out["kg_two_hop"] = _kg_two_hop
     return out
 
 

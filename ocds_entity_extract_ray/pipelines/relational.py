@@ -3831,3 +3831,157 @@ ORDER BY user_id
 """
 
 SQL_QUERIES["q_funnel_view_purchase"] = (q_funnel_view_purchase, Q_FUNNEL_SQL)
+
+
+def q_order_ntile(sf_dir: str) -> pd.DataFrame:
+    """Distribution windows: NTILE(4), PERCENT_RANK and CUME_DIST per
+    order priority over a tie-free (cents, orderkey) order. NTILE's
+    uneven-bucket rule (first n%k groups one row larger) is reproduced
+    vectorized; the two ratios divide identical int64 operands in both
+    engines, so the doubles are bitwise-equal."""
+    from ..ops.windows import window_over
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "priority": b["o_orderpriority"],
+                "cents": _cents(b["o_totalprice"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    K = 4
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        grp = b.groupby("priority", sort=False)
+        rn = grp.cumcount().to_numpy() + 1
+        n = grp["o_orderkey"].transform("size").to_numpy()
+        big, small = n % K, n // K
+        in_big = rn <= big * (small + 1)
+        tile = np.where(
+            in_big,
+            (rn - 1) // np.maximum(small + 1, 1) + 1,
+            big + np.where(small > 0, (rn - big * (small + 1) - 1) // np.maximum(small, 1), 0) + 1,
+        )
+        pct_rank = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "priority": b["priority"],
+                "tile": tile.astype("int64"),
+                "pct_rank": pct_rank,
+                "cume": rn / n,
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(dtype="int64"),
+            "priority": pd.Series(dtype="object"),
+            "tile": pd.Series(dtype="int64"),
+            "pct_rank": pd.Series(dtype="float64"),
+            "cume": pd.Series(dtype="float64"),
+        }
+    )
+    out = window_over(
+        orders,
+        key_col="priority",
+        order_cols=["cents", "o_orderkey"],
+        assign=assign,
+        num_buckets=16,
+        empty_result=empty,
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority AS priority,
+       NTILE(4) OVER w::BIGINT AS tile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_orderpriority
+  ORDER BY ROUND(o_totalprice * 100, 0)::BIGINT, o_orderkey)
+"""
+
+SQL_QUERIES["q_order_ntile"] = (q_order_ntile, Q_NTILE_SQL)
+
+
+def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Top-k per group — the grouped-limit pattern: 2 biggest orders per
+    market segment via a broadcast dimension join and one windowed pass
+    (rank <= k filter inside the bucket, so only k rows per group leave)."""
+    from ..ops.windows import window_over
+
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = broadcast_hash_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "segment": b["c_mktsegment"],
+                "cents": _cents(b["o_totalprice"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        # bucket arrives sorted ascending by (segment, cents, o_orderkey);
+        # rank from the END of each segment = descending rank
+        grp = b.groupby("segment", sort=False)
+        n = grp["o_orderkey"].transform("size").to_numpy()
+        rn = grp.cumcount().to_numpy() + 1
+        desc_rank = n - rn + 1
+        keep = desc_rank <= 2
+        return pd.DataFrame(
+            {
+                "segment": b["segment"][keep],
+                "o_orderkey": b["o_orderkey"][keep].astype("int64"),
+                "cents": b["cents"][keep].astype("int64"),
+                "rank_in_segment": desc_rank[keep].astype("int64"),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "segment": pd.Series(dtype="object"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "cents": pd.Series(dtype="int64"),
+            "rank_in_segment": pd.Series(dtype="int64"),
+        }
+    )
+    out = window_over(
+        orders,
+        key_col="segment",
+        order_cols=["cents", "o_orderkey"],
+        assign=assign,
+        num_buckets=8,
+        empty_result=empty,
+    ).to_pandas()
+    return out.sort_values(["segment", "rank_in_segment"]).reset_index(drop=True)
+
+
+Q_TOP_PER_SEGMENT_SQL = """
+SELECT segment, o_orderkey, cents, rank_in_segment
+FROM (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         ROUND(o.o_totalprice * 100, 0)::BIGINT AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY ROUND(o.o_totalprice * 100, 0)::BIGINT DESC, o.o_orderkey DESC
+         )::BIGINT AS rank_in_segment
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rank_in_segment <= 2
+ORDER BY segment, rank_in_segment
+"""
+
+SQL_QUERIES["q_top_orders_per_segment"] = (q_top_orders_per_segment, Q_TOP_PER_SEGMENT_SQL)

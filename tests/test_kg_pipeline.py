@@ -392,3 +392,31 @@ def test_incremental_update_is_idempotent(ray_session, pages_dir, tmp_path):
     )
     assert rep1["touched_buckets"] == rep2["touched_buckets"]
     assert rows1.column("key").to_pylist() == rows2.column("key").to_pylist()
+
+
+def test_kg_two_hop_matches_bruteforce(ray_session):
+    """The distributed two-hop pattern must equal the pandas self-join
+    over the same materialized triple set."""
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    tri = entry._kg_triples("/root/testdata/sf0.001").to_pandas()
+    got = entry._kg_two_hop("/root/testdata/sf0.001")
+
+    h1 = tri[tri["pred"] == "contactPointOf"][["subj", "obj"]].rename(
+        columns={"subj": "person", "obj": "org"}
+    )
+    h2 = tri[tri["pred"] == "memberOf"][["subj", "obj"]].rename(
+        columns={"subj": "org", "obj": "parent"}
+    )
+    exp = (
+        h1.merge(h2, on="org")
+        .groupby("parent", as_index=False)
+        .agg(n_contact_paths=("person", "count"))
+        .astype({"n_contact_paths": "int64"})
+        .sort_values("parent")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
