@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "q_running_total",
     "q_supplier_triangles",
     "q_inverted_index",
+    # round-3 continuation 2 (skew join / CDC / diff / distribution windows)
+    "q_skew_join_type_weight",
+    "q_latest_event_per_user",
+    "q_table_diff",
+    "q_funnel_view_purchase",
+    "q_order_ntile",
 ]
 
 
