@@ -3985,3 +3985,59 @@ ORDER BY segment, rank_in_segment
 """
 
 SQL_QUERIES["q_top_orders_per_segment"] = (q_top_orders_per_segment, Q_TOP_PER_SEGMENT_SQL)
+
+
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means (2 iterations, per-label integer-mean
+    init) with a HASH-EXACT oracle: all arithmetic is fixed-point int64
+    (floor-quantized, offset non-negative so numpy floor-div == DuckDB
+    truncating //), so assignments, counts and centroid checksums are
+    bit-identical however the sums are ordered — the same order-
+    independence trick as q_pagerank, applied to an ML training loop."""
+    from ..ops.kmeans import kmeans_int, label_init_centroids
+
+    emb = _read(sf_dir, "embeddings")
+    init = label_init_centroids(emb)
+    summary, _cents = kmeans_int(emb, init, iters=2)
+    return summary
+
+
+Q_KMEANS_SQL = """
+WITH dims AS (SELECT i FROM range(1, 65) t(i)),
+q AS (
+  SELECT e.vec_id, e.label, d.i AS d,
+         (FLOOR(list_extract(e.embedding, d.i)::DOUBLE * 1000000.0) + 1000000)::BIGINT AS v
+  FROM embeddings e, dims d),
+c0 AS (
+  SELECT label::BIGINT AS cid, d, (SUM(v) // COUNT(*))::BIGINT AS cv
+  FROM q GROUP BY label, d),
+d1 AS (
+  SELECT q.vec_id, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS dist
+  FROM q JOIN c0 c USING (d) GROUP BY q.vec_id, c.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT a.cid, q.d, (SUM(q.v) // COUNT(*))::BIGINT AS cv
+  FROM q JOIN a1 a USING (vec_id) GROUP BY a.cid, q.d),
+d2 AS (
+  SELECT q.vec_id, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS dist
+  FROM q JOIN c1 c USING (d) GROUP BY q.vec_id, c.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1),
+c2 AS (
+  SELECT a.cid, q.d, (SUM(q.v) // COUNT(*))::BIGINT AS cv
+  FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d),
+n2 AS (SELECT cid, COUNT(*)::BIGINT AS n_points FROM a2 GROUP BY cid)
+SELECT c2.cid AS cluster, ANY_VALUE(n2.n_points) AS n_points,
+       SUM(c2.cv)::BIGINT AS centroid_checksum
+FROM c2 JOIN n2 USING (cid)
+GROUP BY c2.cid ORDER BY cluster
+"""
+
+SQL_QUERIES["q_kmeans_clusters"] = (q_kmeans_clusters, Q_KMEANS_SQL)

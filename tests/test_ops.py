@@ -1438,3 +1438,49 @@ def test_dataset_diff_rejects_duplicate_keys(ray_session):
         dataset_diff(
             ray.data.from_pandas(dup), ray.data.from_pandas(ok), "k", num_buckets=2
         ).to_pandas()
+
+
+def test_kmeans_int_partition_independent(ray_session):
+    """Fixed-point k-means must be bit-identical however the input is
+    blocked (summation-order independence is the whole point)."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.kmeans import kmeans_int, label_init_centroids
+
+    rng = np.random.RandomState(5)
+    vecs = (rng.rand(400, 16) * 2 - 1) * 0.9
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": np.repeat(np.arange(4), 100).astype("int32"),
+        }
+    )
+    one = ray.data.from_pandas(df)
+    many = ray.data.from_pandas([df.iloc[i::7].reset_index(drop=True) for i in range(7)])
+
+    i1 = label_init_centroids(one)
+    i2 = label_init_centroids(many)
+    np.testing.assert_array_equal(i1, i2)
+
+    s1, c1 = kmeans_int(one, i1, iters=3)
+    s2, c2 = kmeans_int(many, i2, iters=3)
+    np.testing.assert_array_equal(c1, c2)
+    pd.testing.assert_frame_equal(s1, s2)
+    assert s1["n_points"].sum() == 400
+
+
+def test_kmeans_int_raises_on_out_of_range(ray_session):
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.kmeans import label_init_centroids
+
+    df = pd.DataFrame(
+        {
+            "vec_id": [0],
+            "embedding": [np.array([2.0, 0.0], dtype=np.float32)],
+            "label": np.array([0], dtype="int32"),
+        }
+    )
+    with pytest.raises(Exception, match="unit-normalized"):
+        label_init_centroids(ray.data.from_pandas(df))
