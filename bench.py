@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_table_diff",
     "q_funnel_view_purchase",
     "q_order_ntile",
+    "q_kmeans_clusters",
 ]
 
 

@@ -4041,3 +4041,91 @@ GROUP BY c2.cid ORDER BY cluster
 """
 
 SQL_QUERIES["q_kmeans_clusters"] = (q_kmeans_clusters, Q_KMEANS_SQL)
+
+
+def q_customer_order_counts_left(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join parity: every customer, including the zero-order
+    ones (the null-extension path the inner-join suite never exercises).
+    Fact side streams; the dimension is broadcast; COUNT over the null
+    extension is 0, not 1."""
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    counts = grouped_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        ["o_custkey"],
+        {"n_orders": ("o_custkey", "count")},
+        final="driver",
+    )
+    out = cust.to_pandas().merge(
+        counts, how="left", left_on="c_custkey", right_on="o_custkey"
+    )
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out = out[["c_custkey", "c_mktsegment", "n_orders"]].astype({"c_custkey": "int64"})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_LEFT_JOIN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey)::BIGINT AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+"""
+
+SQL_QUERIES["q_customer_order_counts_left"] = (
+    q_customer_order_counts_left,
+    Q_LEFT_JOIN_SQL,
+)
+
+
+def q_nation_top_names(sf_dir: str) -> pd.DataFrame:
+    """Ordered list aggregation (ARRAY_AGG/STRING_AGG parity): the top-3
+    customers by (acctbal cents desc, name) per nation, joined as one
+    string. The per-group sort happens inside the bucket; only 3 rows per
+    nation leave it."""
+    from ..ops.agg import bucketed_map_groups
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "nationkey": b["c_nationkey"].astype("int64"),
+                "name": b["c_name"],
+                "cents": _cents(b["c_acctbal"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        srt = b.sort_values(
+            ["nationkey", "cents", "name"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = srt.groupby("nationkey").head(3)
+        return (
+            top.groupby("nationkey", as_index=False)
+            .agg(top_names=("name", ",".join))
+            .astype({"nationkey": "int64"})
+        )
+
+    empty = pd.DataFrame(
+        {"nationkey": pd.Series(dtype="int64"), "top_names": pd.Series(dtype="object")}
+    )
+    out = bucketed_map_groups(
+        cust, "nationkey", per_bucket, num_buckets=8, empty_result=empty
+    ).to_pandas()
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+Q_NATION_TOP_NAMES_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey::BIGINT AS nationkey, c_name,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY ROUND(c_acctbal * 100, 0)::BIGINT DESC, c_name) AS rn
+  FROM customer)
+SELECT nationkey, STRING_AGG(c_name, ',' ORDER BY rn) AS top_names
+FROM ranked WHERE rn <= 3
+GROUP BY nationkey ORDER BY nationkey
+"""
+
+SQL_QUERIES["q_nation_top_names"] = (q_nation_top_names, Q_NATION_TOP_NAMES_SQL)
