@@ -66,8 +66,15 @@ def dataset_diff(
                     f"dataset_diff requires unique keys per side; duplicate "
                     f"{key_col}={dup!r} on the {side} side"
                 )
-        m = l[[key_col, "_h"]].merge(
-            r[[key_col, "_h"]], on=key_col, how="outer", suffixes=("_l", "_r")
+        # nullable Int64 keeps the outer merge's missing sides from
+        # upcasting the hashes to float64 — at 53-bit precision two hashes
+        # within one ulp would compare equal and a changed row would
+        # silently vanish from the diff
+        m = l[[key_col, "_h"]].astype({"_h": "Int64"}).merge(
+            r[[key_col, "_h"]].astype({"_h": "Int64"}),
+            on=key_col,
+            how="outer",
+            suffixes=("_l", "_r"),
         )
         status = np.where(
             m["_h_l"].isna(),
@@ -75,7 +82,7 @@ def dataset_diff(
             np.where(m["_h_r"].isna(), "only_left", "changed"),
         )
         out = pd.DataFrame({key_col: m[key_col], "status": status})
-        same = (~m["_h_l"].isna()) & (~m["_h_r"].isna()) & (m["_h_l"] == m["_h_r"])
+        same = (m["_h_l"] == m["_h_r"]).fillna(False)
         return out[~same.to_numpy()]
 
     empty = pd.DataFrame(

@@ -196,7 +196,9 @@ def skew_join(
             lambda b, cols=out_cols: b.select(cols), batch_format="pyarrow"
         )
 
-    hot_ref = ray.put(hot)
+    # the value_set Arrow array is built ONCE and broadcast; workers fetch
+    # it from the local object store (not rebuilt per batch)
+    hot_ref = ray.put(pa.array(list(hot)))
 
     # Arrow-side filters: empty ARROW outputs stay typed (an all-empty
     # pandas map output loses its schema and trips both the acero join and
@@ -204,18 +206,34 @@ def skew_join(
     def split(batch: pa.Table, keep_hot: bool, col: str = on) -> pa.Table:
         import pyarrow.compute as pc
 
-        mask = pc.is_in(batch[col], value_set=pa.array(list(_fetch(hot_ref))))
+        mask = pc.is_in(batch[col], value_set=_fetch(hot_ref))
         return batch.filter(mask if keep_hot else pc.invert(mask))
 
-    # hot branch: broadcast the right side's hot rows, map-side merge
-    right_hot = right.map_batches(
-        split, fn_kwargs={"keep_hot": True, "col": rkey}, batch_format="pyarrow"
-    ).to_pandas()
+    # hot branch: broadcast the right side's hot rows, map-side merge.
+    # limit(cap+1) bounds what the driver ever materializes, so the guard
+    # fires BEFORE an oversized hot side can OOM the driver.
+    right_hot = (
+        right.map_batches(
+            split, fn_kwargs={"keep_hot": True, "col": rkey}, batch_format="pyarrow"
+        )
+        .limit(max_broadcast_rows + 1)
+        .to_pandas()
+    )
     if len(right_hot) > max_broadcast_rows:
         raise ValueError(
-            f"hot right rows ({len(right_hot)}) exceed max_broadcast_rows="
-            f"{max_broadcast_rows}; raise the cap or pre-aggregate the right side"
+            f"hot right rows exceed max_broadcast_rows={max_broadcast_rows}; "
+            "raise the cap or pre-aggregate the right side"
         )
+    if len(right_hot) == 0:
+        # Hot keys absent from the right side: the inner join drops them
+        # anyway (and an all-empty to_pandas loses its columns, so it must
+        # not reach the merge). Fall back to the unfiltered plain join —
+        # the hot probe rows find an empty build side, so the skew they
+        # carry costs probe streaming, not a blown build partition.
+        return hash_join(
+            left, shuffle_right(right), "inner",
+            on=(on,), right_on=(shuffle_rkey,), num_partitions=num_partitions,
+        ).map_batches(lambda b, cols=out_cols: b.select(cols), batch_format="pyarrow")
     hot_joined = broadcast_hash_join(
         left.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow"),
         right_hot,

@@ -75,6 +75,8 @@ def kmeans_int(
     quantized/offset domain). Returns (per-cluster summary DataFrame with
     ``cluster``, ``n_points``, ``centroid_checksum``, and the final
     centroid matrix). Ties go to the lowest cluster id."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (the summary reports the last E-step)")
     cents = np.asarray(init_centroids, dtype=np.int64)
     k, d = cents.shape
 

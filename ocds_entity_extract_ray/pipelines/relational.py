@@ -38,8 +38,13 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _read(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+def _read(sf_dir: str, name: str, columns=None, filter=None) -> ray.data.Dataset:
+    """Column-pruned (and optionally predicate-pushed) parquet read.
+    ``filter`` is a ``pyarrow.dataset`` expression evaluated INSIDE the
+    scan: on date/key-partitioned files at 100 TB it prunes whole files
+    and row groups before bytes leave storage (the single-row-group test
+    tables here can't demonstrate the pruning, only the semantics)."""
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns, filter=filter)
 
 
 def _small(sf_dir: str, name: str, columns=None) -> pa.Table:
@@ -273,21 +278,30 @@ GROUP BY n_name ORDER BY n_name
 
 
 def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    # the WHOLE predicate is pushed into the parquet scan — on a
+    # date-partitioned 100 TB layout this prunes files/row groups before
+    # any byte is read; the map stage only sees surviving rows
+    import pyarrow.dataset as pads
+
+    f6 = (
+        (pads.field("l_shipdate") >= pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us")))
+        & (pads.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us")))
+        & (pads.field("l_discount") >= 0.03)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24)
+    )
+    # the filter references columns the projection drops — pyarrow
+    # evaluates it inside the scan, so surviving blocks carry ONLY the
+    # two columns the map stage reads
     ds = _read(
-        sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+        sf_dir,
+        "lineitem",
+        columns=["l_discount", "l_extendedprice"],
+        filter=f6,
     )
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
-        m = (
-            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
-            & (b["l_shipdate"] < pd.Timestamp("1997-01-01"))
-            & (b["l_discount"] >= 0.03)
-            & (b["l_discount"] <= 0.07)
-            & (b["l_quantity"] < 24)
-        )
-        b = b[m].copy()
-        b["revenue"] = _cents(b["l_extendedprice"]) * _cents(b["l_discount"])
-        return b[["revenue"]]
+        return pd.DataFrame({"revenue": _cents(b["l_extendedprice"]) * _cents(b["l_discount"])})
 
     parts = ds.map_batches(
         lambda b: pd.DataFrame({"revenue": [f(b)["revenue"].sum()]}), batch_format="pandas"
@@ -3998,7 +4012,7 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
 
     emb = _read(sf_dir, "embeddings")
     init = label_init_centroids(emb)
-    summary, _cents = kmeans_int(emb, init, iters=2)
+    summary, _centroids = kmeans_int(emb, init, iters=2)
     return summary
 
 
@@ -4046,8 +4060,9 @@ SQL_QUERIES["q_kmeans_clusters"] = (q_kmeans_clusters, Q_KMEANS_SQL)
 def q_customer_order_counts_left(sf_dir: str) -> pd.DataFrame:
     """LEFT OUTER join parity: every customer, including the zero-order
     ones (the null-extension path the inner-join suite never exercises).
-    Fact side streams; the dimension is broadcast; COUNT over the null
-    extension is 0, not 1."""
+    The fact side streams through a distributed count whose result is
+    customer-cardinality (dimension-sized), so the final left-extend
+    merge runs on two dimension-sized frames at the driver."""
     cust = _small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     counts = grouped_agg(
         _read(sf_dir, "orders", columns=["o_custkey"]),

@@ -1484,3 +1484,66 @@ def test_kmeans_int_raises_on_out_of_range(ray_session):
     )
     with pytest.raises(Exception, match="unit-normalized"):
         label_init_centroids(ray.data.from_pandas(df))
+
+
+def test_skew_join_hot_key_absent_on_right(ray_session):
+    """A detected hot key with NO right-side match must simply drop from
+    the inner join (regression: the empty hot-right frame lost its
+    columns and crashed the broadcast merge)."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.joins import skew_join
+
+    rng = np.random.RandomState(9)
+    keys = np.where(rng.rand(10_000) < 0.4, 0, rng.randint(1, 501, 10_000))
+    left = pd.DataFrame({"k": keys, "x": np.arange(10_000, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(1, 501, dtype=np.int64), "y": np.arange(1, 501, dtype=np.int64)}
+    )  # key 0 (the hot one) absent
+    out = (
+        skew_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", hot_fraction=0.05)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "x", "y"]], exp[["k", "x", "y"]])
+    assert 0 not in set(out["k"])
+
+
+def test_dataset_diff_no_float_upcast_on_mixed_bucket(ray_session):
+    """Regression: an outer merge used to upcast the int64 hashes to
+    float64 when the bucket held one-sided keys, so two hashes within one
+    float ulp compared equal and a changed row vanished."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops import diff as diff_mod
+    from ocds_entity_extract_ray.ops.diff import dataset_diff
+
+    orig = diff_mod._project
+
+    def fake_project(side, key_col, compare_cols):
+        def f(batch):
+            out = orig(side, key_col, compare_cols)(batch)
+            # plant hashes one ulp apart for k=1 on the two sides
+            h = np.where(
+                batch[key_col].to_numpy() == 1,
+                np.int64(2**62) + (np.int64(1) if side else np.int64(0)),
+                out["_h"].to_numpy(),
+            )
+            out["_h"] = h
+            return out
+
+        return f
+
+    diff_mod._project, saved = fake_project, diff_mod._project
+    try:
+        left = pd.DataFrame({"k": [1, 2], "a": [5, 6]})
+        right = pd.DataFrame({"k": [1, 3], "a": [5, 7]})
+        out = dataset_diff(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), "k", num_buckets=1
+        ).to_pandas()
+    finally:
+        diff_mod._project = saved
+    got = dict(zip(out["k"], out["status"]))
+    assert got == {1: "changed", 2: "only_left", 3: "only_right"}
