@@ -133,3 +133,49 @@ def assign_splits(
         return batch.assign(split=np.array(names, dtype=object)[idx])
 
     return ds.map_batches(asg, batch_format="pandas")
+
+
+def mix_sources(
+    ds: ray.data.Dataset,
+    key_col: str,
+    source_col: str,
+    targets: dict,
+    counts: dict | None = None,
+) -> ray.data.Dataset:
+    """Training-data MIXING: deterministically downsample each source to
+    ``targets[source]`` rows (approximately — the guarantee is rate, not
+    exact count), the way a pretraining pipeline rebalances crawl /
+    reference / code shares. Two passes: a grouped count (driver-small:
+    one row per source) fixes each source's keep-rate, then the same
+    engine-independent multiplicative-hash predicate ``hash_sample``
+    uses keeps rows — so the mix is reproducible across engines, retries
+    and partitionings, and SQL-twinnable. Rates are INTEGER thresholds
+    (target * 2^32 // count) so no float boundary exists. Sources absent
+    from ``targets`` are dropped. ``counts`` (a {source: row_count}
+    mapping) skips the internal counting pass when the caller already
+    has one."""
+    from .agg import grouped_agg
+
+    if counts is None:
+        cdf = grouped_agg(
+            ds, [source_col], {"_cnt": (source_col, "count")}, final="driver"
+        )
+        counts = dict(zip(cdf[source_col], cdf["_cnt"].astype("int64")))
+    thr: dict = {}
+    for src, cnt in counts.items():
+        tgt = int(targets.get(src, 0))
+        thr[src] = min(MOD, (tgt * MOD) // int(cnt)) if cnt > 0 else 0
+    import ray
+
+    ref = ray.put(thr)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _fetch
+
+        t = _fetch(ref)
+        k = _key_ints(batch[key_col]) % np.uint64(MOD)
+        h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+        cut = batch[source_col].map(t).fillna(0).astype("uint64").to_numpy()
+        return batch[h < cut]
+
+    return ds.map_batches(keep, batch_format="pandas")

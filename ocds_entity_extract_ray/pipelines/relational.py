@@ -4144,3 +4144,49 @@ GROUP BY nationkey ORDER BY nationkey
 """
 
 SQL_QUERIES["q_nation_top_names"] = (q_nation_top_names, Q_NATION_TOP_NAMES_SQL)
+
+
+def q_training_mix(sf_dir: str) -> pd.DataFrame:
+    """Pretraining data mixing: rebalance the 20 crawl sources to
+    per-source row targets (2/3 of even-numbered sources, 1/5 of odd)
+    with ``ops.sampling.mix_sources`` — integer keep-rate thresholds over
+    the engine-independent multiplicative hash, so the sampled mix is
+    bit-reproducible and SQL-twinnable."""
+    from ..ops.sampling import mix_sources
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = grouped_agg(
+        _read(sf_dir, "documents", columns=["source"]),
+        ["source"],
+        {"cnt": ("source", "count")},
+        final="driver",
+    )
+    cnt_map = {src: int(c) for src, c in zip(counts["source"], counts["cnt"])}
+    targets = {
+        src: (2 * cnt) // 3 if int(src[3:]) % 2 == 0 else cnt // 5
+        for src, cnt in cnt_map.items()
+    }
+    mixed = mix_sources(docs, "doc_id", "source", targets, counts=cnt_map)
+    out = grouped_agg(
+        mixed, ["source"], {"n_sampled": ("doc_id", "count")}, final="driver"
+    )
+    out["n_sampled"] = out["n_sampled"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_TRAINING_MIX_SQL = """
+WITH c AS (SELECT source, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY source),
+thr AS (
+  SELECT source,
+         LEAST(4294967296,
+               (CASE WHEN CAST(SUBSTR(source, 4) AS BIGINT) % 2 = 0
+                     THEN (2 * cnt) // 3 ELSE cnt // 5 END) * 4294967296 // cnt
+         ) AS cut
+  FROM c)
+SELECT d.source, COUNT(*)::BIGINT AS n_sampled
+FROM documents d JOIN thr USING (source)
+WHERE ((d.doc_id % 4294967296)::UBIGINT * 2654435761) % 4294967296 < thr.cut
+GROUP BY d.source ORDER BY d.source
+"""
+
+SQL_QUERIES["q_training_mix"] = (q_training_mix, Q_TRAINING_MIX_SQL)

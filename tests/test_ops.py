@@ -1547,3 +1547,35 @@ def test_dataset_diff_no_float_upcast_on_mixed_bucket(ray_session):
         diff_mod._project = saved
     got = dict(zip(out["k"], out["status"]))
     assert got == {1: "changed", 2: "only_left", 3: "only_right"}
+
+
+def test_mix_sources_rates_and_determinism(ray_session):
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.sampling import mix_sources
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(30_000, dtype=np.int64),
+            "src": rng.choice(["cc", "wiki", "code"], 30_000, p=[0.8, 0.1, 0.1]),
+        }
+    )
+    targets = {"cc": 3000, "wiki": 2500}  # code absent -> dropped
+    one = mix_sources(ray.data.from_pandas(df), "id", "src", targets).to_pandas()
+    got = one.groupby("src").size()
+    assert "code" not in got.index
+    # multiplicative hash is uniform: expect within 10% of target
+    assert abs(got["cc"] - 3000) < 300
+    assert abs(got["wiki"] - 2500) < 250
+
+    # identical row SET under a different partitioning
+    parts = [df.iloc[i::9].reset_index(drop=True) for i in range(9)]
+    two = mix_sources(ray.data.from_pandas(parts), "id", "src", targets).to_pandas()
+    assert set(two["id"]) == set(one["id"])
+
+    # target >= count keeps everything
+    all_keep = mix_sources(
+        ray.data.from_pandas(df), "id", "src", {"cc": 10**9, "wiki": 10**9, "code": 10**9}
+    ).to_pandas()
+    assert len(all_keep) == len(df)
