@@ -278,9 +278,38 @@ GROUP BY n_name ORDER BY n_name
 
 
 def q6_revenue(sf_dir: str) -> pd.DataFrame:
-    # the WHOLE predicate is pushed into the parquet scan — on a
-    # date-partitioned 100 TB layout this prunes files/row groups before
-    # any byte is read; the map stage only sees surviving rows
+    # map-side filter: the filter-pushdown variant (q6_pushdown) gives the
+    # identical result, but Ray's fragment-based filtered read pays a
+    # ~2.7 s one-time per-process warm-up that would read as a phantom
+    # regression in the benched q6; on single-row-group test files the
+    # pushdown prunes nothing anyway
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["l_shipdate"] < pd.Timestamp("1997-01-01"))
+            & (b["l_discount"] >= 0.03)
+            & (b["l_discount"] <= 0.07)
+            & (b["l_quantity"] < 24)
+        )
+        b = b[m]
+        return pd.DataFrame({"revenue": _cents(b["l_extendedprice"]) * _cents(b["l_discount"])})
+
+    parts = ds.map_batches(
+        lambda b: pd.DataFrame({"revenue": [f(b)["revenue"].sum()]}), batch_format="pandas"
+    ).to_pandas()
+    return pd.DataFrame({"revenue": [int(parts["revenue"].sum())]})
+
+
+def q6_pushdown(sf_dir: str) -> pd.DataFrame:
+    """q6 with the WHOLE predicate pushed into the parquet scan
+    (``_read(filter=...)``): on a date-partitioned 100 TB layout the
+    expression prunes files/row groups before bytes leave storage, and the
+    projection shrinks to the two columns the map stage reads (pyarrow
+    may filter on non-projected columns). Same oracle as q6."""
     import pyarrow.dataset as pads
 
     f6 = (
@@ -290,15 +319,7 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
         & (pads.field("l_discount") <= 0.07)
         & (pads.field("l_quantity") < 24)
     )
-    # the filter references columns the projection drops — pyarrow
-    # evaluates it inside the scan, so surviving blocks carry ONLY the
-    # two columns the map stage reads
-    ds = _read(
-        sf_dir,
-        "lineitem",
-        columns=["l_discount", "l_extendedprice"],
-        filter=f6,
-    )
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_extendedprice"], filter=f6)
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"revenue": _cents(b["l_extendedprice"]) * _cents(b["l_discount"])})
@@ -982,6 +1003,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
     "q6_revenue": (q6_revenue, Q6_SQL),
+    "q6_pushdown": (q6_pushdown, Q6_SQL),
     "q_top_suppliers": (q_top_suppliers, Q_TOP_SUPPLIERS_SQL),
     "q_filter_sort_limit": (q_filter_sort_limit, Q_FILTER_SORT_SQL),
     "q_distinct_segments": (q_distinct_segments, Q_DISTINCT_SQL),
@@ -2099,8 +2121,14 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
-    j = hash_join(big, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",)).to_pandas()
-    j = j.rename(columns={"l_orderkey": "o_orderkey"})  # join emits the left key
+    # the >250 survivors are rare (driver-sized here; the downstream
+    # to_pandas holds the same rows anyway) — broadcasting them turns the
+    # full hash shuffle of orders into a map-side inner merge
+    big_df = big.to_pandas()
+    j = broadcast_hash_join(
+        orders, big_df, left_on="o_orderkey", right_on="l_orderkey", how="inner"
+    ).to_pandas()
+    j = j.drop(columns=["l_orderkey"])
     cust = _small(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
     out = j.merge(cust, left_on="o_custkey", right_on="c_custkey")
     out = out.sort_values(
