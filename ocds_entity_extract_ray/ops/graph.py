@@ -524,3 +524,98 @@ def triangle_count(
         empty_result=pd.DataFrame({"n": pd.Series(dtype="int64")}),
     ).to_pandas()
     return int(counts["n"].sum())
+
+
+def triangles_per_node(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "u",
+    dst_col: str = "v",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-node triangle counts (the local part of a clustering
+    coefficient) over a canonically-oriented edge list (src < dst, no
+    duplicates). Same two-join plan as ``triangle_count``, but the wedge
+    rows carry their middle vertex so each closed triangle a<b<c credits
+    all three corners; the per-bucket closure emits partial (node, t)
+    rows — triangle-count-sized, never wedge-sized — and one grouped sum
+    finishes. Nodes in no triangle are absent (callers left-join degrees).
+    Same skew note as triangle_count: id-orientation bounds wedge fan-out
+    for bounded-degree graphs; degree-orient for power-law graphs."""
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def halves(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"k": b[dst_col], "x": b[src_col], "kind": np.int64(0)}
+                ),
+                pd.DataFrame(
+                    {"k": b[src_col], "x": b[dst_col], "kind": np.int64(1)}
+                ),
+            ],
+            ignore_index=True,
+        ).astype({"k": "int64", "x": "int64", "kind": "int64"})
+
+    empty_w = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype="int64"),
+        }
+    )
+
+    def make_wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        ins = bucket[bucket["kind"] == 0]
+        outs = bucket[bucket["kind"] == 1]
+        w = ins.merge(outs, on="k")
+        return pd.DataFrame(
+            {"a": w["x_x"], "c": w["x_y"], "b": w["k"], "kind": np.int64(1)}
+        ).astype({"a": "int64", "c": "int64", "b": "int64", "kind": "int64"})
+
+    wedges = bucketed_map_groups(
+        edges.map_batches(halves, batch_format="pandas"),
+        "k",
+        make_wedges,
+        num_buckets=num_buckets,
+        empty_result=empty_w,
+    )
+    edge_ac = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"a": b[src_col], "c": b[dst_col], "b": np.int64(-1), "kind": np.int64(0)}
+        ).astype({"a": "int64", "c": "int64", "b": "int64", "kind": "int64"}),
+        batch_format="pandas",
+    )
+
+    def close_credit(bucket: pd.DataFrame) -> pd.DataFrame:
+        e = bucket[bucket["kind"] == 0][["a", "c"]]
+        w = bucket[bucket["kind"] == 1][["a", "c", "b"]]
+        tri = w.merge(e, on=["a", "c"])
+        if not len(tri):
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "t": pd.Series(dtype="int64")}
+            )
+        corners = pd.concat([tri["a"], tri["b"], tri["c"]], ignore_index=True)
+        out = corners.value_counts().rename_axis("node").reset_index(name="t")
+        return out.astype({"node": "int64", "t": "int64"})
+
+    partials = bucketed_map_groups(
+        edge_ac.union(wedges),
+        "a",
+        close_credit,
+        num_buckets=num_buckets,
+        empty_result=pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "t": pd.Series(dtype="int64")}
+        ),
+    )
+    return grouped_agg(
+        partials,
+        ["node"],
+        {"n_triangles": ("t", "sum")},
+        final="bucketed",
+        num_buckets=num_buckets,
+        empty_result=pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "n_triangles": pd.Series(dtype="int64")}
+        ),
+    )

@@ -4218,3 +4218,97 @@ GROUP BY d.source ORDER BY d.source
 """
 
 SQL_QUERIES["q_training_mix"] = (q_training_mix, Q_TRAINING_MIX_SQL)
+
+
+def q_supplier_clustering(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficients over the supplier co-occurrence
+    graph: per-node triangle counts (ops/graph.py:triangles_per_node, the
+    corner-credited two-join plan) left-joined onto degrees, coefficient
+    = 2t/(d(d-1)) — a ratio of IDENTICAL int64 operands in both engines,
+    so even the doubles hash-match."""
+    from ..ops.agg import bucketed_map_groups
+    from ..ops.graph import triangles_per_node
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="l_orderkey")
+        m = m[m["l_suppkey_x"] < m["l_suppkey_y"]]
+        return pd.DataFrame(
+            {"u": m["l_suppkey_x"].to_numpy(), "v": m["l_suppkey_y"].to_numpy()}
+        ).astype({"u": "int64", "v": "int64"})
+
+    empty_uv = pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+    pair_ds = bucketed_map_groups(li, "l_orderkey", pairs, num_buckets=32, empty_result=empty_uv)
+    weights = grouped_agg(
+        pair_ds,
+        ["u", "v"],
+        {"w": ("u", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "u": pd.Series(dtype="int64"),
+                "v": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+    edges = weights.map_batches(lambda b: b[b["w"] >= 5][["u", "v"]], batch_format="pandas")
+    edges = edges.materialize()  # reused by the wedge pass, closure pass AND degrees
+
+    tri = triangles_per_node(edges).to_pandas()
+    deg_parts = edges.map_batches(
+        lambda b: pd.concat([b["u"], b["v"]], ignore_index=True)
+        .value_counts()
+        .rename_axis("node")
+        .reset_index(name="d")
+        .astype({"node": "int64", "d": "int64"}),
+        batch_format="pandas",
+    ).to_pandas()
+    deg = deg_parts.groupby("node", as_index=False)["d"].sum()
+
+    out = deg.merge(tri, on="node", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
+    d = out["d"].to_numpy()
+    t = out["n_triangles"].to_numpy()
+    out["clustering"] = np.where(d >= 2, 2.0 * t / (d * (d - 1)), 0.0)
+    out = out.rename(columns={"node": "s_suppkey", "d": "degree"})
+    return (
+        out[["s_suppkey", "n_triangles", "degree", "clustering"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+Q_SUPPLIER_CLUSTERING_SQL = """
+WITH pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), e AS (
+  SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 5
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), pernode AS (
+  SELECT node, COUNT(*)::BIGINT AS t FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node
+), deg AS (
+  SELECT node, COUNT(*)::BIGINT AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node)
+SELECT deg.node AS s_suppkey,
+       COALESCE(pernode.t, 0)::BIGINT AS n_triangles,
+       deg.d AS degree,
+       CASE WHEN deg.d >= 2
+            THEN 2.0 * COALESCE(pernode.t, 0) / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pernode USING (node)
+ORDER BY s_suppkey
+"""
+
+SQL_QUERIES["q_supplier_clustering"] = (q_supplier_clustering, Q_SUPPLIER_CLUSTERING_SQL)

@@ -1579,3 +1579,28 @@ def test_mix_sources_rates_and_determinism(ray_session):
         ray.data.from_pandas(df), "id", "src", {"cc": 10**9, "wiki": 10**9, "code": 10**9}
     ).to_pandas()
     assert len(all_keep) == len(df)
+
+
+def test_triangles_per_node_planted_graph(ray_session):
+    """K4 on {0,1,2,3} (every node in 3 triangles) plus a pendant edge
+    (node 9 and its neighbor gain nothing)."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.graph import triangles_per_node
+
+    e = pd.DataFrame(
+        {
+            "u": [0, 0, 0, 1, 1, 2, 3],
+            "v": [1, 2, 3, 2, 3, 3, 9],
+        }
+    ).astype("int64")
+    out = (
+        triangles_per_node(ray.data.from_pandas(e), num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # total corner credits = 3 * triangle_count (K4 has 4 triangles)
+    assert sum(got.values()) == 3 * 4
