@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "q_funnel_view_purchase",
     "q_order_ntile",
     "q_kmeans_clusters",
+    # round-3 continuation 3 (PII scrub / BFS / profile / full outer)
+    "q_pii_redaction",
+    "q_bfs_purchase_radius",
+    "q_profile_orders",
+    "q_full_outer_year_activity",
 ]
 
 

@@ -619,3 +619,111 @@ def triangles_per_node(
             {"node": pd.Series(dtype="int64"), "n_triangles": pd.Series(dtype="int64")}
         ),
     )
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    sources: ray.data.Dataset,
+    *,
+    hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    source_col: str = "node",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Bounded-hop multi-source BFS: ``(node, dist)`` for every node
+    reachable within ``hops`` directed edges of any source, ``dist`` the
+    exact minimum hop count (sources are dist 0).
+
+    BSP frontier expansion with the same two-bucketed-shuffles-per-round
+    shape as :func:`connected_components`: co-locate the reached set with
+    edges on the edge source (shuffle 1), emit ``dist+1`` candidates to
+    each destination, then min-combine per node (shuffle 2). Exactly
+    ``hops`` rounds — every path of length <= hops is explored, so the min
+    is exact; no convergence scalar needed. The only growing state is the
+    reached ball itself, which stays distributed (nothing node-sized or
+    edge-sized ever lands on the driver).
+    """
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
+    )
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": b[src_col], "val": b[dst_col], "kind": 1}
+        ).astype({"key": "int64", "val": "int64", "kind": "int64"})
+
+    edge2 = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    reached = sources.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
+        ).astype({"dist": "int64"}),
+        batch_format="pandas",
+    ).materialize()
+
+    def expand(bucket: pd.DataFrame) -> pd.DataFrame:
+        cur = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        own = pd.DataFrame({"node": cur["key"].to_numpy(), "dist": cur["val"].to_numpy()})
+        stepped = edg.merge(
+            cur[["key", "val"]].rename(columns={"val": "dist"}), on="key"
+        )
+        nxt = pd.DataFrame(
+            {"node": stepped["val"].to_numpy(), "dist": stepped["dist"].to_numpy() + 1}
+        )
+        return pd.concat([own, nxt], ignore_index=True).astype(
+            {"node": "int64", "dist": "int64"}
+        )
+
+    for _round in range(hops):
+        tagged = reached.map_batches(
+            lambda b: pd.DataFrame(
+                {"key": b["node"], "val": b["dist"], "kind": 0}
+            ).astype({"key": "int64", "val": "int64", "kind": "int64"}),
+            batch_format="pandas",
+        )
+        prop = bucketed_map_groups(
+            tagged.union(edge2),
+            "key",
+            expand,
+            num_buckets=num_buckets,
+            empty_result=empty,
+        )
+        reached = grouped_agg(
+            prop,
+            ["node"],
+            {"dist": ("dist", "min")},
+            final="bucketed",
+            num_buckets=num_buckets,
+            empty_result=empty,
+        ).materialize()
+    return reached
+
+
+def bfs_sql(edges_sql: str, sources_sql: str, *, hops: int) -> str:
+    """DuckDB twin of :func:`bfs_distances`: the frontier recurrence
+    unrolled as chained CTEs (``hops`` is small and fixed, so no recursive
+    CTE is needed and the result is engine-order-independent — dist is an
+    integer min, exactly as the distributed version computes it).
+
+    ``edges_sql`` must yield (src, dst); ``sources_sql`` must yield
+    (node). Result: (node, dist) ordered by node.
+    """
+    parts = [
+        f"WITH e AS ({edges_sql}),",
+        f"r0 AS (SELECT node, 0::BIGINT AS dist FROM ({sources_sql})),",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, r{i-1}.dist + 1 AS dist "
+            f"FROM r{i-1} JOIN e ON e.src = r{i-1}.node),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT node, MIN(dist)::BIGINT AS dist FROM "
+            f"(SELECT * FROM r{i-1} UNION ALL SELECT * FROM s{i}) GROUP BY node),"
+        )
+    # strip the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, dist FROM r{hops} ORDER BY node")
+    return "\n".join(parts)

@@ -1,0 +1,148 @@
+"""Table profiling — per-column data-quality stats (row/null counts,
+exact distinct cardinality, min/max) in two distributed passes. The
+ingest-validation step a 100 TB pipeline runs before trusting a new drop
+of Parquet.
+
+Pass 1 (no shuffle): every block emits ONE tiny partial row per profiled
+column — null count, row count, and the block-local min/max kept in
+dtype-classed columns (int64 / string / timestamp) so the driver-side
+merge of the block partials compares NATIVELY (stringifying early would
+sort "10" < "9"). The collected frame is O(blocks x columns), never
+data-sized.
+
+Pass 2 (one shuffle): exact distincts. Each column is projected to
+``(col_name, value-as-string)`` rows (injective per column for the
+supported dtypes, so distinct counts are preserved), the union is
+bucket-deduplicated on the value, and per-column counts are summed — the
+shuffle carries each distinct value once per appearance, nothing lands on
+the driver but the k-row result. For approximate profiling at higher
+scale, swap this pass for ops.sketches.hll_distinct per column.
+
+Supported dtypes: integers, strings, datetimes. Floats are rejected —
+their VARCHAR rendering is not portable across engines, which would break
+the profile's SQL twin (and float min/max belongs in a numeric summary,
+not a string profile).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .agg import bucketed_map_groups, grouped_agg
+
+_CLASSES = ("i", "s", "t")  # int64 / string / timestamp
+
+
+def _class_of(s: pd.Series) -> str:
+    if pd.api.types.is_integer_dtype(s):
+        return "i"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "t"
+    if pd.api.types.is_object_dtype(s) or pd.api.types.is_string_dtype(s):
+        return "s"
+    raise TypeError(
+        f"profile_table: unsupported dtype {s.dtype} — profile supports "
+        "integer / string / datetime columns (float rendering is not "
+        "portable across engines)"
+    )
+
+
+def profile_table(
+    ds: ray.data.Dataset, columns: list[str], *, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Profile ``columns`` of ``ds``: returns a tidy k-row frame
+    ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)``
+    with min/max rendered as strings AFTER native-dtype comparison,
+    ordered by col_name."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col in columns:
+            s = batch[col]
+            cls = _class_of(s)
+            nn = s.notna()
+            row: dict = {
+                "col_name": col,
+                "cls": cls,
+                "n_rows": len(s),
+                "n_nulls": int((~nn).sum()),
+            }
+            for c in _CLASSES:
+                row[f"min_{c}"] = None
+                row[f"max_{c}"] = None
+            if nn.any():
+                vals = s[nn]
+                row[f"min_{cls}"] = vals.min()
+                row[f"max_{cls}"] = vals.max()
+            rows.append(row)
+        out = pd.DataFrame(rows)
+        return out.astype(
+            {"min_i": "Int64", "max_i": "Int64", "n_rows": "int64", "n_nulls": "int64"}
+        )
+
+    stats = ds.map_batches(partials, batch_format="pandas").to_pandas()
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in columns:
+            s = batch[col]
+            nn = s.notna()
+            frames.append(
+                pd.DataFrame(
+                    {"col_name": col, "value": s[nn].astype(str).to_numpy()}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"col_name": str, "value": str})
+
+    empty_kv = pd.DataFrame({"col_name": pd.Series(dtype=str), "value": pd.Series(dtype=str)})
+    distinct_kv = bucketed_map_groups(
+        ds.map_batches(project, batch_format="pandas"),
+        "value",
+        lambda b: b.drop_duplicates(["col_name", "value"]),
+        num_buckets=num_buckets,
+        empty_result=empty_kv,
+    )
+    dcounts = grouped_agg(
+        distinct_kv,
+        ["col_name"],
+        {"n_distinct": ("value", "count")},
+        final="driver",
+    )
+
+    out_rows = []
+    for col in columns:
+        part = stats[stats["col_name"] == col]
+        cls = part["cls"].iloc[0]
+        mins = part[f"min_{cls}"].dropna()
+        maxs = part[f"max_{cls}"].dropna()
+        nd = dcounts[dcounts["col_name"] == col]["n_distinct"]
+        out_rows.append(
+            {
+                "col_name": col,
+                "n_rows": int(part["n_rows"].sum()),
+                "n_nulls": int(part["n_nulls"].sum()),
+                "n_distinct": int(nd.iloc[0]) if len(nd) else 0,
+                "min_value": str(mins.min()) if len(mins) else None,
+                "max_value": str(maxs.max()) if len(maxs) else None,
+            }
+        )
+    out = pd.DataFrame(out_rows).astype(
+        {"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64"}
+    )
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def profile_sql(table: str, columns: list[str]) -> str:
+    """DuckDB twin of :func:`profile_table` over a registered view."""
+    selects = [
+        f"SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS n_rows, "
+        f"(COUNT(*) - COUNT({c}))::BIGINT AS n_nulls, "
+        f"COUNT(DISTINCT {c})::BIGINT AS n_distinct, "
+        f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
+        f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM {table}"
+        for c in columns
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY col_name"

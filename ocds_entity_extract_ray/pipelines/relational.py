@@ -4312,3 +4312,267 @@ ORDER BY s_suppkey
 """
 
 SQL_QUERIES["q_supplier_clustering"] = (q_supplier_clustering, Q_SUPPLIER_CLUSTERING_SQL)
+
+
+def q_pii_redaction(sf_dir: str) -> pd.DataFrame:
+    """PII scrub (ops/pii.py:redact_pii): emails / phones / IPv4 replaced
+    by typed tokens, per-row match counts attached. The contact blob is
+    built deterministically from customer columns in BOTH engines (the
+    synthetic corpus carries no real PII), so every row actually
+    exercises all three rules; regex parity Python-re vs RE2 is pinned by
+    tests/test_pii.py on adversarial inputs. Stateless map, zero shuffle."""
+    from ..ops.pii import redact_pii
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def contact(b: pd.DataFrame) -> pd.DataFrame:
+        ck = b["c_custkey"].astype("int64")
+        text = (
+            "user" + ck.astype(str) + "@mail.example.com contact "
+            + b["c_name"].astype(str)
+            + " tel 555-" + (ck % 1000).map("{:03d}".format)
+            + "-" + (ck % 10000).map("{:04d}".format)
+            + " ip 10." + (ck % 256).astype(str) + ".0." + (ck % 250).astype(str)
+        )
+        return pd.DataFrame({"c_custkey": ck, "text": text.astype(str)})
+
+    out = redact_pii(
+        cust.map_batches(contact, batch_format="pandas"), "text", out_col="redacted"
+    ).to_pandas()
+    out = out[["c_custkey", "redacted", "n_emails", "n_phones", "n_ips"]]
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+from ..ops.pii import pii_count_sql_exprs as _pii_counts  # noqa: E402
+from ..ops.pii import pii_sql_expr as _pii_expr  # noqa: E402
+
+_PII_TEXT = (
+    "'user' || c_custkey || '@mail.example.com contact ' || c_name"
+    " || ' tel 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.' || (c_custkey % 256) || '.0.' || (c_custkey % 250)"
+)
+Q_PII_SQL = (
+    "SELECT c_custkey, " + _pii_expr("t.text") + " AS redacted, "
+    + ", ".join(f"{e} AS {n}" for n, e in _pii_counts("t.text").items())
+    + f" FROM (SELECT c_custkey, {_PII_TEXT} AS text FROM customer) t"
+    + " ORDER BY c_custkey"
+)
+
+SQL_QUERIES["q_pii_redaction"] = (q_pii_redaction, Q_PII_SQL)
+
+
+def q_bfs_purchase_radius(sf_dir: str) -> pd.DataFrame:
+    """Bounded-hop multi-source BFS (ops/graph.py:bfs_distances) over the
+    bidirected customer-supplier purchase graph: exact min hop count from
+    customers 0-4 within 3 hops. The SQL twin unrolls the same frontier
+    recurrence as chained CTEs (integer min => order-independent =>
+    hash-exact, the same trick as pagerank/kmeans)."""
+    from ..ops.graph import bfs_distances
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    # map-side partial dedup: duplicate (cust, supp) edges are harmless to
+    # the min but multiply expand rows; per-batch drop removes most
+    edges = j.map_batches(
+        lambda b: pd.concat(
+            [
+                pd.DataFrame(
+                    {"src": b["o_custkey"], "dst": b["l_suppkey"] + 10_000_000}
+                ),
+                pd.DataFrame(
+                    {"src": b["l_suppkey"] + 10_000_000, "dst": b["o_custkey"]}
+                ),
+            ],
+            ignore_index=True,
+        )
+        .drop_duplicates()
+        .astype({"src": "int64", "dst": "int64"}),
+        batch_format="pandas",
+    )
+    sources = ray.data.from_pandas(
+        pd.DataFrame({"node": np.arange(5, dtype=np.int64)})
+    )
+    out = bfs_distances(edges, sources, hops=3).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+from ..ops.graph import bfs_sql as _bfs_sql  # noqa: E402
+
+Q_BFS_SQL = _bfs_sql(
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    " UNION "
+    "SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
+    "SELECT UNNEST([0, 1, 2, 3, 4]) AS node",
+    hops=3,
+)
+
+SQL_QUERIES["q_bfs_purchase_radius"] = (q_bfs_purchase_radius, Q_BFS_SQL)
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def q_profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Ingest-validation profile (ops/profile.py:profile_table): per-column
+    row/null counts, EXACT distinct cardinality (one bucketed value
+    shuffle) and native-compared min/max rendered as strings, over five
+    orders columns spanning all three supported dtype classes."""
+    from ..ops.profile import profile_table
+
+    orders = _read(sf_dir, "orders", columns=_PROFILE_COLS)
+    return profile_table(orders, _PROFILE_COLS)
+
+
+from ..ops.profile import profile_sql as _profile_sql  # noqa: E402
+
+SQL_QUERIES["q_profile_orders"] = (
+    q_profile_orders,
+    _profile_sql("orders", _PROFILE_COLS),
+)
+
+
+def q_unpivot_nation_stats(sf_dir: str) -> pd.DataFrame:
+    """Unpivot/melt (ops/reshape.py:unpivot — the inverse of the pivot
+    query): per-nation customer and supplier counts melted into tidy
+    (n_name, metric, value) rows. Counts are computed distributed
+    (grouped_agg, dimension-sized results); the melt itself is row-local."""
+    from ..ops.reshape import unpivot
+
+    nation = _small(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    ccnt = grouped_agg(
+        _read(sf_dir, "customer", columns=["c_nationkey"]),
+        ["c_nationkey"],
+        {"n_customers": ("c_nationkey", "count")},
+        final="driver",
+    )
+    scnt = grouped_agg(
+        _read(sf_dir, "supplier", columns=["s_nationkey"]),
+        ["s_nationkey"],
+        {"n_suppliers": ("s_nationkey", "count")},
+        final="driver",
+    )
+    wide = nation.merge(
+        ccnt, how="left", left_on="n_nationkey", right_on="c_nationkey"
+    ).merge(scnt, how="left", left_on="n_nationkey", right_on="s_nationkey")
+    for c in ("n_customers", "n_suppliers"):
+        wide[c] = wide[c].fillna(0).astype("int64")
+    out = unpivot(
+        ray.data.from_pandas(wide[["n_name", "n_customers", "n_suppliers"]]),
+        ["n_name"],
+        ["n_customers", "n_suppliers"],
+    ).to_pandas()
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values(["n_name", "metric"]).reset_index(drop=True)
+
+
+from ..ops.reshape import unpivot_sql as _unpivot_sql  # noqa: E402
+
+Q_UNPIVOT_SQL = (
+    _unpivot_sql(
+        """
+        SELECT n_name,
+               COALESCE(c.n_customers, 0)::BIGINT AS n_customers,
+               COALESCE(s.n_suppliers, 0)::BIGINT AS n_suppliers
+        FROM nation
+        LEFT JOIN (SELECT c_nationkey, COUNT(*)::BIGINT AS n_customers
+                   FROM customer GROUP BY c_nationkey) c
+               ON c.c_nationkey = n_nationkey
+        LEFT JOIN (SELECT s_nationkey, COUNT(*)::BIGINT AS n_suppliers
+                   FROM supplier GROUP BY s_nationkey) s
+               ON s.s_nationkey = n_nationkey
+        """,
+        ["n_name"],
+        ["n_customers", "n_suppliers"],
+    )
+    + " ORDER BY n_name, metric"
+)
+
+SQL_QUERIES["q_unpivot_nation_stats"] = (q_unpivot_nation_stats, Q_UNPIVOT_SQL)
+
+
+def q_full_outer_year_activity(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join parity (the one join type the suite lacked):
+    per-customer order counts in 1995 vs 2001 — customers active in only
+    one year null-extend on the other side (coalesced to 0, like the LEFT
+    query). Both count aggregates stay distributed (bucketed finals), and
+    the outer join is the repo's union + bucketed-merge shape (every row
+    of a key lands in one bucket, so a per-bucket pandas outer merge IS
+    the global full outer — and it tolerates the schema-less empty blocks
+    sparse bucketed stages emit, which Dataset.join does not)."""
+    from ..ops.agg import bucketed_map_groups
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def year_counts(year: int, kind: int):
+        def flt(b: pd.DataFrame) -> pd.DataFrame:
+            sel = b[b["o_orderdate"].dt.year == year]
+            return pd.DataFrame({"ck": sel["o_custkey"].astype("int64")})
+
+        counts = grouped_agg(
+            orders.map_batches(flt, batch_format="pandas"),
+            ["ck"],
+            {"cnt": ("ck", "count")},
+            final="bucketed",
+            empty_result=pd.DataFrame(
+                {"ck": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
+            ),
+        )
+        return counts.map_batches(
+            lambda b, k=kind: b.assign(kind=np.int64(k)),
+            batch_format="pandas",
+        )
+
+    def outer_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        a = bucket[bucket["kind"] == 0][["ck", "cnt"]].rename(columns={"cnt": "n_1995"})
+        b = bucket[bucket["kind"] == 1][["ck", "cnt"]].rename(columns={"cnt": "n_2001"})
+        m = a.merge(b, on="ck", how="outer")
+        return pd.DataFrame(
+            {
+                "custkey": m["ck"].astype("int64"),
+                "n_1995": m["n_1995"].fillna(0).astype("int64"),
+                "n_2001": m["n_2001"].fillna(0).astype("int64"),
+            }
+        )
+
+    empty_out = pd.DataFrame(
+        {
+            "custkey": pd.Series(dtype="int64"),
+            "n_1995": pd.Series(dtype="int64"),
+            "n_2001": pd.Series(dtype="int64"),
+        }
+    )
+    out = bucketed_map_groups(
+        year_counts(1995, 0).union(year_counts(2001, 1)),
+        "ck",
+        outer_merge,
+        empty_result=empty_out,
+    ).to_pandas()
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+Q_FULL_OUTER_SQL = """
+WITH a AS (SELECT o_custkey AS ck, COUNT(*)::BIGINT AS n_1995 FROM orders
+           WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+     b AS (SELECT o_custkey AS ck, COUNT(*)::BIGINT AS n_2001 FROM orders
+           WHERE year(o_orderdate) = 2001 GROUP BY o_custkey)
+SELECT COALESCE(a.ck, b.ck) AS custkey,
+       COALESCE(a.n_1995, 0)::BIGINT AS n_1995,
+       COALESCE(b.n_2001, 0)::BIGINT AS n_2001
+FROM a FULL OUTER JOIN b ON a.ck = b.ck
+ORDER BY custkey
+"""
+
+SQL_QUERIES["q_full_outer_year_activity"] = (
+    q_full_outer_year_activity,
+    Q_FULL_OUTER_SQL,
+)

@@ -1,0 +1,193 @@
+"""Tests for the round-3 batch: PII redaction (incl. Python-re vs RE2
+parity), bounded-hop BFS, table profiling, unpivot, and the bucketed full
+outer join used by q_full_outer_year_activity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+ADVERSARIAL_PII = [
+    "contact john.doe+spam@ex-ample.co.uk or 555-123-4567 now",
+    "ip 192.168.0.1 and 1234.5.6.7 and 10.0.0.255.3",
+    "a@b.c x@y.zz 123.456.7890 123-456-7890.",
+    "no pii here",
+    "edge a.b@c.d.ee end",
+    "email@domain.com.",
+    "phones 000.000.0000 0000-000-0000 weird 12.34.56.78.90",
+    "",
+    "a@@b.cc double at, trailing 1.2.3.4",
+    "999-999-9999 at line start and end 1.1.1.1",
+]
+
+
+def test_pii_python_matches_duckdb_re2():
+    """The whole oracle strategy rests on Python re and RE2 producing
+    byte-identical replacements for the restricted patterns — pin it on
+    adversarial inputs (overlong octets, trailing dots, chained rules)."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.pii import (
+        pii_count_sql_exprs,
+        pii_sql_expr,
+        redact_frame,
+    )
+
+    df = pd.DataFrame({"text": ADVERSARIAL_PII})
+    got = redact_frame(df.copy(), "text", "redacted")
+
+    con = duckdb.connect()
+    counts = pii_count_sql_exprs("text")
+    sql = (
+        f"SELECT {pii_sql_expr('text')} AS redacted, "
+        + ", ".join(f"{e} AS {n}" for n, e in counts.items())
+        + " FROM df"
+    )
+    con.register("df", df)
+    want = con.execute(sql).df()
+    assert list(got["redacted"]) == list(want["redacted"])
+    for col in counts:
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_redact_pii_dataset(ray_session):
+    from ocds_entity_extract_ray.ops.pii import redact_pii
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": ADVERSARIAL_PII}))
+    out = redact_pii(ds, "text").to_pandas()
+    assert "<EMAIL>" in out["text"].iloc[0] and "<PHONE>" in out["text"].iloc[0]
+    assert out["n_ips"].iloc[1] == 2
+    # in-place mode replaces the column; counts are attached
+    assert {"n_emails", "n_phones", "n_ips"} <= set(out.columns)
+
+
+def test_bfs_distances_planted_graph(ray_session):
+    """Chain 0-1-2-3-4 plus a shortcut 0-3: dist(3) must take the
+    shortcut (1 hop), dist(4)=2; node 9 is isolated and absent."""
+    from ocds_entity_extract_ray.ops.graph import bfs_distances
+
+    e = pd.DataFrame(
+        {"src": [0, 1, 2, 3, 0], "dst": [1, 2, 3, 4, 3]}
+    )
+    both = pd.concat(
+        [e, e.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+    )
+    out = bfs_distances(
+        ray.data.from_pandas(both),
+        ray.data.from_pandas(pd.DataFrame({"node": [0]})),
+        hops=3,
+    ).to_pandas()
+    dist = dict(zip(out["node"], out["dist"]))
+    assert dist == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_bfs_sql_matches_op(ray_session):
+    """Random sparse graph: the unrolled-CTE oracle and the distributed
+    op agree exactly (the conformance the driver will re-check)."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.graph import bfs_distances, bfs_sql
+
+    rng = np.random.default_rng(7)
+    e = pd.DataFrame(
+        {"src": rng.integers(0, 60, 150), "dst": rng.integers(0, 60, 150)}
+    ).drop_duplicates()
+    out = (
+        bfs_distances(
+            ray.data.from_pandas(e),
+            ray.data.from_pandas(pd.DataFrame({"node": [0, 1]})),
+            hops=4,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("edges", e)
+    want = con.execute(
+        bfs_sql(
+            "SELECT src, dst FROM edges",
+            "SELECT UNNEST([0, 1]) AS node",
+            hops=4,
+        )
+    ).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"node": "int64", "dist": "int64"}),
+        want.astype({"node": "int64", "dist": "int64"}),
+    )
+
+
+def test_profile_table_exact(ray_session):
+    from ocds_entity_extract_ray.ops.profile import profile_table
+
+    df = pd.DataFrame(
+        {
+            "k": [3, 1, 2, None, 10],
+            "s": ["b", None, "a", "a", "z"],
+            "t": pd.to_datetime(
+                ["2024-01-02", "2024-01-01", None, "2024-03-01", "2024-01-01"]
+            ),
+        }
+    ).astype({"k": "Int64"})
+    out = profile_table(
+        ray.data.from_pandas(df), ["k", "s", "t"], num_buckets=4
+    ).set_index("col_name")
+    assert out.loc["k", "n_nulls"] == 1 and out.loc["k", "n_distinct"] == 4
+    # native comparison: min is 1, not "1" vs "10" string-min confusion
+    assert out.loc["k", "min_value"] == "1" and out.loc["k", "max_value"] == "10"
+    assert out.loc["s", "n_distinct"] == 3 and out.loc["s", "min_value"] == "a"
+    assert out.loc["t", "min_value"] == "2024-01-01 00:00:00"
+    assert int(out["n_rows"].iloc[0]) == 5
+
+
+def test_profile_table_rejects_floats(ray_session):
+    from ocds_entity_extract_ray.ops.profile import profile_table
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": [1.5, 2.5]}))
+    with pytest.raises(Exception):  # TypeError inside the map task
+        profile_table(ds, ["x"])
+
+
+def test_unpivot_roundtrip(ray_session):
+    from ocds_entity_extract_ray.ops.reshape import unpivot
+
+    df = pd.DataFrame({"id": [1, 2], "a": [10, 20], "b": [30, 40]})
+    out = (
+        unpivot(ray.data.from_pandas(df), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "metric"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out.loc[(out["id"] == 2) & (out["metric"] == "b"), "value"].iloc[0] == 40
+
+
+def test_full_outer_query_extends_both_sides(ray_session, tmp_path):
+    """Synthesize a tiny orders table where some customers are only
+    active in one of the two years — both null-extension directions must
+    appear, coalesced to 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocds_entity_extract_ray.pipelines.relational import (
+        q_full_outer_year_activity,
+    )
+
+    dates = pd.to_datetime(
+        ["1995-02-01", "1995-03-01", "2001-02-01", "1995-05-05", "2001-07-07"]
+    )
+    df = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 1, 2, 3],
+            "o_orderdate": dates,
+            "o_orderkey": range(5),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "orders.parquet")
+    out = q_full_outer_year_activity(str(tmp_path)).set_index("custkey")
+    assert out.loc[1, "n_1995"] == 2 and out.loc[1, "n_2001"] == 1
+    assert out.loc[2, "n_1995"] == 1 and out.loc[2, "n_2001"] == 0
+    assert out.loc[3, "n_1995"] == 0 and out.loc[3, "n_2001"] == 1
