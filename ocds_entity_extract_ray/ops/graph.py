@@ -636,13 +636,17 @@ def bfs_distances(
     exact minimum hop count (sources are dist 0).
 
     BSP frontier expansion with the same two-bucketed-shuffles-per-round
-    shape as :func:`connected_components`: co-locate the reached set with
-    edges on the edge source (shuffle 1), emit ``dist+1`` candidates to
-    each destination, then min-combine per node (shuffle 2). Exactly
-    ``hops`` rounds — every path of length <= hops is explored, so the min
-    is exact; no convergence scalar needed. The only growing state is the
-    reached ball itself, which stays distributed (nothing node-sized or
-    edge-sized ever lands on the driver).
+    shape as :func:`connected_components`: co-locate the FRONTIER (only
+    the nodes first reached last round — unit-weight BFS finalizes a
+    node's dist the round it appears, so re-expanding older nodes can
+    never improve the min) with edges on the edge source (shuffle 1),
+    emit ``dist+1`` candidates, then min-combine candidates with the full
+    reached ball per node (shuffle 2). Exactly ``hops`` rounds — every
+    path of length <= hops is explored, so the min is exact; no
+    convergence scalar needed. The only growing state is the reached ball
+    itself, which stays distributed (nothing node-sized or edge-sized
+    ever lands on the driver); each edge crosses the expand shuffle at
+    most once per frontier crossing, not once per round.
     """
     empty = pd.DataFrame(
         {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
@@ -665,33 +669,34 @@ def bfs_distances(
     def expand(bucket: pd.DataFrame) -> pd.DataFrame:
         cur = bucket[bucket["kind"] == 0]
         edg = bucket[bucket["kind"] == 1]
-        own = pd.DataFrame({"node": cur["key"].to_numpy(), "dist": cur["val"].to_numpy()})
         stepped = edg.merge(
             cur[["key", "val"]].rename(columns={"val": "dist"}), on="key"
         )
-        nxt = pd.DataFrame(
-            {"node": stepped["val"].to_numpy(), "dist": stepped["dist"].to_numpy() + 1}
-        )
-        return pd.concat([own, nxt], ignore_index=True).astype(
-            {"node": "int64", "dist": "int64"}
-        )
+        return pd.DataFrame(
+            {
+                "node": stepped["val"].to_numpy(),
+                "dist": stepped["dist"].to_numpy() + 1,
+            }
+        ).astype({"node": "int64", "dist": "int64"})
 
-    for _round in range(hops):
-        tagged = reached.map_batches(
-            lambda b: pd.DataFrame(
-                {"key": b["node"], "val": b["dist"], "kind": 0}
-            ).astype({"key": "int64", "val": "int64", "kind": "int64"}),
+    for rnd in range(hops):
+        frontier = reached.map_batches(
+            lambda b, r=rnd: (
+                lambda f: pd.DataFrame(
+                    {"key": f["node"], "val": f["dist"], "kind": 0}
+                ).astype({"key": "int64", "val": "int64", "kind": "int64"})
+            )(b[b["dist"] == r]),
             batch_format="pandas",
         )
-        prop = bucketed_map_groups(
-            tagged.union(edge2),
+        candidates = bucketed_map_groups(
+            frontier.union(edge2),
             "key",
             expand,
             num_buckets=num_buckets,
             empty_result=empty,
         )
         reached = grouped_agg(
-            prop,
+            candidates.union(reached),
             ["node"],
             {"dist": ("dist", "min")},
             final="bucketed",

@@ -37,14 +37,23 @@ _COMPILED = tuple((name, re.compile(pat), tok) for name, pat, tok in PII_RULES)
 
 
 def redact_frame(batch: pd.DataFrame, text_col: str, out_col: str) -> pd.DataFrame:
-    """Redact one pandas batch in place: adds ``out_col`` (scrubbed text)
-    and one ``n_<rule>`` int64 count column per rule. Pure function of the
-    batch — usable inside any map_batches stage."""
+    """Redact one pandas batch: returns a COPY of the frame with
+    ``out_col`` (scrubbed text) and one nullable-int ``n_<rule>`` count
+    column per rule appended — the input frame is not mutated. NULL text
+    propagates as NULL redacted text and NULL counts, exactly like the
+    SQL twin (``regexp_replace(NULL) -> NULL``). Usable inside any
+    map_batches stage."""
+    batch = batch.copy()
+    nulls = batch[text_col].isna()
     s = batch[text_col].astype("string").fillna("")
     for name, rx, tok in _COMPILED:
-        batch[f"n_{name}"] = s.str.count(rx).astype("int64")
+        cnt = s.str.count(rx).astype("Int64")
+        cnt[nulls] = pd.NA
+        batch[f"n_{name}"] = cnt
         s = s.str.replace(rx, tok, regex=True)
-    batch[out_col] = s.astype(str)
+    red = s.astype("string")
+    red[nulls] = pd.NA
+    batch[out_col] = red
     return batch
 
 

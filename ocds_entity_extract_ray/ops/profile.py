@@ -114,16 +114,29 @@ def profile_table(
 
     out_rows = []
     for col in columns:
-        part = stats[stats["col_name"] == col]
-        cls = part["cls"].iloc[0]
-        mins = part[f"min_{cls}"].dropna()
-        maxs = part[f"max_{cls}"].dropna()
-        nd = dcounts[dcounts["col_name"] == col]["n_distinct"]
+        # a zero-block dataset yields a column-less `stats` frame — emit
+        # the same all-zero row per column the SQL twin produces
+        part = (
+            stats[stats["col_name"] == col]
+            if "col_name" in stats.columns
+            else stats.iloc[0:0]
+        )
+        if len(part):
+            cls = part["cls"].iloc[0]
+            mins = part[f"min_{cls}"].dropna()
+            maxs = part[f"max_{cls}"].dropna()
+        else:
+            mins = maxs = pd.Series(dtype="object")
+        nd = (
+            dcounts[dcounts["col_name"] == col]["n_distinct"]
+            if "col_name" in dcounts.columns
+            else pd.Series(dtype="int64")
+        )
         out_rows.append(
             {
                 "col_name": col,
-                "n_rows": int(part["n_rows"].sum()),
-                "n_nulls": int(part["n_nulls"].sum()),
+                "n_rows": int(part["n_rows"].sum()) if len(part) else 0,
+                "n_nulls": int(part["n_nulls"].sum()) if len(part) else 0,
                 "n_distinct": int(nd.iloc[0]) if len(nd) else 0,
                 "min_value": str(mins.min()) if len(mins) else None,
                 "max_value": str(maxs.max()) if len(maxs) else None,

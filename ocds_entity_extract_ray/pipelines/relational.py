@@ -4320,7 +4320,7 @@ def q_pii_redaction(sf_dir: str) -> pd.DataFrame:
     built deterministically from customer columns in BOTH engines (the
     synthetic corpus carries no real PII), so every row actually
     exercises all three rules; regex parity Python-re vs RE2 is pinned by
-    tests/test_pii.py on adversarial inputs. Stateless map, zero shuffle."""
+    tests/test_pii_profile_graph.py on adversarial inputs. Stateless map, zero shuffle."""
     from ..ops.pii import redact_pii
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
@@ -4513,24 +4513,31 @@ def q_full_outer_year_activity(sf_dir: str) -> pd.DataFrame:
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
-    def year_counts(year: int, kind: int):
-        def flt(b: pd.DataFrame) -> pd.DataFrame:
-            sel = b[b["o_orderdate"].dt.year == year]
-            return pd.DataFrame({"ck": sel["o_custkey"].astype("int64")})
+    # ONE scan of the fact table: tag each qualifying order with its
+    # year-side, count per (ck, kind) in one distributed aggregate
+    def both_years(b: pd.DataFrame) -> pd.DataFrame:
+        yr = b["o_orderdate"].dt.year
+        sel = b[yr.isin([1995, 2001])]
+        return pd.DataFrame(
+            {
+                "ck": sel["o_custkey"].astype("int64"),
+                "kind": (yr[sel.index] == 2001).astype("int64"),
+            }
+        )
 
-        counts = grouped_agg(
-            orders.map_batches(flt, batch_format="pandas"),
-            ["ck"],
-            {"cnt": ("ck", "count")},
-            final="bucketed",
-            empty_result=pd.DataFrame(
-                {"ck": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
-            ),
-        )
-        return counts.map_batches(
-            lambda b, k=kind: b.assign(kind=np.int64(k)),
-            batch_format="pandas",
-        )
+    counts = grouped_agg(
+        orders.map_batches(both_years, batch_format="pandas"),
+        ["ck", "kind"],
+        {"cnt": ("ck", "count")},
+        final="bucketed",
+        empty_result=pd.DataFrame(
+            {
+                "ck": pd.Series(dtype="int64"),
+                "kind": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        ),
+    )
 
     def outer_merge(bucket: pd.DataFrame) -> pd.DataFrame:
         a = bucket[bucket["kind"] == 0][["ck", "cnt"]].rename(columns={"cnt": "n_1995"})
@@ -4552,7 +4559,7 @@ def q_full_outer_year_activity(sf_dir: str) -> pd.DataFrame:
         }
     )
     out = bucketed_map_groups(
-        year_counts(1995, 0).union(year_counts(2001, 1)),
+        counts,
         "ck",
         outer_merge,
         empty_result=empty_out,

@@ -63,6 +63,33 @@ def test_redact_pii_dataset(ray_session):
     assert {"n_emails", "n_phones", "n_ips"} <= set(out.columns)
 
 
+def test_redact_frame_null_propagates_and_no_mutation():
+    """NULL text -> NULL redacted + NULL counts (matching the SQL twin),
+    and the input frame is left untouched."""
+    from ocds_entity_extract_ray.ops.pii import redact_frame
+
+    df = pd.DataFrame({"text": ["a@b.cc ok", None]})
+    out = redact_frame(df, "text", "redacted")
+    assert out["redacted"].iloc[0] == "<EMAIL> ok"
+    assert pd.isna(out["redacted"].iloc[1]) and pd.isna(out["n_emails"].iloc[1])
+    assert out["n_emails"].iloc[0] == 1
+    assert list(df.columns) == ["text"]  # input not mutated
+
+
+def test_profile_table_empty_dataset(ray_session):
+    """Zero input blocks -> one all-zero row per column, like the twin."""
+    from ocds_entity_extract_ray.ops.profile import profile_table
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype="int64")})
+    )
+    out = profile_table(ds, ["k"], num_buckets=2)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_rows"] == 0 and row["n_nulls"] == 0 and row["n_distinct"] == 0
+    assert row["min_value"] is None and row["max_value"] is None
+
+
 def test_bfs_distances_planted_graph(ray_session):
     """Chain 0-1-2-3-4 plus a shortcut 0-3: dist(3) must take the
     shortcut (1 hop), dist(4)=2; node 9 is isolated and absent."""
@@ -147,7 +174,8 @@ def test_profile_table_rejects_floats(ray_session):
     from ocds_entity_extract_ray.ops.profile import profile_table
 
     ds = ray.data.from_pandas(pd.DataFrame({"x": [1.5, 2.5]}))
-    with pytest.raises(Exception):  # TypeError inside the map task
+    # Ray wraps the worker's TypeError — pin the contract via the message
+    with pytest.raises(Exception, match="unsupported dtype"):
         profile_table(ds, ["x"])
 
 
