@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q_bfs_purchase_radius",
     "q_profile_orders",
     "q_full_outer_year_activity",
+    "q_first_last_orders",
 ]
 
 

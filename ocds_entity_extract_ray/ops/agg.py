@@ -132,10 +132,12 @@ def latest_by_key(
     *,
     num_buckets: int = 64,
     empty_result: pd.DataFrame | None = None,
+    ascending: bool = False,
 ) -> ray.data.Dataset:
     """Keep each key's row with the LARGEST ``order_cols`` tuple (the
     per-key argmax SQL writes as ``ROW_NUMBER() OVER (PARTITION BY key
-    ORDER BY ... DESC) = 1``). Two-level: a per-batch argmax shrinks every
+    ORDER BY ... DESC) = 1``); ``ascending=True`` flips it to the argmin
+    (FIRST_VALUE). Two-level: a per-batch argmax shrinks every
     block to <= one row per key BEFORE the bucket shuffle (so a key with a
     million versions ships one), then the bucketed pass re-argmaxes the
     survivors. ``order_cols`` must be a deterministic total order per key
@@ -144,7 +146,7 @@ def latest_by_key(
     def keep_latest(frame: pd.DataFrame) -> pd.DataFrame:
         srt = frame.sort_values(
             [key_col, *order_cols],
-            ascending=[True] + [False] * len(order_cols),
+            ascending=[True] + [ascending] * len(order_cols),
             kind="mergesort",
         )
         return srt.drop_duplicates([key_col], keep="first")

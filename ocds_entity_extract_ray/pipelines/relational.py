@@ -4583,3 +4583,134 @@ SQL_QUERIES["q_full_outer_year_activity"] = (
     q_full_outer_year_activity,
     Q_FULL_OUTER_SQL,
 )
+
+
+def q_mode_priority_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE with a deterministic tiebreak (highest count, then
+    priority ASC): the modal order priority per customer market segment.
+    The dimension is broadcast (ray.put once), the (segment, priority)
+    counts are one distributed aggregate whose result is ~25 rows — the
+    final argmax runs on that tiny frame at the driver."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = _small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    cnt = grouped_agg(
+        joined,
+        ["c_mktsegment", "o_orderpriority"],
+        {"n": ("o_custkey", "count")},
+        final="driver",
+    )
+    srt = cnt.sort_values(
+        ["c_mktsegment", "n", "o_orderpriority"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).drop_duplicates(["c_mktsegment"], keep="first")
+    out = srt.rename(columns={"o_orderpriority": "mode_priority"}).astype(
+        {"n": "int64"}
+    )
+    return (
+        out[["c_mktsegment", "mode_priority", "n"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+Q_MODE_SQL = """
+WITH cnt AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*)::BIGINT AS n
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority ASC) AS rn
+  FROM cnt)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+FROM r WHERE rn = 1 ORDER BY c_mktsegment
+"""
+
+SQL_QUERIES["q_mode_priority_per_segment"] = (
+    q_mode_priority_per_segment,
+    Q_MODE_SQL,
+)
+
+
+def q_first_last_orders(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE parity: each customer's earliest and
+    latest order (date + priority, orderkey tiebreak) via two
+    latest_by_key passes (per-batch argmin/argmax pre-shrink, one bucket
+    shuffle each — a key with a million orders ships two rows), merged
+    per key in one more bucketed pass (both sides of a key co-locate)."""
+    from ..ops.agg import bucketed_map_groups, latest_by_key
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    first = latest_by_key(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], ascending=True
+    )
+    last = latest_by_key(orders, "o_custkey", ["o_orderdate", "o_orderkey"])
+
+    def tag(kind: int):
+        return lambda b: b.assign(kind=np.int64(kind))
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        f = bucket[bucket["kind"] == 0]
+        l = bucket[bucket["kind"] == 1]
+        m = f.merge(l, on="o_custkey", suffixes=("_f", "_l"))
+        return _us(
+            pd.DataFrame(
+                {
+                    "custkey": m["o_custkey"].astype("int64"),
+                    "first_date": m["o_orderdate_f"],
+                    "first_priority": m["o_orderpriority_f"].astype(str),
+                    "last_date": m["o_orderdate_l"],
+                    "last_priority": m["o_orderpriority_l"].astype(str),
+                }
+            ),
+            "first_date",
+            "last_date",
+        )
+
+    empty_out = _us(
+        pd.DataFrame(
+            {
+                "custkey": pd.Series(dtype="int64"),
+                "first_date": pd.Series(dtype="datetime64[us]"),
+                "first_priority": pd.Series(dtype=str),
+                "last_date": pd.Series(dtype="datetime64[us]"),
+                "last_priority": pd.Series(dtype=str),
+            }
+        ),
+        "first_date",
+        "last_date",
+    )
+    out = bucketed_map_groups(
+        first.map_batches(tag(0), batch_format="pandas").union(
+            last.map_batches(tag(1), batch_format="pandas")
+        ),
+        "o_custkey",
+        merge,
+        empty_result=empty_out,
+    ).to_pandas()
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+Q_FIRST_LAST_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_l
+  FROM orders)
+SELECT f.o_custkey AS custkey,
+       f.o_orderdate AS first_date, f.o_orderpriority AS first_priority,
+       l.o_orderdate AS last_date, l.o_orderpriority AS last_priority
+FROM (SELECT * FROM r WHERE rn_f = 1) f
+JOIN (SELECT * FROM r WHERE rn_l = 1) l USING (o_custkey)
+ORDER BY custkey
+"""
+
+SQL_QUERIES["q_first_last_orders"] = (q_first_last_orders, Q_FIRST_LAST_SQL)

@@ -219,3 +219,17 @@ def test_full_outer_query_extends_both_sides(ray_session, tmp_path):
     assert out.loc[1, "n_1995"] == 2 and out.loc[1, "n_2001"] == 1
     assert out.loc[2, "n_1995"] == 1 and out.loc[2, "n_2001"] == 0
     assert out.loc[3, "n_1995"] == 0 and out.loc[3, "n_2001"] == 1
+
+
+def test_latest_by_key_ascending_first_value(ray_session):
+    from ocds_entity_extract_ray.ops.agg import latest_by_key
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 1, 2], "v": [5, 3, 9, 7], "id": [10, 11, 12, 13]}
+    )
+    ds = ray.data.from_pandas(df)
+    first = latest_by_key(ds, "k", ["v", "id"], ascending=True).to_pandas()
+    last = latest_by_key(ds, "k", ["v", "id"]).to_pandas()
+    f = dict(zip(first["k"], first["v"]))
+    l = dict(zip(last["k"], last["v"]))
+    assert f == {1: 3, 2: 7} and l == {1: 9, 2: 7}
