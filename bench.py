@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_profile_orders",
     "q_full_outer_year_activity",
     "q_first_last_orders",
+    "q_weighted_purchase_paths",
 ]
 
 

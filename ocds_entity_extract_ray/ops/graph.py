@@ -706,22 +706,28 @@ def bfs_distances(
     return reached
 
 
-def bfs_sql(edges_sql: str, sources_sql: str, *, hops: int) -> str:
-    """DuckDB twin of :func:`bfs_distances`: the frontier recurrence
-    unrolled as chained CTEs (``hops`` is small and fixed, so no recursive
-    CTE is needed and the result is engine-order-independent — dist is an
-    integer min, exactly as the distributed version computes it).
+def bfs_sql(
+    edges_sql: str, sources_sql: str, *, hops: int, weighted: bool = False
+) -> str:
+    """DuckDB twin of :func:`bfs_distances` (and, with ``weighted=True``,
+    of :func:`shortest_path_distances`): the frontier/relaxation
+    recurrence unrolled as chained CTEs (``hops`` is small and fixed, so
+    no recursive CTE is needed and the result is engine-order-independent
+    — dist is an integer min, exactly as the distributed version computes
+    it).
 
-    ``edges_sql`` must yield (src, dst); ``sources_sql`` must yield
-    (node). Result: (node, dist) ordered by node.
+    ``edges_sql`` must yield (src, dst) — plus an integer ``w`` column
+    when ``weighted``; ``sources_sql`` must yield (node). Result:
+    (node, dist) ordered by node.
     """
+    step = "e.w" if weighted else "1"
     parts = [
         f"WITH e AS ({edges_sql}),",
         f"r0 AS (SELECT node, 0::BIGINT AS dist FROM ({sources_sql})),",
     ]
     for i in range(1, hops + 1):
         parts.append(
-            f"s{i} AS (SELECT e.dst AS node, r{i-1}.dist + 1 AS dist "
+            f"s{i} AS (SELECT e.dst AS node, r{i-1}.dist + {step} AS dist "
             f"FROM r{i-1} JOIN e ON e.src = r{i-1}.node),"
         )
         parts.append(
@@ -732,3 +738,128 @@ def bfs_sql(edges_sql: str, sources_sql: str, *, hops: int) -> str:
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT node, dist FROM r{hops} ORDER BY node")
     return "\n".join(parts)
+
+
+def shortest_path_distances(
+    edges: ray.data.Dataset,
+    sources: ray.data.Dataset,
+    *,
+    rounds: int,
+    weight_col: str = "w",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    source_col: str = "node",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Bounded-round multi-source WEIGHTED shortest paths (integer
+    non-negative weights): ``(node, dist)`` with dist the exact minimum
+    path weight over paths of <= ``rounds`` edges (the Bellman-Ford
+    guarantee — after k rounds every <=k-edge path has been relaxed).
+
+    Unlike unit-weight BFS, a node's distance can IMPROVE after first
+    reach, so the frontier is the IMPROVED set, not the newly-reached
+    set: each round expands only nodes whose dist changed last round
+    (two bucketed shuffles: relax along edges, then min-combine against
+    the reached ball while flagging improvements). Integer arithmetic
+    keeps the result independent of relaxation order, so the unrolled
+    SQL twin (:func:`bfs_sql` with a weight expression) is hash-exact.
+    """
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
+    )
+    empty_flag = pd.DataFrame(
+        {
+            "node": pd.Series(dtype="int64"),
+            "dist": pd.Series(dtype="int64"),
+            "imp": pd.Series(dtype="int64"),
+        }
+    )
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": b[src_col], "val": b[dst_col], "w": b[weight_col], "kind": 1}
+        ).astype({"key": "int64", "val": "int64", "w": "int64", "kind": "int64"})
+
+    edge2 = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    reached = sources.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
+        ).astype({"dist": "int64"}),
+        batch_format="pandas",
+    ).materialize()
+    frontier = reached
+
+    def relax(bucket: pd.DataFrame) -> pd.DataFrame:
+        cur = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        stepped = edg.merge(
+            cur[["key", "w"]].rename(columns={"w": "dist"}), on="key"
+        )
+        return pd.DataFrame(
+            {
+                "node": stepped["val"].to_numpy(),
+                "dist": stepped["dist"].to_numpy() + stepped["w"].to_numpy(),
+            }
+        ).astype({"node": "int64", "dist": "int64"})
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        old = bucket[bucket["kind"] == 0][["node", "dist"]]
+        cand = bucket[bucket["kind"] == 1][["node", "dist"]]
+        cbest = cand.groupby("node", as_index=False)["dist"].min()
+        m = old.merge(cbest, on="node", how="outer", suffixes=("_old", "_new"))
+        o = m["dist_old"]
+        n = m["dist_new"]
+        best = o.where(n.isna() | (o <= n), n).fillna(n)
+        improved = (o.isna() | (n < o)) & n.notna()
+        return pd.DataFrame(
+            {
+                "node": m["node"].astype("int64"),
+                "dist": best.astype("int64"),
+                "imp": improved.astype("int64"),
+            }
+        )
+
+    for _rnd in range(rounds):
+        tagged = frontier.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["node"],
+                    "val": np.int64(0),
+                    "w": b["dist"],
+                    "kind": 0,
+                }
+            ).astype(
+                {"key": "int64", "val": "int64", "w": "int64", "kind": "int64"}
+            ),
+            batch_format="pandas",
+        )
+        candidates = bucketed_map_groups(
+            tagged.union(edge2),
+            "key",
+            relax,
+            num_buckets=num_buckets,
+            empty_result=empty,
+        )
+        old_tag = reached.map_batches(
+            lambda b: b.assign(kind=np.int64(0)), batch_format="pandas"
+        )
+        cand_tag = candidates.map_batches(
+            lambda b: b.assign(kind=np.int64(1)), batch_format="pandas"
+        )
+        flagged = bucketed_map_groups(
+            old_tag.union(cand_tag),
+            "node",
+            combine,
+            num_buckets=num_buckets,
+            empty_result=empty_flag,
+        ).materialize()
+        reached = flagged.map_batches(
+            lambda b: b[["node", "dist"]], batch_format="pandas"
+        ).materialize()
+        frontier = flagged.map_batches(
+            lambda b: b[b["imp"] == 1][["node", "dist"]], batch_format="pandas"
+        ).materialize()
+        if frontier.count() == 0:
+            break
+    return reached

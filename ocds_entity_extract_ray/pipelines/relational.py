@@ -4714,3 +4714,55 @@ ORDER BY custkey
 """
 
 SQL_QUERIES["q_first_last_orders"] = (q_first_last_orders, Q_FIRST_LAST_SQL)
+
+
+def q_weighted_purchase_paths(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round WEIGHTED shortest paths (ops/graph.py:
+    shortest_path_distances — Bellman-Ford with an improved-set frontier,
+    integer weights so relaxation order cannot change the result): min
+    path weight from customers 0-4 within 4 relaxation rounds over the
+    bidirected purchase graph, edge weight 1 + (custkey + suppkey) % 5
+    derived identically in both engines."""
+    from ..ops.graph import shortest_path_distances
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def make_edges(b: pd.DataFrame) -> pd.DataFrame:
+        ck = b["o_custkey"].to_numpy().astype("int64")
+        sk = b["l_suppkey"].to_numpy().astype("int64")
+        w = 1 + (ck + sk) % 5
+        fwd = pd.DataFrame({"src": ck, "dst": sk + 10_000_000, "w": w})
+        rev = pd.DataFrame({"src": sk + 10_000_000, "dst": ck, "w": w})
+        return (
+            pd.concat([fwd, rev], ignore_index=True)
+            .drop_duplicates()
+            .astype({"src": "int64", "dst": "int64", "w": "int64"})
+        )
+
+    edges = j.map_batches(make_edges, batch_format="pandas")
+    sources = ray.data.from_pandas(
+        pd.DataFrame({"node": np.arange(5, dtype=np.int64)})
+    )
+    out = shortest_path_distances(edges, sources, rounds=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q_WEIGHTED_PATHS_SQL = _bfs_sql(
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst,"
+    " 1 + (o_custkey + l_suppkey) % 5 AS w"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    " UNION "
+    "SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst,"
+    " 1 + (o_custkey + l_suppkey) % 5 AS w"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
+    "SELECT UNNEST([0, 1, 2, 3, 4]) AS node",
+    hops=4,
+    weighted=True,
+)
+
+SQL_QUERIES["q_weighted_purchase_paths"] = (
+    q_weighted_purchase_paths,
+    Q_WEIGHTED_PATHS_SQL,
+)

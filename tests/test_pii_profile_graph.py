@@ -233,3 +233,63 @@ def test_latest_by_key_ascending_first_value(ray_session):
     f = dict(zip(first["k"], first["v"]))
     l = dict(zip(last["k"], last["v"]))
     assert f == {1: 3, 2: 7} and l == {1: 9, 2: 7}
+
+
+def test_shortest_paths_weighted_planted(ray_session):
+    """Triangle 0-1 (w=10), 1-2 (w=1), 0-2 (w=2): dist(2)=2 via the direct
+    edge, dist(1)=3 via 0->2->1 (NOT the direct w=10 edge) — requires the
+    improved-set frontier to re-relax node 1 after round 1."""
+    from ocds_entity_extract_ray.ops.graph import shortest_path_distances
+
+    e = pd.DataFrame(
+        {"src": [0, 1, 1, 2, 0, 2], "dst": [1, 0, 2, 1, 2, 0],
+         "w": [10, 10, 1, 1, 2, 2]}
+    )
+    out = shortest_path_distances(
+        ray.data.from_pandas(e),
+        ray.data.from_pandas(pd.DataFrame({"node": [0]})),
+        rounds=4,
+        num_buckets=4,
+    ).to_pandas()
+    dist = dict(zip(out["node"], out["dist"]))
+    assert dist == {0: 0, 1: 3, 2: 2}
+
+
+def test_shortest_paths_sql_matches_op(ray_session):
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.graph import bfs_sql, shortest_path_distances
+
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame(
+        {
+            "src": rng.integers(0, 40, 120),
+            "dst": rng.integers(0, 40, 120),
+            "w": rng.integers(1, 7, 120),
+        }
+    ).drop_duplicates(["src", "dst"])
+    out = (
+        shortest_path_distances(
+            ray.data.from_pandas(e),
+            ray.data.from_pandas(pd.DataFrame({"node": [0, 1]})),
+            rounds=5,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("edges", e)
+    want = con.execute(
+        bfs_sql(
+            "SELECT src, dst, w FROM edges",
+            "SELECT UNNEST([0, 1]) AS node",
+            hops=5,
+            weighted=True,
+        )
+    ).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"node": "int64", "dist": "int64"}),
+        want.astype({"node": "int64", "dist": "int64"}),
+    )
