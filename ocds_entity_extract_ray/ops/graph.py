@@ -782,11 +782,21 @@ def shortest_path_distances(
 
     edge2 = edges.map_batches(tag_edges, batch_format="pandas").materialize()
 
-    reached = sources.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
-        ).astype({"dist": "int64"}),
-        batch_format="pandas",
+    # grouped min at init: a duplicated source node must yield ONE row
+    # (the SQL twin GROUP BYs every round; duplicate old rows here would
+    # survive every combine and break row-count parity)
+    reached = grouped_agg(
+        sources.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
+            ).astype({"dist": "int64"}),
+            batch_format="pandas",
+        ),
+        ["node"],
+        {"dist": ("dist", "min")},
+        final="bucketed",
+        num_buckets=num_buckets,
+        empty_result=empty,
     ).materialize()
     frontier = reached
 
@@ -804,14 +814,24 @@ def shortest_path_distances(
         ).astype({"node": "int64", "dist": "int64"})
 
     def combine(bucket: pd.DataFrame) -> pd.DataFrame:
-        old = bucket[bucket["kind"] == 0][["node", "dist"]]
-        cand = bucket[bucket["kind"] == 1][["node", "dist"]]
+        # nullable Int64 through the outer merge: the float64 upcast NaN
+        # would otherwise silently corrupt distances >= 2^53 (the exact
+        # bug class dataset_diff hit; distances must stay integer-exact
+        # for the SQL twin's BIGINT min to match bit for bit)
+        old = bucket[bucket["kind"] == 0][["node", "dist"]].astype(
+            {"dist": "Int64"}
+        )
+        cand = bucket[bucket["kind"] == 1][["node", "dist"]].astype(
+            {"dist": "Int64"}
+        )
         cbest = cand.groupby("node", as_index=False)["dist"].min()
         m = old.merge(cbest, on="node", how="outer", suffixes=("_old", "_new"))
         o = m["dist_old"]
         n = m["dist_new"]
-        best = o.where(n.isna() | (o <= n), n).fillna(n)
-        improved = (o.isna() | (n < o)) & n.notna()
+        # every row exists on >= one side, so improved implies n present
+        improved = n.notna() & (o.isna() | (n < o).fillna(False))
+        best = o.copy()
+        best[improved] = n[improved]
         return pd.DataFrame(
             {
                 "node": m["node"].astype("int64"),

@@ -4638,26 +4638,30 @@ SQL_QUERIES["q_mode_priority_per_segment"] = (
 
 def q_first_last_orders(sf_dir: str) -> pd.DataFrame:
     """FIRST_VALUE / LAST_VALUE parity: each customer's earliest and
-    latest order (date + priority, orderkey tiebreak) via two
-    latest_by_key passes (per-batch argmin/argmax pre-shrink, one bucket
-    shuffle each — a key with a million orders ships two rows), merged
-    per key in one more bucketed pass (both sides of a key co-locate)."""
-    from ..ops.agg import bucketed_map_groups, latest_by_key
+    latest order (date + priority, orderkey tiebreak) in ONE scan and ONE
+    bucket shuffle — every batch pre-shrinks to its per-key argmin
+    (kind 0) and argmax (kind 1) rows (<= 2 rows per key per block, so a
+    key with a million orders ships two per block), then one bucketed
+    pass re-argmins/re-argmaxes the survivors and merges per key."""
+    from ..ops.agg import bucketed_map_groups
 
     orders = _read(
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"]
     )
-    first = latest_by_key(
-        orders, "o_custkey", ["o_orderdate", "o_orderkey"], ascending=True
-    )
-    last = latest_by_key(orders, "o_custkey", ["o_orderdate", "o_orderkey"])
+    order_cols = ["o_custkey", "o_orderdate", "o_orderkey"]
 
-    def tag(kind: int):
-        return lambda b: b.assign(kind=np.int64(kind))
+    def extremes(b: pd.DataFrame) -> pd.DataFrame:
+        srt = b.sort_values(order_cols, kind="mergesort")
+        f = srt.drop_duplicates(["o_custkey"], keep="first").assign(kind=np.int64(0))
+        l = srt.drop_duplicates(["o_custkey"], keep="last").assign(kind=np.int64(1))
+        return pd.concat([f, l], ignore_index=True)
+
+    pre = orders.map_batches(extremes, batch_format="pandas")
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        f = bucket[bucket["kind"] == 0]
-        l = bucket[bucket["kind"] == 1]
+        srt = bucket.sort_values(order_cols, kind="mergesort")
+        f = srt[srt["kind"] == 0].drop_duplicates(["o_custkey"], keep="first")
+        l = srt[srt["kind"] == 1].drop_duplicates(["o_custkey"], keep="last")
         m = f.merge(l, on="o_custkey", suffixes=("_f", "_l"))
         return _us(
             pd.DataFrame(
@@ -4687,9 +4691,7 @@ def q_first_last_orders(sf_dir: str) -> pd.DataFrame:
         "last_date",
     )
     out = bucketed_map_groups(
-        first.map_batches(tag(0), batch_format="pandas").union(
-            last.map_batches(tag(1), batch_format="pandas")
-        ),
+        pre,
         "o_custkey",
         merge,
         empty_result=empty_out,

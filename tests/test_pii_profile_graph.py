@@ -293,3 +293,19 @@ def test_shortest_paths_sql_matches_op(ray_session):
         out.astype({"node": "int64", "dist": "int64"}),
         want.astype({"node": "int64", "dist": "int64"}),
     )
+
+
+def test_shortest_paths_duplicate_sources_dedupe(ray_session):
+    """A duplicated source node must yield ONE output row (the SQL twin
+    GROUP BYs every round) — regression for the init-dedup fix."""
+    from ocds_entity_extract_ray.ops.graph import shortest_path_distances
+
+    e = pd.DataFrame({"src": [0, 1], "dst": [1, 2], "w": [3, 4]})
+    out = shortest_path_distances(
+        ray.data.from_pandas(e),
+        ray.data.from_pandas(pd.DataFrame({"node": [0, 0]})),
+        rounds=3,
+        num_buckets=4,
+    ).to_pandas()
+    assert len(out) == 3
+    assert dict(zip(out["node"], out["dist"])) == {0: 0, 1: 3, 2: 7}
