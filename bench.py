@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q_full_outer_year_activity",
     "q_first_last_orders",
     "q_weighted_purchase_paths",
+    "q_zorder_orders",
 ]
 
 

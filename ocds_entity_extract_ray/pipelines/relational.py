@@ -4768,3 +4768,27 @@ SQL_QUERIES["q_weighted_purchase_paths"] = (
     q_weighted_purchase_paths,
     Q_WEIGHTED_PATHS_SQL,
 )
+
+
+def q_zorder_orders(sf_dir: str) -> pd.DataFrame:
+    """Z-order data clustering key (ops/layout.py): the Morton interleave
+    of (custkey, orderkey) low 16 bits per order — the key a 100 TB
+    pipeline sorts on before a partitioned write so parquet min/max stats
+    prune files for range predicates on EITHER column. Pure int64
+    shift/or/mask, so the DuckDB twin computes the identical key."""
+    from ..ops.layout import zorder_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    out = zorder_key(orders, "o_custkey", "o_orderkey").to_pandas()
+    out = out[["o_orderkey", "zkey"]].astype({"o_orderkey": "int64", "zkey": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+from ..ops.layout import zorder_sql_expr as _zorder_sql_expr  # noqa: E402
+
+Q_ZORDER_SQL = (
+    f"SELECT o_orderkey, {_zorder_sql_expr('o_custkey', 'o_orderkey')} AS zkey"
+    " FROM orders ORDER BY o_orderkey"
+)
+
+SQL_QUERIES["q_zorder_orders"] = (q_zorder_orders, Q_ZORDER_SQL)

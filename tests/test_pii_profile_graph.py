@@ -309,3 +309,48 @@ def test_shortest_paths_duplicate_sources_dedupe(ray_session):
     ).to_pandas()
     assert len(out) == 3
     assert dict(zip(out["node"], out["dist"])) == {0: 0, 1: 3, 2: 7}
+
+
+def test_morton_interleave_matches_bit_loop():
+    """Magic-mask spread vs a per-bit reference implementation."""
+    from ocds_entity_extract_ray.ops.layout import morton_interleave
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 16, 200)
+    b = rng.integers(0, 1 << 16, 200)
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((int(x) >> i) & 1) << (2 * i)
+            z |= ((int(y) >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = morton_interleave(a, b)
+    assert [int(v) for v in got] == [ref(x, y) for x, y in zip(a, b)]
+
+
+def test_zorder_locality_beats_single_column_sort(ray_session):
+    """The point of the key: files cut from a z-sorted layout have
+    bounded ranges in BOTH dimensions, a single-column sort does not."""
+    from ocds_entity_extract_ray.ops.layout import morton_interleave
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"a": rng.integers(0, 1 << 16, 4096), "b": rng.integers(0, 1 << 16, 4096)}
+    )
+    df["z"] = morton_interleave(df["a"].to_numpy(), df["b"].to_numpy())
+
+    def span_sum(frame, order):
+        s = frame.sort_values(order).reset_index(drop=True)
+        total = 0
+        for i in range(0, len(s), 64):  # 64 "files"
+            chunk = s.iloc[i : i + 64]
+            total += int(chunk["a"].max() - chunk["a"].min()) + int(
+                chunk["b"].max() - chunk["b"].min()
+            )
+        return total
+
+    # single-column sort leaves every file spanning the FULL b range;
+    # z-sorted files bound both dimensions
+    assert span_sum(df, "z") < 0.5 * span_sum(df, "a")
