@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_first_last_orders",
     "q_weighted_purchase_paths",
     "q_zorder_orders",
+    "q_cap_docs_per_source",
 ]
 
 

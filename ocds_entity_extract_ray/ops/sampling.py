@@ -179,3 +179,63 @@ def mix_sources(
         return batch[h < cut]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def weighted_hash_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    *,
+    max_weight: int,
+) -> ray.data.Dataset:
+    """Deterministic IMPORTANCE sampling: keep a row with probability
+    ``weight / max_weight`` (integer weights; rows at/above ``max_weight``
+    always survive) via the same multiplicative hash as ``hash_sample`` —
+    the per-row threshold ``(w * 2^32) // max_weight`` is integer floor
+    division, so the predicate is bit-reproducible in SQL and across any
+    partitioning. Zero shuffle."""
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        k = _key_ints(batch[key_col].to_numpy()) % np.uint64(MOD)
+        h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+        w = batch[weight_col].to_numpy().astype(np.uint64)
+        thr = (w * np.uint64(MOD)) // np.uint64(max_weight)
+        return batch[h < thr]
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
+def cap_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int,
+    *,
+    id_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Keep at most ``k`` rows per key, chosen DETERMINISTICALLY (by the
+    multiplicative hash of ``id_col``, then ``id_col`` — i.e. a uniform
+    k-subsample per key, not "first k seen"). The docs-per-domain cap
+    every web-crawl pipeline applies before training.
+
+    Two-level like latest_by_key: every batch pre-shrinks to its own k
+    smallest per key BEFORE the one bucket shuffle (a domain with a
+    billion pages ships k rows per block, never the domain), then the
+    bucketed pass re-selects the global k."""
+    from .agg import bucketed_map_groups
+
+    def select_k(frame: pd.DataFrame) -> pd.DataFrame:
+        hk = _key_ints(frame[id_col].to_numpy()) % np.uint64(MOD)
+        h = ((hk * np.uint64(KNUTH_MULT)) % np.uint64(MOD)).astype("int64")
+        srt = frame.assign(_h=h).sort_values(
+            [key_col, "_h", id_col], kind="mergesort"
+        )
+        return (
+            srt.groupby(key_col, sort=False)
+            .head(k)
+            .drop(columns=["_h"])
+            .reset_index(drop=True)
+        )
+
+    pre = ds.map_batches(select_k, batch_format="pandas")
+    return bucketed_map_groups(pre, key_col, select_k, num_buckets=num_buckets)

@@ -4792,3 +4792,72 @@ Q_ZORDER_SQL = (
 )
 
 SQL_QUERIES["q_zorder_orders"] = (q_zorder_orders, Q_ZORDER_SQL)
+
+
+def q_weighted_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Deterministic importance sampling (ops/sampling.py:
+    weighted_hash_sample): keep each order with probability proportional
+    to its total price — per-row integer threshold (cents * 2^32) //
+    max_weight over the shared multiplicative hash, so the predicate is
+    bitwise-identical in SQL (and under any partitioning). Zero shuffle."""
+    from ..ops.sampling import weighted_hash_sample
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(price_cents=_cents(b["o_totalprice"]))
+
+    kept = weighted_hash_sample(
+        orders.map_batches(add_cents, batch_format="pandas"),
+        "o_orderkey",
+        "price_cents",
+        max_weight=60_000_000,
+    ).to_pandas()
+    out = kept[["o_orderkey", "price_cents"]].astype(
+        {"o_orderkey": "int64", "price_cents": "int64"}
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders)
+SELECT o_orderkey, price_cents FROM w
+WHERE ((o_orderkey % 4294967296) * 2654435761) % 4294967296
+      < (price_cents * 4294967296) // 60000000
+ORDER BY o_orderkey
+"""
+
+SQL_QUERIES["q_weighted_sample_orders"] = (
+    q_weighted_sample_orders,
+    Q_WEIGHTED_SAMPLE_SQL,
+)
+
+
+def q_cap_docs_per_source(sf_dir: str) -> pd.DataFrame:
+    """Docs-per-domain cap (ops/sampling.py:cap_per_key — the
+    pre-training per-host limit): at most 5 documents per crawl source,
+    selected as a UNIFORM deterministic subsample (multiplicative hash of
+    doc_id, doc_id tiebreak), not first-seen. Per-batch pre-shrink ships
+    <= 5 rows per (source, block) into the one bucket shuffle."""
+    from ..ops.sampling import cap_per_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = cap_per_key(docs, "source", 5, id_col="doc_id").to_pandas()
+    out = out[["doc_id", "source"]].astype({"doc_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_CAP_PER_SOURCE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 4294967296) * 2654435761) % 4294967296,
+                    doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id
+"""
+
+SQL_QUERIES["q_cap_docs_per_source"] = (q_cap_docs_per_source, Q_CAP_PER_SOURCE_SQL)

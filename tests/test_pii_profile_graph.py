@@ -354,3 +354,56 @@ def test_zorder_locality_beats_single_column_sort(ray_session):
     # single-column sort leaves every file spanning the FULL b range;
     # z-sorted files bound both dimensions
     assert span_sum(df, "z") < 0.5 * span_sum(df, "a")
+
+
+def test_weighted_hash_sample_rate_and_determinism(ray_session):
+    """Keep rate tracks weight/max_weight per weight class, zero-weight
+    rows never survive, and the kept ID SET is partition-independent."""
+    from ocds_entity_extract_ray.ops.sampling import weighted_hash_sample
+
+    n = 4000
+    df = pd.DataFrame({"id": np.arange(n), "w": np.tile([0, 25, 50, 100], n // 4)})
+    kept1 = weighted_hash_sample(
+        ray.data.from_pandas(df), "id", "w", max_weight=100
+    ).to_pandas()
+    kept2 = weighted_hash_sample(
+        ray.data.from_pandas(df).repartition(7), "id", "w", max_weight=100
+    ).to_pandas()
+    assert set(kept1["id"]) == set(kept2["id"])
+    by_w = kept1.groupby("w").size()
+    assert 0 not in by_w.index  # zero weight -> never kept
+    assert abs(by_w.get(100, 0) / (n // 4) - 1.0) < 0.01  # w==max -> all kept
+    assert 0.15 < by_w.get(25, 0) / (n // 4) < 0.35
+    assert 0.40 < by_w.get(50, 0) / (n // 4) < 0.60
+
+
+def test_cap_per_key_uniform_and_partition_independent(ray_session):
+    """At most k per key, the SAME k rows under any partitioning, and the
+    choice is the hash-min subsample (matches a pandas reference)."""
+    from ocds_entity_extract_ray.ops.sampling import (
+        KNUTH_MULT,
+        MOD,
+        cap_per_key,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"key": rng.integers(0, 12, 500), "id": np.arange(500)}
+    )
+    out1 = cap_per_key(
+        ray.data.from_pandas(df), "key", 3, id_col="id", num_buckets=8
+    ).to_pandas()
+    out2 = cap_per_key(
+        ray.data.from_pandas(df).repartition(11), "key", 3, id_col="id", num_buckets=4
+    ).to_pandas()
+    assert set(out1["id"]) == set(out2["id"])
+    assert out1.groupby("key").size().max() <= 3
+    # pandas reference: k smallest by (hash, id) per key
+    h = (df["id"].to_numpy().astype(np.uint64) * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
+    ref = (
+        df.assign(_h=h.astype("int64"))
+        .sort_values(["key", "_h", "id"])
+        .groupby("key")
+        .head(3)
+    )
+    assert set(out1["id"]) == set(ref["id"])
