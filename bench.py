@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_weighted_purchase_paths",
     "q_zorder_orders",
     "q_cap_docs_per_source",
+    "q_unigram_surprisal",
 ]
 
 

@@ -282,3 +282,80 @@ def salient_terms(
     return bucketed_map_groups(
         with_df, id_col, per_doc_topk, num_buckets=num_buckets, empty_result=empty_out
     )
+
+
+def unigram_surprisal(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_v: int = 1000,
+    scale: int = 1_000_000,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """LM-style quality scoring with an integer-exact oracle: per-document
+    unigram surprisal against the corpus's own distribution. Each token
+    contributes ``scale // tf(token)`` (rarer => larger), with tf looked
+    up in the TOP-``top_v`` vocabulary (count DESC, token ASC tiebreak —
+    deterministic) and out-of-vocabulary tokens scored as tf=1. All
+    arithmetic is int64 floor division, so summation order can't change
+    the result — the same trick that makes pagerank/tf-idf hash-exact.
+
+    Shape: one bucketed tf shuffle (vocabulary-cardinality key, same as
+    wordcount), per-bucket top-V so the driver merges V rows per bucket
+    (never the vocabulary), vocab broadcast once via ray.put, then one
+    stateless scoring map. Documents with zero tokens are omitted (the
+    SQL twin's unnest does the same).
+    """
+    import ray as _ray
+
+    from .agg import grouped_agg
+    from .joins import _fetch
+
+    def tf_pre(b: pd.DataFrame) -> pd.DataFrame:
+        words = b[text_col].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    per_word = grouped_agg(
+        ds,
+        ["word"],
+        {"n": ("n", "sum")},
+        pre=tf_pre,
+        final="bucketed",
+        num_buckets=num_buckets,
+        empty_result=pd.DataFrame(
+            {"word": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+        ),
+    )
+
+    def bucket_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(
+            top_v
+        )
+
+    cand = per_word.map_batches(bucket_top, batch_format="pandas").to_pandas()
+    vocab_df = cand.sort_values(
+        ["n", "word"], ascending=[False, True], kind="mergesort"
+    ).head(top_v)
+    ref = _ray.put(dict(zip(vocab_df["word"], vocab_df["n"].astype(int))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        tf = _fetch(ref)
+        b = b.reset_index(drop=True)
+        words = b[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        n_tok = words.str.len()
+        mask = n_tok > 0
+        exploded = words[mask].explode()
+        tfv = exploded.map(tf).fillna(1).astype("int64")
+        per_tok = np.int64(scale) // tfv
+        surp = per_tok.groupby(level=0).sum()
+        return pd.DataFrame(
+            {
+                "doc_id": b.loc[mask, id_col].to_numpy(),
+                "n_tokens": n_tok[mask].to_numpy(),
+                "surprisal": surp.reindex(b.index[mask]).to_numpy(),
+            }
+        ).astype({"doc_id": "int64", "n_tokens": "int64", "surprisal": "int64"})
+
+    return ds.map_batches(score, batch_format="pandas")

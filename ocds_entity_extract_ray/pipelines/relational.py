@@ -4861,3 +4861,37 @@ SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id
 """
 
 SQL_QUERIES["q_cap_docs_per_source"] = (q_cap_docs_per_source, Q_CAP_PER_SOURCE_SQL)
+
+
+def q_unigram_surprisal(sf_dir: str) -> pd.DataFrame:
+    """LM-style quality scoring (ops/textstats.py:unigram_surprisal):
+    per-document integer surprisal vs the corpus's own top-1000 unigram
+    distribution — each token adds scale // tf(token) with OOV scored as
+    tf=1; int64 floor division makes the sum order-independent, so the
+    SQL twin (full tf CTE + the identical top-V window rule) is
+    hash-exact. The quality-filter shape a surprisal/perplexity gate at
+    100 TB would use."""
+    from ..ops.textstats import unigram_surprisal
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = unigram_surprisal(docs, "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SURPRISAL_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*)::BIGINT AS n FROM w GROUP BY term),
+vocab AS (
+  SELECT term, n FROM (
+    SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rn FROM tf)
+  WHERE rn <= 1000),
+scored AS (
+  SELECT w.doc_id, 1000000 // COALESCE(v.n, 1) AS s
+  FROM w LEFT JOIN vocab v USING (term))
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(s)::BIGINT AS surprisal
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+SQL_QUERIES["q_unigram_surprisal"] = (q_unigram_surprisal, Q_SURPRISAL_SQL)

@@ -407,3 +407,53 @@ def test_cap_per_key_uniform_and_partition_independent(ray_session):
         .head(3)
     )
     assert set(out1["id"]) == set(ref["id"])
+
+
+def test_unigram_surprisal_matches_duckdb(ray_session):
+    """Small corpus incl. a tie at the vocab cutoff and an all-empty doc
+    (must be omitted, like the twin's unnest)."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.textstats import unigram_surprisal
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aa bb aa cc",
+                "bb bb zz rare",
+                "",
+                "cc aa unknowntoken",
+            ],
+        }
+    )
+    got = (
+        unigram_surprisal(
+            ray.data.from_pandas(df), "text", "doc_id", top_v=3, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        """
+        WITH w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+        tf AS (SELECT term, COUNT(*)::BIGINT AS n FROM w GROUP BY term),
+        vocab AS (SELECT term, n FROM (
+            SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) rn
+            FROM tf) WHERE rn <= 3),
+        scored AS (SELECT w.doc_id, 1000000 // COALESCE(v.n, 1) AS s
+                   FROM w LEFT JOIN vocab v USING (term))
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(s)::BIGINT AS surprisal
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got,
+        want.astype({"doc_id": "int64", "n_tokens": "int64", "surprisal": "int64"}),
+    )
+    assert 3 not in set(got["doc_id"])  # empty doc omitted
