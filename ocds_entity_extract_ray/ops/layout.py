@@ -10,9 +10,14 @@ stats prune files for either predicate — the standard Delta/Iceberg
 (``zorder_key`` + ``Dataset.sort``) feeding the existing partitioned
 writers.
 
-The interleave is pure int64 bit arithmetic (shift/or/mask), so the SQL
-twin (:func:`zorder_sql_expr`) computes the identical key in DuckDB —
-another member of the integer-exact oracle family.
+Values are RANGE-QUANTIZED onto the 16-bit lanes — ``(v * 2^16) //
+(max+1)`` — never truncated mod 2^16: a mod would interleave ``v %
+65536``, which scatters any column wider than 16 bits and makes the
+layout WORSE than a single-column sort (locality is pytest-pinned on
+24-bit data). The quantization and interleave are pure int64 arithmetic
+(mul/div/shift/or/mask), so the SQL twin (:func:`zorder_sql`) computes
+the identical key in DuckDB — another member of the integer-exact oracle
+family.
 """
 
 from __future__ import annotations
@@ -39,9 +44,22 @@ def _spread16(x: np.ndarray) -> np.ndarray:
 
 
 def morton_interleave(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Morton code of (a % 2^16, b % 2^16): bits of ``a`` on even
-    positions, ``b`` on odd — int64, vectorized."""
+    """Morton code of two 16-bit values: bits of ``a`` on even positions,
+    ``b`` on odd — int64, vectorized. Callers must pre-quantize; see
+    :func:`zorder_key` for the ranged entry point."""
     return _spread16(a) | (_spread16(b) << 1)
+
+
+def _quant16(v: np.ndarray, vmax: int, col: str) -> np.ndarray:
+    v = v.astype(np.int64)
+    if vmax <= 0 or vmax >= 1 << 47:
+        raise ValueError(f"zorder_key: max for {col} must be in (0, 2^47)")
+    if (v < 0).any() or (v > vmax).any():
+        raise ValueError(
+            f"zorder_key: {col} outside [0, {vmax}] — widen the declared "
+            "max; silently wrapping would scatter the layout"
+        )
+    return (v * 65536) // (vmax + 1)
 
 
 def zorder_key(
@@ -49,32 +67,56 @@ def zorder_key(
     col_a: str,
     col_b: str,
     *,
+    max_a: int,
+    max_b: int,
     out_col: str = "zkey",
 ) -> ray.data.Dataset:
-    """Attach the Morton key of ``(col_a % 2^16, col_b % 2^16)`` —
-    stateless vectorized map, zero shuffle. Follow with ``ds.sort(out_col)``
-    (ONE range shuffle) and a partitioned write to cluster storage by both
-    dimensions at once."""
+    """Attach the Morton key of the two columns range-quantized onto 16
+    bits each (``(v * 2^16) // (max+1)``; values outside ``[0, max]``
+    raise) — stateless vectorized map, zero shuffle. Follow with
+    ``ds.sort(out_col)`` (ONE range shuffle) and a partitioned write to
+    cluster storage by both dimensions at once."""
 
     def add(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch[out_col] = morton_interleave(
-            batch[col_a].to_numpy().astype(np.int64),
-            batch[col_b].to_numpy().astype(np.int64),
+            _quant16(batch[col_a].to_numpy(), max_a, col_a),
+            _quant16(batch[col_b].to_numpy(), max_b, col_b),
         )
         return batch
 
     return ds.map_batches(add, batch_format="pandas")
 
 
-def _spread16_sql(expr: str) -> str:
-    e = f"(({expr}) & 65535)"
-    for shift, mask in _MASKS:
-        e = f"((({e}) | (({e}) << {shift})) & {mask})"
-    return e
-
-
-def zorder_sql_expr(col_a: str, col_b: str) -> str:
-    """DuckDB expression computing the same Morton key as
-    :func:`morton_interleave` (int64 shift/or/mask — bit-identical)."""
-    return f"({_spread16_sql(col_a)} | ({_spread16_sql(col_b)} << 1))"
+def zorder_sql(
+    table_sql: str,
+    id_cols: list[str],
+    col_a: str,
+    col_b: str,
+    *,
+    max_a: int,
+    max_b: int,
+    out_col: str = "zkey",
+) -> str:
+    """DuckDB twin of :func:`zorder_key` as a chained CTE (one level per
+    spread step, so each intermediate evaluates ONCE instead of the 2^4
+    textual blow-up an inline expression would repeat). ``::BIGINT`` at
+    the base keeps 32-bit input columns from overflowing the shifts."""
+    ids = ", ".join(id_cols)
+    parts = [
+        f"WITH q0 AS (SELECT {ids}, "
+        f"(({col_a})::BIGINT * 65536) // {max_a + 1} AS xa, "
+        f"(({col_b})::BIGINT * 65536) // {max_b + 1} AS xb FROM {table_sql})"
+    ]
+    prev = "q0"
+    for i, (shift, mask) in enumerate(_MASKS, start=1):
+        parts.append(
+            f"q{i} AS (SELECT {ids}, "
+            f"((xa | (xa << {shift})) & {mask}) AS xa, "
+            f"((xb | (xb << {shift})) & {mask}) AS xb FROM {prev})"
+        )
+        prev = f"q{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT {ids}, (xa | (xb << 1)) AS {out_col} FROM {prev}"
+    )

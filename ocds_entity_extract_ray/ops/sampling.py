@@ -53,10 +53,16 @@ def _key_ints(keys) -> np.ndarray:
     )
 
 
-def hash_sample_mask(keys, fraction: float) -> np.ndarray:
+def hash_u32(keys) -> np.ndarray:
+    """The ONE multiplicative hash every sampling op shares (and every
+    SQL twin mirrors as ``((key % 4294967296)::UBIGINT * 2654435761) %
+    4294967296``): uint64 array of 32-bit hashes."""
     k = _key_ints(keys) % np.uint64(MOD)
-    h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)  # < 2^64, no wrap
-    return h < np.uint64(int(fraction * MOD))
+    return (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)  # < 2^64, no wrap
+
+
+def hash_sample_mask(keys, fraction: float) -> np.ndarray:
+    return hash_u32(keys) < np.uint64(int(fraction * MOD))
 
 
 def hash_sample(
@@ -193,12 +199,27 @@ def weighted_hash_sample(
     always survive) via the same multiplicative hash as ``hash_sample`` —
     the per-row threshold ``(w * 2^32) // max_weight`` is integer floor
     division, so the predicate is bit-reproducible in SQL and across any
-    partitioning. Zero shuffle."""
+    partitioning. Zero shuffle.
+
+    Contract: ``0 <= weight`` and ``0 < max_weight < 2^32`` — weights are
+    clamped to ``max_weight`` before the threshold (same kept-set as the
+    unclamped SQL twin, since any thr >= 2^32 keeps everything), and
+    negative weights raise instead of uint64-wrapping to always-keep."""
+    if not 0 < max_weight < MOD:
+        raise ValueError(
+            f"max_weight must be in (0, 2^32), got {max_weight} — the "
+            "integer threshold (w * 2^32) // max_weight must not wrap"
+        )
 
     def flt(batch: pd.DataFrame) -> pd.DataFrame:
-        k = _key_ints(batch[key_col].to_numpy()) % np.uint64(MOD)
-        h = (k * np.uint64(KNUTH_MULT)) % np.uint64(MOD)
-        w = batch[weight_col].to_numpy().astype(np.uint64)
+        h = hash_u32(batch[key_col].to_numpy())
+        w = batch[weight_col].to_numpy().astype(np.int64)
+        if (w < 0).any():
+            raise ValueError(
+                "weighted_hash_sample: negative weight — weights are keep "
+                "probabilities and must be >= 0"
+            )
+        w = np.minimum(w, max_weight).astype(np.uint64)
         thr = (w * np.uint64(MOD)) // np.uint64(max_weight)
         return batch[h < thr]
 
@@ -212,6 +233,7 @@ def cap_per_key(
     *,
     id_col: str,
     num_buckets: int = 64,
+    empty_result: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """Keep at most ``k`` rows per key, chosen DETERMINISTICALLY (by the
     multiplicative hash of ``id_col``, then ``id_col`` — i.e. a uniform
@@ -221,12 +243,25 @@ def cap_per_key(
     Two-level like latest_by_key: every batch pre-shrinks to its own k
     smallest per key BEFORE the one bucket shuffle (a domain with a
     billion pages ships k rows per block, never the domain), then the
-    bucketed pass re-selects the global k."""
+    bucketed pass re-selects the global k.
+
+    ``empty_result`` types the empty sort-range blocks the bucket shuffle
+    can emit (see bucketed_map_groups); when omitted it is derived from
+    the dataset's Arrow schema where available."""
     from .agg import bucketed_map_groups
 
+    if empty_result is None:
+        try:
+            import pyarrow as pa
+
+            base = getattr(ds.schema(), "base_schema", None)
+            if isinstance(base, pa.Schema):
+                empty_result = base.empty_table().to_pandas()
+        except Exception:
+            empty_result = None  # fall back to untyped empties
+
     def select_k(frame: pd.DataFrame) -> pd.DataFrame:
-        hk = _key_ints(frame[id_col].to_numpy()) % np.uint64(MOD)
-        h = ((hk * np.uint64(KNUTH_MULT)) % np.uint64(MOD)).astype("int64")
+        h = hash_u32(frame[id_col].to_numpy()).astype("int64")
         srt = frame.assign(_h=h).sort_values(
             [key_col, "_h", id_col], kind="mergesort"
         )
@@ -238,4 +273,6 @@ def cap_per_key(
         )
 
     pre = ds.map_batches(select_k, batch_format="pandas")
-    return bucketed_map_groups(pre, key_col, select_k, num_buckets=num_buckets)
+    return bucketed_map_groups(
+        pre, key_col, select_k, num_buckets=num_buckets, empty_result=empty_result
+    )

@@ -352,10 +352,10 @@ def unigram_surprisal(
         surp = per_tok.groupby(level=0).sum()
         return pd.DataFrame(
             {
-                "doc_id": b.loc[mask, id_col].to_numpy(),
+                id_col: b.loc[mask, id_col].to_numpy(),
                 "n_tokens": n_tok[mask].to_numpy(),
                 "surprisal": surp.reindex(b.index[mask]).to_numpy(),
             }
-        ).astype({"doc_id": "int64", "n_tokens": "int64", "surprisal": "int64"})
+        ).astype({id_col: "int64", "n_tokens": "int64", "surprisal": "int64"})
 
     return ds.map_batches(score, batch_format="pandas")

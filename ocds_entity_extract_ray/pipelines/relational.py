@@ -4772,23 +4772,34 @@ SQL_QUERIES["q_weighted_purchase_paths"] = (
 
 def q_zorder_orders(sf_dir: str) -> pd.DataFrame:
     """Z-order data clustering key (ops/layout.py): the Morton interleave
-    of (custkey, orderkey) low 16 bits per order — the key a 100 TB
-    pipeline sorts on before a partitioned write so parquet min/max stats
-    prune files for range predicates on EITHER column. Pure int64
-    shift/or/mask, so the DuckDB twin computes the identical key."""
+    of (custkey, orderkey) RANGE-QUANTIZED onto 16 bits each (declared
+    max 2^24-1 covers every sf; mod-truncation would scatter any column
+    wider than 16 bits) — the key a 100 TB pipeline sorts on before a
+    partitioned write so parquet min/max stats prune files for range
+    predicates on EITHER column. Pure int64 arithmetic, so the DuckDB
+    twin computes the identical key."""
     from ..ops.layout import zorder_key
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    out = zorder_key(orders, "o_custkey", "o_orderkey").to_pandas()
+    out = zorder_key(
+        orders, "o_custkey", "o_orderkey", max_a=(1 << 24) - 1, max_b=(1 << 24) - 1
+    ).to_pandas()
     out = out[["o_orderkey", "zkey"]].astype({"o_orderkey": "int64", "zkey": "int64"})
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
-from ..ops.layout import zorder_sql_expr as _zorder_sql_expr  # noqa: E402
+from ..ops.layout import zorder_sql as _zorder_sql  # noqa: E402
 
 Q_ZORDER_SQL = (
-    f"SELECT o_orderkey, {_zorder_sql_expr('o_custkey', 'o_orderkey')} AS zkey"
-    " FROM orders ORDER BY o_orderkey"
+    _zorder_sql(
+        "orders",
+        ["o_orderkey"],
+        "o_custkey",
+        "o_orderkey",
+        max_a=(1 << 24) - 1,
+        max_b=(1 << 24) - 1,
+    )
+    + " ORDER BY o_orderkey"
 )
 
 SQL_QUERIES["q_zorder_orders"] = (q_zorder_orders, Q_ZORDER_SQL)
@@ -4824,8 +4835,8 @@ WITH w AS (
   SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
   FROM orders)
 SELECT o_orderkey, price_cents FROM w
-WHERE ((o_orderkey % 4294967296) * 2654435761) % 4294967296
-      < (price_cents * 4294967296) // 60000000
+WHERE ((o_orderkey % 4294967296)::UBIGINT * 2654435761) % 4294967296
+      < ((price_cents * 4294967296) // 60000000)::UBIGINT
 ORDER BY o_orderkey
 """
 
@@ -4854,7 +4865,7 @@ WITH r AS (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY ((doc_id % 4294967296) * 2654435761) % 4294967296,
+           ORDER BY ((doc_id % 4294967296)::UBIGINT * 2654435761) % 4294967296,
                     doc_id) AS rn
   FROM documents)
 SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id

@@ -332,14 +332,21 @@ def test_morton_interleave_matches_bit_loop():
 
 def test_zorder_locality_beats_single_column_sort(ray_session):
     """The point of the key: files cut from a z-sorted layout have
-    bounded ranges in BOTH dimensions, a single-column sort does not."""
-    from ocds_entity_extract_ray.ops.layout import morton_interleave
+    bounded ranges in BOTH dimensions, a single-column sort does not.
+    Columns are 24-BIT on purpose — a mod-2^16 truncation (instead of
+    range quantization) scatters wide columns and made the layout ~2x
+    WORSE than a plain sort; this pins the quantized path."""
+    from ocds_entity_extract_ray.ops.layout import zorder_key
 
     rng = np.random.default_rng(5)
     df = pd.DataFrame(
-        {"a": rng.integers(0, 1 << 16, 4096), "b": rng.integers(0, 1 << 16, 4096)}
+        {"a": rng.integers(0, 1 << 24, 4096), "b": rng.integers(0, 1 << 24, 4096)}
     )
-    df["z"] = morton_interleave(df["a"].to_numpy(), df["b"].to_numpy())
+    zed = zorder_key(
+        ray.data.from_pandas(df), "a", "b",
+        max_a=(1 << 24) - 1, max_b=(1 << 24) - 1, out_col="z",
+    ).to_pandas()
+    df = zed
 
     def span_sum(frame, order):
         s = frame.sort_values(order).reset_index(drop=True)
@@ -457,3 +464,27 @@ def test_unigram_surprisal_matches_duckdb(ray_session):
         want.astype({"doc_id": "int64", "n_tokens": "int64", "surprisal": "int64"}),
     )
     assert 3 not in set(got["doc_id"])  # empty doc omitted
+
+
+def test_weighted_hash_sample_contract_guards(ray_session):
+    """Negative weights raise (uint64 wrap would keep everything) and a
+    max_weight >= 2^32 is rejected (threshold would wrap)."""
+    from ocds_entity_extract_ray.ops.sampling import weighted_hash_sample
+
+    ds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2], "w": [-5, 3]}))
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_hash_sample(ds, "id", "w", max_weight=10).to_pandas()
+    with pytest.raises(ValueError, match="max_weight"):
+        weighted_hash_sample(ds, "id", "w", max_weight=1 << 32)
+    # weights above max_weight clamp to always-keep
+    ds2 = ray.data.from_pandas(pd.DataFrame({"id": range(50), "w": [99] * 50}))
+    kept = weighted_hash_sample(ds2, "id", "w", max_weight=10).to_pandas()
+    assert len(kept) == 50
+
+
+def test_zorder_rejects_out_of_range(ray_session):
+    from ocds_entity_extract_ray.ops.layout import zorder_key
+
+    ds = ray.data.from_pandas(pd.DataFrame({"a": [70000], "b": [1]}))
+    with pytest.raises(Exception, match="outside"):
+        zorder_key(ds, "a", "b", max_a=65535, max_b=65535).to_pandas()
