@@ -488,3 +488,33 @@ def test_zorder_rejects_out_of_range(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"a": [70000], "b": [1]}))
     with pytest.raises(Exception, match="outside"):
         zorder_key(ds, "a", "b", max_a=65535, max_b=65535).to_pandas()
+
+
+def test_ingest_dedup_across_batches(ray_session, tmp_path):
+    """Batch 1 establishes state; batch 2 drops cross-batch AND
+    intra-batch duplicates (keeping the smallest doc_id); a retried
+    commit is idempotent."""
+    from ocds_entity_extract_ray.ops.ingest import ingest_dedup
+
+    state = str(tmp_path / "state")
+    b1 = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+    out1 = ingest_dedup(
+        ray.data.from_pandas(b1), state, num_buckets=4
+    ).to_pandas()
+    assert set(out1["doc_id"]) == {1, 2}
+
+    b2 = pd.DataFrame(
+        {"doc_id": [10, 11, 12, 13], "text": ["beta", "gamma", "gamma", "delta"]}
+    )
+    out2 = ingest_dedup(
+        ray.data.from_pandas(b2), state, num_buckets=4
+    ).to_pandas()
+    # beta seen in batch 1; gamma keeps smallest id only
+    assert set(out2["doc_id"]) == {11, 13}
+    assert sorted(out2.columns) == ["doc_id", "text"]
+
+    # replaying batch 2 yields nothing new (state now holds gamma/delta)
+    out3 = ingest_dedup(
+        ray.data.from_pandas(b2), state, num_buckets=4, commit=False
+    ).to_pandas()
+    assert len(out3) == 0
