@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "q_zorder_orders",
     "q_cap_docs_per_source",
     "q_unigram_surprisal",
+    # round-3 continuation 4 (graph cores / link prediction / URL laundry)
+    "q_kcore_parts",
+    "q_link_prediction_parts",
+    "q_url_domain_stats",
+    "q_cohort_retention",
+    "q_median_order_cents",
 ]
 
 

@@ -178,3 +178,14 @@ def upsert_latest(
         num_buckets=num_buckets,
         empty_result=empty_result,
     )
+
+
+def to_pandas_safe(ds: ray.data.Dataset, empty: pd.DataFrame) -> pd.DataFrame:
+    """``ds.to_pandas()`` that survives the all-empty case: a dataset whose
+    blocks were all bypassed (or that has zero blocks) concatenates to a
+    COLUMN-LESS frame, so downstream column access raises. ``empty`` is the
+    typed schema to return instead."""
+    df = ds.to_pandas()
+    if df.shape[1] == 0 and len(df) == 0:
+        return empty.copy()
+    return df

@@ -4906,3 +4906,527 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 SQL_QUERIES["q_unigram_surprisal"] = (q_unigram_surprisal, Q_SURPRISAL_SQL)
+
+
+def q_kcore_parts(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition (k=3, 4 bounded peel rounds) of the part
+    co-purchase graph (parts co-appearing in >= 2 orders): the dense-core
+    extraction step a KG uses to find tightly-connected entity
+    neighborhoods. Pair generation is the same one-bucketed-self-merge as
+    q_supplier_triangles; the peel itself is ops/graph.py:k_core — every
+    round distributed, bounded-round semantics so the unrolled-CTE twin
+    (k_core_sql) is hash-exact."""
+    from ..ops.agg import to_pandas_safe
+    from ..ops.graph import k_core
+
+    edges = _copurchase_edges(sf_dir)
+    core = k_core(edges, 3, rounds=4, num_buckets=16)
+    out = to_pandas_safe(
+        core,
+        pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+        ),
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _kcore_parts_sql() -> str:
+    from ..ops.graph import k_core_sql
+
+    edges = """SELECT u, v FROM (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) GROUP BY u, v HAVING COUNT(*) >= 2"""
+    return k_core_sql(edges, 3, rounds=4)
+
+
+SQL_QUERIES["q_kcore_parts"] = (q_kcore_parts, _kcore_parts_sql())
+
+
+def _copurchase_edges(sf_dir: str, *, min_weight: int = 2) -> ray.data.Dataset:
+    """Distinct part co-purchase edges (u < v, co-appearing in >=
+    ``min_weight`` orders) — shared by q_kcore_parts and
+    q_link_prediction_parts. One bucketed per-order self-merge (order
+    size bounds the per-group pair blowup) + one bucketed weight count;
+    the weight threshold is what keeps node degree bounded downstream
+    (the wedge stages are quadratic in degree, see
+    q_link_prediction_parts)."""
+    from ..ops.agg import bucketed_map_groups
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {"u": m["l_partkey_x"].to_numpy(), "v": m["l_partkey_y"].to_numpy()}
+        ).astype({"u": "int64", "v": "int64"})
+
+    empty_uv = pd.DataFrame(
+        {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+    )
+    pair_ds = bucketed_map_groups(
+        li, "l_orderkey", pairs, num_buckets=32, empty_result=empty_uv
+    )
+    weights = grouped_agg(
+        pair_ds,
+        ["u", "v"],
+        {"w": ("u", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "u": pd.Series(dtype="int64"),
+                "v": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+    return weights.map_batches(
+        lambda b, mw=min_weight: b[b["w"] >= mw][["u", "v"]],
+        batch_format="pandas",
+    )
+
+
+_COPURCHASE_EDGES_SQL = """SELECT u, v FROM (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+) GROUP BY u, v HAVING COUNT(*) >= 2"""
+
+
+def q_link_prediction_parts(sf_dir: str) -> pd.DataFrame:
+    """Common-neighbor link prediction over the part co-purchase graph:
+    the top 50 NON-adjacent node pairs by shared-neighbor count, scored
+    with neighborhood Jaccard cn/(deg_a + deg_b - cn) — the classic KG
+    link-prediction baseline (predict missing edges from wedge evidence).
+
+    Shape: wedge generation is one bucketed merge keyed on the wedge
+    CENTER (quadratic in center degree — bounded here by the co-purchase
+    weight threshold; a web-scale run would pre-filter hubs the same way
+    the LSH band caps do), then a bucketed (a, b) count, a distributed
+    left_anti hash join to drop existing edges, two degree hash joins,
+    and a per-block partial top-k so only k rows per block reach the
+    driver. The Jaccard double divides the SAME int64s in both engines,
+    so it compares bitwise."""
+    from ..ops.agg import bucketed_map_groups
+
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]),
+                "n": np.concatenate([b["v"].to_numpy(), b["u"].to_numpy()]),
+            }
+        ).astype({"c": "int64", "n": "int64"})
+
+    nb = edges.map_batches(both_dirs, batch_format="pandas")
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="c")
+        m = m[m["n_x"] < m["n_y"]]
+        return pd.DataFrame(
+            {"a": m["n_x"].to_numpy(), "b": m["n_y"].to_numpy()}
+        ).astype({"a": "int64", "b": "int64"})
+
+    empty_ab = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+    )
+    wedge_ds = bucketed_map_groups(
+        nb, "c", wedges, num_buckets=32, empty_result=empty_ab
+    )
+    cn = grouped_agg(
+        wedge_ds,
+        ["a", "b"],
+        {"cn": ("a", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cn": pd.Series(dtype="int64"),
+            }
+        ),
+    ).map_batches(lambda b: b[b["cn"] >= 2], batch_format="pandas")
+
+    # drop pairs that are ALREADY edges (we predict NEW links)
+    cand = hash_join(cn, edges, "left_anti", on=("a", "b"), right_on=("u", "v"))
+
+    deg = grouped_agg(
+        nb,
+        ["c"],
+        {"deg": ("c", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"c": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+        ),
+    )
+    da = hash_join(cand, deg, "inner", on=("a",), right_on=("c",)).map_batches(
+        lambda b: b.rename(columns={"deg": "deg_a"}), batch_format="pandas"
+    )
+    dab = hash_join(da, deg, "inner", on=("b",), right_on=("c",)).map_batches(
+        lambda b: b.rename(columns={"deg": "deg_b"}), batch_format="pandas"
+    )
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["cn", "a", "b"], ascending=[False, True, True])
+        return b.head(50)
+
+    parts = dab.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if parts.shape[1] == 0:
+        parts = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cn": pd.Series(dtype="int64"),
+                "deg_a": pd.Series(dtype="int64"),
+                "deg_b": pd.Series(dtype="int64"),
+            }
+        )
+    top = (
+        parts.sort_values(["cn", "a", "b"], ascending=[False, True, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    cnv = top["cn"].to_numpy().astype("int64")
+    union = (
+        top["deg_a"].to_numpy().astype("int64")
+        + top["deg_b"].to_numpy().astype("int64")
+        - cnv
+    )
+    return pd.DataFrame(
+        {
+            "a": top["a"].to_numpy().astype("int64"),
+            "b": top["b"].to_numpy().astype("int64"),
+            "cn": cnv,
+            "jaccard": cnv.astype("float64") / union.astype("float64"),
+        }
+    )
+
+
+Q_LINK_PREDICTION_SQL = f"""
+WITH e AS MATERIALIZED ({_COPURCHASE_EDGES_SQL}),
+nb AS MATERIALIZED (SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e),
+deg AS MATERIALIZED (SELECT c AS node, COUNT(*)::BIGINT AS deg FROM nb GROUP BY c),
+cn AS MATERIALIZED (
+  SELECT x.n AS a, y.n AS b, COUNT(*)::BIGINT AS cn
+  FROM nb x JOIN nb y ON x.c = y.c AND x.n < y.n
+  GROUP BY x.n, y.n HAVING COUNT(*) >= 2
+),
+cand AS (
+  SELECT a, b, cn FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
+)
+SELECT cand.a, cand.b, cand.cn,
+       cand.cn::DOUBLE / (da.deg + db.deg - cand.cn) AS jaccard
+FROM cand JOIN deg da ON da.node = cand.a JOIN deg db ON db.node = cand.b
+ORDER BY cand.cn DESC, cand.a, cand.b
+LIMIT 50
+"""
+
+SQL_QUERIES["q_link_prediction_parts"] = (q_link_prediction_parts, Q_LINK_PREDICTION_SQL)
+
+
+def q_url_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host crawl stats after URL normalization (ops/urls.py): the
+    canonicalize-before-group step every crawl pipeline runs. URLs are
+    synthesized deterministically from (doc_id, source) with adversarial
+    variation — mixed-case schemes/hosts, explicit default AND
+    non-default ports, fragments, 0-3 query params, varying path depth —
+    and the SQL twin re-derives every parsed field with
+    split_part/lower/replace, so the kernel is checked byte-for-byte.
+
+    Shape: parse is one stateless vectorized map_batches; n_urls (count
+    DISTINCT normalized url per host) is a bucketed (host, norm) distinct
+    BEFORE the per-host count (never a driver-side set); the other three
+    aggregates partial-combine map-side."""
+    from ..ops.urls import parse_urls
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def synth_and_parse(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy().astype("int64")
+        scheme = np.where(d % 2 == 0, "HTTPS://WWW.", "http://www.")
+        port = np.where(d % 6 == 0, ":443", "")
+        path = np.select(
+            [d % 3 == 0, d % 3 == 1], ["/a", "/a/b"], default="/a/b/c"
+        )
+        qs = np.select(
+            [d % 4 == 0, d % 4 == 1], ["?x=1&y=2&z=3", "?x=1"], default=""
+        )
+        frag = np.where(d % 5 == 0, "#frag", "")
+        url = (
+            scheme
+            + b["source"].str.upper().to_numpy()
+            + ".EXAMPLE.COM"
+            + port
+            + path
+            + qs
+            + frag
+        )
+        p = parse_urls(pd.Series(url))
+        return pd.DataFrame(
+            {
+                "host": p["host"].to_numpy(),
+                "norm": p["norm"].to_numpy(),
+                "path_depth": p["path_depth"].to_numpy(),
+                "n_params": p["n_params"].to_numpy(),
+            }
+        )
+
+    parsed = docs.map_batches(synth_and_parse, batch_format="pandas")
+
+    per_host = grouped_agg(
+        parsed,
+        ["host"],
+        {
+            "n_pages": ("host", "count"),
+            "sum_params": ("n_params", "sum"),
+            "max_depth": ("path_depth", "max"),
+        },
+        final="driver",
+    )
+    distinct = grouped_agg(
+        parsed,
+        ["host", "norm"],
+        {"n": ("norm", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "host": pd.Series(dtype="object"),
+                "norm": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+    n_urls = grouped_agg(
+        distinct, ["host"], {"n_urls": ("norm", "count")}, final="driver"
+    )
+    out = per_host.merge(n_urls, on="host")
+    out = out[["host", "n_pages", "n_urls", "sum_params", "max_depth"]].astype(
+        {
+            "n_pages": "int64",
+            "n_urls": "int64",
+            "sum_params": "int64",
+            "max_depth": "int64",
+        }
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+Q_URL_DOMAIN_STATS_SQL = """
+WITH urls AS MATERIALIZED (
+  SELECT
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://www.' END)
+    || upper(source) || '.EXAMPLE.COM'
+    || (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END)
+    || (CASE doc_id % 3 WHEN 0 THEN '/a' WHEN 1 THEN '/a/b' ELSE '/a/b/c' END)
+    || (CASE doc_id % 4 WHEN 0 THEN '?x=1&y=2&z=3' WHEN 1 THEN '?x=1' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), p AS MATERIALIZED (
+  SELECT
+    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+    split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM urls
+), hp AS MATERIALIZED (
+  SELECT scheme,
+    split_part(rest, '/', 1) AS hostport,
+    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM p
+), f AS MATERIALIZED (
+  SELECT scheme,
+    lower(split_part(hostport, ':', 1)) AS host,
+    CASE WHEN contains(hostport, ':')
+         THEN split_part(hostport, ':', 2)::BIGINT
+         ELSE (CASE scheme WHEN 'https' THEN 443 ELSE 80 END) END AS port,
+    split_part(pathq, '?', 1) AS path,
+    CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS query
+  FROM hp
+), n AS MATERIALIZED (
+  SELECT host,
+    (length(path) - length(replace(path, '/', '')))::BIGINT AS path_depth,
+    (CASE WHEN query = '' THEN 0
+          ELSE length(query) - length(replace(query, '&', '')) + 1 END)::BIGINT AS n_params,
+    scheme || '://' || host
+      || (CASE WHEN port = (CASE scheme WHEN 'https' THEN 443 ELSE 80 END)
+               THEN '' ELSE ':' || port END)
+      || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS norm
+  FROM f
+)
+SELECT host,
+  COUNT(*)::BIGINT AS n_pages,
+  COUNT(DISTINCT norm)::BIGINT AS n_urls,
+  SUM(n_params)::BIGINT AS sum_params,
+  MAX(path_depth)::BIGINT AS max_depth
+FROM n
+GROUP BY host
+ORDER BY host
+"""
+
+SQL_QUERIES["q_url_domain_stats"] = (q_url_domain_stats, Q_URL_DOMAIN_STATS_SQL)
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Classic cohort-retention matrix over the event stream: users
+    cohorted by their FIRST event day, activity bucketed into weeks since
+    cohort, cell = count of distinct active users. All calendar math is
+    int64 (epoch microseconds floor-divided to days/weeks), so the twin
+    is exact.
+
+    Shape: ONE bucketed shuffle keyed on user_id co-locates each user's
+    whole history, so the per-user first day (a groupby-transform min),
+    the week offsets, AND the per-cell user dedup all complete inside the
+    bucket — no join, and the DISTINCT count is just a count of the
+    deduped cells. A per-batch (user, day) pre-dedup would bound the
+    shuffle further for power users; day cardinality per user is already
+    tiny here."""
+    from ..ops.agg import bucketed_map_groups
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        # parquet timestamps arrive as datetime64[us]; normalize to ns
+        # before the int view or the day quotient is 1000x off
+        d = b["ts"].astype("datetime64[ns]").astype("int64") // (86_400 * 10**9)
+        out = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "day": d.to_numpy()}
+        ).astype({"user_id": "int64", "day": "int64"})
+        # shrink the shuffle: one row per (user, day)
+        return out.drop_duplicates()
+
+    d = ev.map_batches(days, batch_format="pandas")
+
+    def cells(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.drop_duplicates()
+        cohort = bucket.groupby("user_id", sort=False)["day"].transform("min")
+        w = (bucket["day"].to_numpy() - cohort.to_numpy()) // 7
+        cell = pd.DataFrame(
+            {
+                "cohort_day": cohort.to_numpy(),
+                "offset_week": w,
+                "user_id": bucket["user_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+        return cell.astype("int64")
+
+    per_cell = bucketed_map_groups(
+        d,
+        "user_id",
+        cells,
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "cohort_day": pd.Series(dtype="int64"),
+                "offset_week": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+    out = grouped_agg(
+        per_cell,
+        ["cohort_day", "offset_week"],
+        {"n_active": ("user_id", "count")},
+        final="driver",
+    )
+    out["n_active"] = out["n_active"].astype("int64")
+    return out.sort_values(["cohort_day", "offset_week"]).reset_index(drop=True)
+
+
+Q_COHORT_RETENTION_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS MATERIALIZED (
+  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT c.cohort_day, (d.day - c.cohort_day) // 7 AS offset_week,
+       COUNT(DISTINCT d.user_id)::BIGINT AS n_active
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+SQL_QUERIES["q_cohort_retention"] = (q_cohort_retention, Q_COHORT_RETENTION_SQL)
+
+
+def q_median_order_cents(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped median without a per-key sort of the raw rows: the
+    values are integer cents, so the group's value HISTOGRAM (one
+    bucketed (key, cents) count — cardinality bounded by distinct prices,
+    not row count) is a sufficient statistic, and the median falls out of
+    a cumulative-weight search per key. This is the exact-median scale
+    path that complements the rank-sketch in ops/quantiles (which is
+    approximate but histogram-free); MEDIAN's even-count rule (mean of
+    the two middle values, as a double) is reproduced bit-for-bit since
+    (a + b) / 2 of int64 cents is exact in ieee754."""
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": b["o_orderpriority"].to_numpy(),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    hist = grouped_agg(
+        orders.map_batches(pre, batch_format="pandas"),
+        ["k", "cents"],
+        {"n": ("cents", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "k": pd.Series(dtype="object"),
+                "cents": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+
+    from ..ops.agg import bucketed_map_groups
+
+    def med(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in bucket.groupby("k", sort=False):
+            g = g.sort_values("cents")
+            vals = g["cents"].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            n = int(cum[-1])
+            lo = vals[np.searchsorted(cum, (n + 1) // 2)]
+            hi = vals[np.searchsorted(cum, n // 2 + 1)]
+            rows.append((k, (int(lo) + int(hi)) / 2.0))
+        return pd.DataFrame(rows, columns=["k", "median_cents"]).astype(
+            {"median_cents": "float64"}
+        )
+
+    out = bucketed_map_groups(
+        hist,
+        "k",
+        med,
+        num_buckets=8,
+        empty_result=pd.DataFrame(
+            {"k": pd.Series(dtype="object"), "median_cents": pd.Series(dtype="float64")}
+        ),
+    ).to_pandas()
+    return (
+        out.rename(columns={"k": "o_orderpriority"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+Q_MEDIAN_ORDER_CENTS_SQL = """
+SELECT o_orderpriority,
+       MEDIAN(ROUND(o_totalprice * 100, 0)::BIGINT) AS median_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+SQL_QUERIES["q_median_order_cents"] = (q_median_order_cents, Q_MEDIAN_ORDER_CENTS_SQL)

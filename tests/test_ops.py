@@ -1604,3 +1604,53 @@ def test_triangles_per_node_planted_graph(ray_session):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
     # total corner credits = 3 * triangle_count (K4 has 4 triangles)
     assert sum(got.values()) == 3 * 4
+
+
+# --- URL parse/normalize kernel ------------------------------------------------
+
+
+def test_parse_urls_adversarial():
+    from ocds_entity_extract_ray.ops.urls import parse_urls
+
+    s = pd.Series(
+        [
+            "HTTPS://WWW.Example.COM:443/a/b?x=1&y=2#frag",  # default port dropped
+            "http://host.org",  # no path at all
+            "http://host.org:8080/",  # non-default port kept
+            "http://h.com:80/p?x=1",  # default http port dropped
+            "ftp://files.net:21/pub",  # unknown scheme: explicit port kept
+        ]
+    )
+    out = parse_urls(s)
+    assert list(out["norm"]) == [
+        "https://www.example.com/a/b?x=1&y=2",
+        "http://host.org",
+        "http://host.org:8080/",
+        "http://h.com/p?x=1",
+        "ftp://files.net:21/pub",
+    ]
+    assert list(out["host"]) == [
+        "www.example.com", "host.org", "host.org", "h.com", "files.net",
+    ]
+    assert list(out["path_depth"]) == [2, 0, 1, 1, 1]
+    assert list(out["n_params"]) == [2, 0, 0, 1, 0]
+    assert list(out["port"]) == [443, 80, 8080, 80, 21]
+
+
+def test_parse_urls_rejects_relative():
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.urls import parse_urls
+
+    with _pytest.raises(ValueError, match="absolute"):
+        parse_urls(pd.Series(["http://ok.com/x", "not-a-url"]))
+
+
+def test_parse_urls_no_separator_anywhere():
+    """A batch where NO row contains '#', ':', '?' — the expand=True
+    single-column trap the _split2 reindex guards against."""
+    from ocds_entity_extract_ray.ops.urls import parse_urls
+
+    out = parse_urls(pd.Series(["https://a.com/x/y", "https://b.com"]))
+    assert list(out["norm"]) == ["https://a.com/x/y", "https://b.com"]
+    assert list(out["n_params"]) == [0, 0]

@@ -518,3 +518,107 @@ def test_ingest_dedup_across_batches(ray_session, tmp_path):
         ray.data.from_pandas(b2), state, num_buckets=4, commit=False
     ).to_pandas()
     assert len(out3) == 0
+
+
+def test_k_core_planted_graph(ray_session):
+    """K4-clique (1..4) + chain 4-5-6 + pendant 7-1, k=2.
+
+    Peeling needs TWO rounds to strip the chain (6 and 7 first, then the
+    newly-exposed 5), so rounds=3 exercises real iteration and the
+    early-stop: the 2-core is exactly the clique with within-core deg 3.
+    rounds=1 shows the documented BOUNDED semantics — 5 is already gone
+    (deg 1 after round one) but 4's degree still counts the removed
+    chain edge."""
+    from ocds_entity_extract_ray.ops.graph import k_core
+
+    e = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3, 4, 5, 7],
+            "v": [2, 3, 4, 3, 4, 4, 5, 6, 1],
+        }
+    )
+    full = k_core(ray.data.from_pandas(e), 2, rounds=3, num_buckets=4).to_pandas()
+    full = full.sort_values("node").reset_index(drop=True)
+    assert list(full["node"]) == [1, 2, 3, 4]
+    assert list(full["deg"]) == [3, 3, 3, 3]
+
+    one = k_core(ray.data.from_pandas(e), 2, rounds=1, num_buckets=4).to_pandas()
+    one = one.sort_values("node").reset_index(drop=True)
+    assert list(one["node"]) == [1, 2, 3, 4]
+    assert list(one["deg"]) == [3, 3, 3, 4]
+
+
+def test_k_core_sql_matches_op(ray_session):
+    """Random sparse graph: unrolled-CTE twin and the distributed peel
+    agree exactly at every round count (incl. 0 rounds = plain degree
+    filter)."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.graph import k_core, k_core_sql
+
+    rng = np.random.default_rng(11)
+    raw = pd.DataFrame(
+        {"u": rng.integers(0, 50, 140), "v": rng.integers(0, 50, 140)}
+    )
+    raw = raw[raw["u"] < raw["v"]].drop_duplicates().reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("edges", raw)
+    from ocds_entity_extract_ray.ops.agg import to_pandas_safe
+
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+    )
+    # bme=0 forces the distributed peel on the same inputs, so BOTH the
+    # driver fast path and the bucketed loop are held to the SQL twin
+    for (k, rounds), bme in [
+        ((2, 0), 10**6),
+        ((3, 2), 10**6),
+        ((3, 6), 0),
+        ((4, 4), 10**6),
+        ((3, 2), 0),
+    ]:
+        got = (
+            to_pandas_safe(
+                k_core(
+                    ray.data.from_pandas(raw), k, rounds=rounds,
+                    num_buckets=4, broadcast_max_edges=bme,
+                ),
+                empty,
+            )
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = con.execute(
+            k_core_sql("SELECT u, v FROM edges", k, rounds=rounds)
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.astype({"node": "int64", "deg": "int64"}), want
+        )
+
+
+def test_k_core_empty_edges(ray_session):
+    from ocds_entity_extract_ray.ops.graph import k_core
+
+    e = pd.DataFrame({"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+    out = k_core(ray.data.from_pandas(e), 2, rounds=2, num_buckets=2)
+    assert out.count() == 0
+
+
+def test_link_prediction_pairs_are_nonadjacent(ray_session):
+    """Every predicted pair must NOT be an existing co-purchase edge, and
+    Jaccard must be in (0, 1] with cn <= min(deg) (set algebra sanity
+    the SQL twin can't state)."""
+    from ocds_entity_extract_ray.pipelines.relational import (
+        _copurchase_edges,
+        q_link_prediction_parts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_link_prediction_parts(sf)
+    assert len(out) > 0
+    e = _copurchase_edges(sf).to_pandas()
+    eset = set(zip(e["u"], e["v"]))
+    for a, b, cn, j in zip(out["a"], out["b"], out["cn"], out["jaccard"]):
+        assert (a, b) not in eset
+        assert 0 < j <= 1.0
+        assert cn >= 2
