@@ -285,6 +285,145 @@ def _kg_two_hop(sf_dir: str):
     return out.sort_values("parent").reset_index(drop=True)
 
 
+def _kg_membership_edges(sf_dir: str):
+    """Shared by the KG graph-analytics queries: the undirected distinct
+    entity graph (u < v, int64 blake2b ids) from the membership-edge
+    triples (E1-E6 predicates), plus the node->entity name mapping."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocds_entity_extract_ray.extraction.triples import ROLE_PREDICATES
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    clist, pidx = _kg_inputs()
+    entities = build_entities(
+        read_pages(pages_dir, columns=["url", "html"]), clist, pidx, num_buckets=64
+    )
+    triples = materialize_triples(entities)
+    preds = sorted(set(ROLE_PREDICATES.values()))
+
+    def _h(s: str) -> int:
+        return (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            >> 1
+        )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["pred"].isin(preds)]
+        hs = [_h(x) for x in m["subj"]]
+        ho = [_h(x) for x in m["obj"]]
+        u = [min(a, c) for a, c in zip(hs, ho)]
+        v = [max(a, c) for a, c in zip(hs, ho)]
+        out = pd.DataFrame({"u": u, "v": v}).astype({"u": "int64", "v": "int64"})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    def to_names(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["pred"].isin(preds)]
+        ids = pd.concat([m["subj"], m["obj"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame(
+            {"node": [_h(x) for x in ids], "entity": ids.to_numpy()}
+        ).astype({"node": "int64"})
+
+    from ocds_entity_extract_ray.ops.agg import bucketed_map_groups
+
+    # distinct across blocks: per-batch dedup above only bounds each block
+    edges = bucketed_map_groups(
+        triples.map_batches(to_edges, batch_format="pandas"),
+        "u",
+        lambda b: b.drop_duplicates(["u", "v"]),
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+        ),
+    )
+    names = triples.map_batches(to_names, batch_format="pandas")
+    return edges, names
+
+
+def _kg_entity_cores(sf_dir: str):
+    """Rows-only: dense-core extraction over the produced KG — the 2-core
+    (4 bounded peel rounds, ops/graph.py:k_core) of the undirected entity
+    membership graph, names joined back. Finds the tightly-connected
+    entity neighborhoods (orgs whose people/suppliers interlock) and
+    prunes the tree-like fringe a web-scale KG is mostly made of."""
+    import pandas as pd
+
+    from ocds_entity_extract_ray.ops.agg import to_pandas_safe
+    from ocds_entity_extract_ray.ops.graph import k_core
+
+    edges, names = _kg_membership_edges(sf_dir)
+    core = to_pandas_safe(
+        k_core(edges, 2, rounds=4, num_buckets=16),
+        pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+        ),
+    )
+    nm = names.to_pandas().drop_duplicates("node")
+    out = core.merge(nm, on="node")[["entity", "deg"]]
+    return out.sort_values(["deg", "entity"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def _kg_link_prediction(sf_dir: str):
+    """Rows-only: common-neighbor link prediction over the KG entity
+    graph (ops/graph.py:common_neighbor_scores) — the top 100
+    non-adjacent entity pairs by shared-neighbor count with the exact
+    Jaccard score; the missing-edge hypotheses an entity-resolution pass
+    would review."""
+    import pandas as pd
+
+    from ocds_entity_extract_ray.ops.graph import common_neighbor_scores
+
+    edges, names = _kg_membership_edges(sf_dir)
+    scored = common_neighbor_scores(edges, min_cn=2, num_buckets=16)
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cn", "a", "b"], ascending=[False, True, True]).head(100)
+
+    parts = scored.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if parts.shape[1] == 0:
+        parts = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cn": pd.Series(dtype="int64"),
+                "deg_a": pd.Series(dtype="int64"),
+                "deg_b": pd.Series(dtype="int64"),
+            }
+        )
+    top = (
+        parts.sort_values(["cn", "a", "b"], ascending=[False, True, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    nm = names.to_pandas().drop_duplicates("node")
+    top = top.merge(nm.rename(columns={"node": "a", "entity": "entity_a"}), on="a")
+    top = top.merge(nm.rename(columns={"node": "b", "entity": "entity_b"}), on="b")
+    cn = top["cn"].to_numpy().astype("int64")
+    union = (
+        top["deg_a"].to_numpy().astype("int64")
+        + top["deg_b"].to_numpy().astype("int64")
+        - cn
+    )
+    out = pd.DataFrame(
+        {
+            "entity_a": top["entity_a"].to_numpy(),
+            "entity_b": top["entity_b"].to_numpy(),
+            "cn": cn,
+            "jaccard": cn.astype("float64") / union.astype("float64"),
+        }
+    )
+    return out.sort_values(
+        ["cn", "entity_a", "entity_b"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocds_entity_extract_ray.pipelines.relational import (
         ROWS_ONLY_QUERIES,
@@ -302,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_entity_pagerank"] = _kg_entity_pagerank
     out["kg_incremental_triples"] = _kg_incremental_triples
     out["kg_two_hop"] = _kg_two_hop
+    out["kg_entity_cores"] = _kg_entity_cores
+    out["kg_link_prediction"] = _kg_link_prediction
     return out
 
 

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "q_url_domain_stats",
     "q_cohort_retention",
     "q_median_order_cents",
+    "q_event_transitions",
+    "q_scd2_user_value",
 ]
 
 

@@ -1079,3 +1079,115 @@ def k_core_sql(edges_sql: str, k: int, *, rounds: int) -> str:
         f"SELECT node, deg FROM d{rounds} WHERE deg >= {k} ORDER BY node"
     )
     return "\n".join(parts)
+
+
+def common_neighbor_scores(
+    edges: ray.data.Dataset,
+    *,
+    min_cn: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Link-prediction evidence over an undirected distinct edge set
+    (u < v): for every NON-adjacent node pair sharing >= ``min_cn``
+    neighbors, emit (a, b, cn, deg_a, deg_b).
+
+    Shape: wedge generation is one bucketed merge keyed on the wedge
+    CENTER (quadratic in center degree — callers bound it by
+    thresholding the graph first), a bucketed (a, b) count, a
+    distributed left_anti hash join against the edges, then two degree
+    hash joins. Nothing node- or pair-sized lands on the driver."""
+    from .joins import hash_join
+
+    edges = edges.map_batches(
+        lambda b: b[["u", "v"]].astype({"u": "int64", "v": "int64"}),
+        batch_format="pandas",
+    ).materialize()
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]),
+                "n": np.concatenate([b["v"].to_numpy(), b["u"].to_numpy()]),
+            }
+        ).astype({"c": "int64", "n": "int64"})
+
+    nb = edges.map_batches(both_dirs, batch_format="pandas")
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on="c")
+        m = m[m["n_x"] < m["n_y"]]
+        return pd.DataFrame(
+            {"a": m["n_x"].to_numpy(), "b": m["n_y"].to_numpy()}
+        ).astype({"a": "int64", "b": "int64"})
+
+    empty_ab = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+    )
+    wedge_ds = bucketed_map_groups(
+        nb, "c", wedges, num_buckets=num_buckets, empty_result=empty_ab
+    )
+    cn = grouped_agg(
+        wedge_ds,
+        ["a", "b"],
+        {"cn": ("a", "count")},
+        final="bucketed",
+        num_buckets=max(8, num_buckets // 2),
+        empty_result=pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cn": pd.Series(dtype="int64"),
+            }
+        ),
+    ).map_batches(lambda b, mc=min_cn: b[b["cn"] >= mc], batch_format="pandas")
+
+    # materialize+count guards: an ALL-empty side reaches Arrow's hash
+    # join as schema-less blocks and acero raises ("No match for key
+    # field") — sparse graphs legitimately produce zero cn>=min_cn pairs
+    empty_out = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "cn": pd.Series(dtype="int64"),
+            "deg_a": pd.Series(dtype="int64"),
+            "deg_b": pd.Series(dtype="int64"),
+        }
+    )
+    cn = cn.materialize()
+    if cn.count() == 0:
+        return ray.data.from_pandas(empty_out)
+
+    # coalesce blocks before every hash join: sparse bucketed stages emit
+    # schema-less EMPTY blocks that Arrow's acero join rejects;
+    # repartition merges them into typed blocks (candidate-sized, cheap —
+    # the dedup/similarity verify tails use the same guard)
+    coalesce = max(2, num_buckets // 4)
+    cn = cn.repartition(coalesce)
+    edges = edges.repartition(coalesce)
+
+    cand = hash_join(
+        cn, edges, "left_anti", on=("a", "b"), right_on=("u", "v")
+    ).materialize()
+    if cand.count() == 0:
+        return ray.data.from_pandas(empty_out)
+    cand = cand.repartition(coalesce)
+
+    deg = grouped_agg(
+        nb,
+        ["c"],
+        {"deg": ("c", "count")},
+        final="bucketed",
+        num_buckets=max(8, num_buckets // 2),
+        empty_result=pd.DataFrame(
+            {"c": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+        ),
+    )
+    deg = deg.repartition(coalesce)
+    da = hash_join(cand, deg, "inner", on=("a",), right_on=("c",)).map_batches(
+        lambda b: b.rename(columns={"deg": "deg_a"}), batch_format="pandas"
+    )
+    return hash_join(
+        da.repartition(coalesce), deg, "inner", on=("b",), right_on=("c",)
+    ).map_batches(
+        lambda b: b.rename(columns={"deg": "deg_b"}), batch_format="pandas"
+    )

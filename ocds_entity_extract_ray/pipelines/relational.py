@@ -5010,66 +5010,10 @@ def q_link_prediction_parts(sf_dir: str) -> pd.DataFrame:
     and a per-block partial top-k so only k rows per block reach the
     driver. The Jaccard double divides the SAME int64s in both engines,
     so it compares bitwise."""
-    from ..ops.agg import bucketed_map_groups
+    from ..ops.graph import common_neighbor_scores
 
-    edges = _copurchase_edges(sf_dir).materialize()
-
-    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "c": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]),
-                "n": np.concatenate([b["v"].to_numpy(), b["u"].to_numpy()]),
-            }
-        ).astype({"c": "int64", "n": "int64"})
-
-    nb = edges.map_batches(both_dirs, batch_format="pandas")
-
-    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
-        m = bucket.merge(bucket, on="c")
-        m = m[m["n_x"] < m["n_y"]]
-        return pd.DataFrame(
-            {"a": m["n_x"].to_numpy(), "b": m["n_y"].to_numpy()}
-        ).astype({"a": "int64", "b": "int64"})
-
-    empty_ab = pd.DataFrame(
-        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
-    )
-    wedge_ds = bucketed_map_groups(
-        nb, "c", wedges, num_buckets=32, empty_result=empty_ab
-    )
-    cn = grouped_agg(
-        wedge_ds,
-        ["a", "b"],
-        {"cn": ("a", "count")},
-        final="bucketed",
-        num_buckets=16,
-        empty_result=pd.DataFrame(
-            {
-                "a": pd.Series(dtype="int64"),
-                "b": pd.Series(dtype="int64"),
-                "cn": pd.Series(dtype="int64"),
-            }
-        ),
-    ).map_batches(lambda b: b[b["cn"] >= 2], batch_format="pandas")
-
-    # drop pairs that are ALREADY edges (we predict NEW links)
-    cand = hash_join(cn, edges, "left_anti", on=("a", "b"), right_on=("u", "v"))
-
-    deg = grouped_agg(
-        nb,
-        ["c"],
-        {"deg": ("c", "count")},
-        final="bucketed",
-        num_buckets=16,
-        empty_result=pd.DataFrame(
-            {"c": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
-        ),
-    )
-    da = hash_join(cand, deg, "inner", on=("a",), right_on=("c",)).map_batches(
-        lambda b: b.rename(columns={"deg": "deg_a"}), batch_format="pandas"
-    )
-    dab = hash_join(da, deg, "inner", on=("b",), right_on=("c",)).map_batches(
-        lambda b: b.rename(columns={"deg": "deg_b"}), batch_format="pandas"
+    dab = common_neighbor_scores(
+        _copurchase_edges(sf_dir), min_cn=2, num_buckets=32
     )
 
     def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
@@ -5430,3 +5374,130 @@ ORDER BY o_orderpriority
 """
 
 SQL_QUERIES["q_median_order_cents"] = (q_median_order_cents, Q_MEDIAN_ORDER_CENTS_SQL)
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Behavior-graph edge extraction (sequence mining): per-user event
+    bigrams — each consecutive (event, NEXT event) pair under the
+    deterministic (ts, event_id) ordering — counted into a transition
+    matrix. This is LEAD() re-expressed as the one-shuffle window engine
+    (ops/windows.py:window_over): shift(-1) inside the user's bucket, so
+    a user's whole sequence stays co-located and no self-join happens."""
+    from ..ops.windows import window_over
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        nxt = g["event_type"].shift(-1)
+        keep = nxt.notna()
+        return pd.DataFrame(
+            {
+                "from_type": b.loc[keep, "event_type"].to_numpy(),
+                "to_type": nxt[keep].to_numpy(),
+            }
+        )
+
+    pairs = window_over(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        assign=assign,
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "from_type": pd.Series(dtype="object"),
+                "to_type": pd.Series(dtype="object"),
+            }
+        ),
+    )
+    out = grouped_agg(
+        pairs,
+        ["from_type", "to_type"],
+        {"n": ("from_type", "count")},
+        final="driver",
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*)::BIGINT AS n
+FROM s
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+SQL_QUERIES["q_event_transitions"] = (q_event_transitions, Q_EVENT_TRANSITIONS_SQL)
+
+
+def q_scd2_user_value(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction from a
+    change stream: each user's purchase events become validity intervals
+    [valid_from, valid_to) via LEAD(ts) under the same deterministic
+    ordering — the standard CDC-log -> dimension-table transform. Open
+    (last) intervals are dropped so the result is NULL-free for the hash
+    compare; timestamps are compared as exact epoch microseconds."""
+    from ..ops.windows import window_over
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        b = b.assign(_ts_us=ts_us)
+        nxt = b.groupby("user_id", sort=False)["_ts_us"].shift(-1)
+        keep = nxt.notna()
+        cents = _cents(b.loc[keep, "value"])
+        return pd.DataFrame(
+            {
+                "user_id": b.loc[keep, "user_id"].to_numpy(),
+                "value_cents": cents,
+                "valid_from_us": b.loc[keep, "_ts_us"].to_numpy(),
+                "valid_to_us": nxt[keep].to_numpy().astype("int64"),
+            }
+        ).astype({"user_id": "int64"})
+
+    out = window_over(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        assign=assign,
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "value_cents": pd.Series(dtype="int64"),
+                "valid_from_us": pd.Series(dtype="int64"),
+                "valid_to_us": pd.Series(dtype="int64"),
+            }
+        ),
+    ).to_pandas()
+    return out.sort_values(
+        ["user_id", "valid_from_us", "valid_to_us"]
+    ).reset_index(drop=True)
+
+
+Q_SCD2_USER_VALUE_SQL = """
+WITH s AS (
+  SELECT user_id,
+         ROUND(value * 100, 0)::BIGINT AS value_cents,
+         epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS valid_to_us
+  FROM events
+)
+SELECT user_id, value_cents, valid_from_us, valid_to_us::BIGINT AS valid_to_us
+FROM s
+WHERE valid_to_us IS NOT NULL
+ORDER BY user_id, valid_from_us, valid_to_us
+"""
+
+SQL_QUERIES["q_scd2_user_value"] = (q_scd2_user_value, Q_SCD2_USER_VALUE_SQL)
