@@ -345,6 +345,19 @@ def _kg_membership_edges(sf_dir: str):
     return edges, names
 
 
+def _names_frame(names) -> "Any":
+    """names Dataset -> deduped pandas (node, entity), surviving the
+    all-empty case (zero role triples -> column-less to_pandas)."""
+    import pandas as pd
+
+    from ocds_entity_extract_ray.ops.agg import to_pandas_safe
+
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "entity": pd.Series(dtype="object")}
+    )
+    return to_pandas_safe(names, empty).drop_duplicates("node")
+
+
 def _kg_entity_cores(sf_dir: str):
     """Rows-only: dense-core extraction over the produced KG — the 2-core
     (4 bounded peel rounds, ops/graph.py:k_core) of the undirected entity
@@ -363,7 +376,7 @@ def _kg_entity_cores(sf_dir: str):
             {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
         ),
     )
-    nm = names.to_pandas().drop_duplicates("node")
+    nm = _names_frame(names)
     out = core.merge(nm, on="node")[["entity", "deg"]]
     return out.sort_values(["deg", "entity"], ascending=[False, True]).reset_index(
         drop=True
@@ -376,49 +389,24 @@ def _kg_link_prediction(sf_dir: str):
     non-adjacent entity pairs by shared-neighbor count with the exact
     Jaccard score; the missing-edge hypotheses an entity-resolution pass
     would review."""
-    import pandas as pd
-
-    from ocds_entity_extract_ray.ops.graph import common_neighbor_scores
+    from ocds_entity_extract_ray.ops.graph import (
+        common_neighbor_scores,
+        top_jaccard_pairs,
+    )
 
     edges, names = _kg_membership_edges(sf_dir)
-    scored = common_neighbor_scores(edges, min_cn=2, num_buckets=16)
-
-    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(["cn", "a", "b"], ascending=[False, True, True]).head(100)
-
-    parts = scored.map_batches(partial_topk, batch_format="pandas").to_pandas()
-    if parts.shape[1] == 0:
-        parts = pd.DataFrame(
-            {
-                "a": pd.Series(dtype="int64"),
-                "b": pd.Series(dtype="int64"),
-                "cn": pd.Series(dtype="int64"),
-                "deg_a": pd.Series(dtype="int64"),
-                "deg_b": pd.Series(dtype="int64"),
-            }
-        )
-    top = (
-        parts.sort_values(["cn", "a", "b"], ascending=[False, True, True])
-        .head(100)
-        .reset_index(drop=True)
+    # max_center_degree: the membership graph is NOT weight-thresholded
+    # like the co-purchase one, and a hub entity's wedge count is
+    # quadratic in its degree — skip hubs, loudly (approximate by
+    # declaration, exactly like the LSH band caps)
+    scored = common_neighbor_scores(
+        edges, min_cn=2, num_buckets=16, max_center_degree=64
     )
-    nm = names.to_pandas().drop_duplicates("node")
+    top = top_jaccard_pairs(scored, 100)
+    nm = _names_frame(names)
     top = top.merge(nm.rename(columns={"node": "a", "entity": "entity_a"}), on="a")
     top = top.merge(nm.rename(columns={"node": "b", "entity": "entity_b"}), on="b")
-    cn = top["cn"].to_numpy().astype("int64")
-    union = (
-        top["deg_a"].to_numpy().astype("int64")
-        + top["deg_b"].to_numpy().astype("int64")
-        - cn
-    )
-    out = pd.DataFrame(
-        {
-            "entity_a": top["entity_a"].to_numpy(),
-            "entity_b": top["entity_b"].to_numpy(),
-            "cn": cn,
-            "jaccard": cn.astype("float64") / union.astype("float64"),
-        }
-    )
+    out = top[["entity_a", "entity_b", "cn", "jaccard"]]
     return out.sort_values(
         ["cn", "entity_a", "entity_b"], ascending=[False, True, True]
     ).reset_index(drop=True)

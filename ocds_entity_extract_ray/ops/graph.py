@@ -1086,17 +1086,26 @@ def common_neighbor_scores(
     *,
     min_cn: int = 2,
     num_buckets: int = 32,
+    max_center_degree: int | None = None,
 ) -> ray.data.Dataset:
     """Link-prediction evidence over an undirected distinct edge set
     (u < v): for every NON-adjacent node pair sharing >= ``min_cn``
     neighbors, emit (a, b, cn, deg_a, deg_b).
 
     Shape: wedge generation is one bucketed merge keyed on the wedge
-    CENTER (quadratic in center degree — callers bound it by
-    thresholding the graph first), a bucketed (a, b) count, a
-    distributed left_anti hash join against the edges, then two degree
-    hash joins. Nothing node- or pair-sized lands on the driver."""
+    CENTER (quadratic in center degree — callers either bound it by
+    thresholding the graph first, like the co-purchase weight filter, or
+    pass ``max_center_degree`` to SKIP hub centers with a loud log, the
+    same defense the LSH band caps use; skipping a hub loses only the
+    evidence routed THROUGH it, approximate by declaration), a bucketed
+    (a, b) count, a distributed left_anti hash join against the edges,
+    then two degree hash joins. Nothing node- or pair-sized lands on the
+    driver."""
+    import logging
+
     from .joins import hash_join
+
+    log = logging.getLogger(__name__)
 
     edges = edges.map_batches(
         lambda b: b[["u", "v"]].astype({"u": "int64", "v": "int64"}),
@@ -1114,6 +1123,17 @@ def common_neighbor_scores(
     nb = edges.map_batches(both_dirs, batch_format="pandas")
 
     def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        if max_center_degree is not None:
+            sizes = bucket.groupby("c", sort=False)["n"].transform("size")
+            hubs = sizes > max_center_degree
+            if bool(hubs.any()):
+                log.warning(
+                    "common_neighbor_scores: skipping %d hub centers with "
+                    "degree > %d (quadratic wedge guard)",
+                    bucket.loc[hubs, "c"].nunique(),
+                    max_center_degree,
+                )
+                bucket = bucket[~hubs]
         m = bucket.merge(bucket, on="c")
         m = m[m["n_x"] < m["n_y"]]
         return pd.DataFrame(
@@ -1190,4 +1210,44 @@ def common_neighbor_scores(
         da.repartition(coalesce), deg, "inner", on=("b",), right_on=("c",)
     ).map_batches(
         lambda b: b.rename(columns={"deg": "deg_b"}), batch_format="pandas"
+    )
+
+
+def top_jaccard_pairs(scored: ray.data.Dataset, k: int) -> pd.DataFrame:
+    """Driver-side top-k of :func:`common_neighbor_scores` output by
+    (cn DESC, a, b) — a total order, since (a, b) is unique — with the
+    exact-ratio Jaccard cn / (deg_a + deg_b - cn) attached. Per-block
+    partial top-k first, so only k rows per block reach the driver."""
+    from .agg import to_pandas_safe
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cn", "a", "b"], ascending=[False, True, True]).head(k)
+
+    empty = pd.DataFrame(
+        {
+            c: pd.Series(dtype="int64")
+            for c in ("a", "b", "cn", "deg_a", "deg_b")
+        }
+    )
+    parts = to_pandas_safe(
+        scored.map_batches(partial_topk, batch_format="pandas"), empty
+    )
+    top = (
+        parts.sort_values(["cn", "a", "b"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cn = top["cn"].to_numpy().astype("int64")
+    union = (
+        top["deg_a"].to_numpy().astype("int64")
+        + top["deg_b"].to_numpy().astype("int64")
+        - cn
+    )
+    return pd.DataFrame(
+        {
+            "a": top["a"].to_numpy().astype("int64"),
+            "b": top["b"].to_numpy().astype("int64"),
+            "cn": cn,
+            "jaccard": cn.astype("float64") / union.astype("float64"),
+        }
     )

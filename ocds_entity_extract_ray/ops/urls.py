@@ -55,9 +55,13 @@ def parse_urls(s: pd.Series) -> pd.DataFrame:
         raise ValueError(f"parse_urls: not an absolute URL: {bad!r}")
     scheme = scheme_raw.str.lower()
 
-    hostport, path_rest = _split2(rest, "/")
-    pathq = np.where(path_rest.isna(), "", "/" + path_rest.fillna(""))
-    pathq = pd.Series(pathq, index=s.index)
+    # the authority ends at the first '/' OR '?' (fragment is already
+    # stripped): 'http://h.com?x=1' is a legal absolute URL with a query
+    # and no path, and splitting on '/' alone would swallow the query
+    # into the host
+    ext = rest.str.extract(r"^([^/?]*)(.*)$", expand=True)
+    hostport = ext[0]
+    pathq = ext[1].fillna("")
 
     host_raw, port_raw = _split2(hostport, ":")
     host = host_raw.str.lower()

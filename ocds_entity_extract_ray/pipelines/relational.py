@@ -4930,15 +4930,17 @@ def q_kcore_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+_COPURCHASE_EDGES_SQL = """SELECT u, v FROM (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+) GROUP BY u, v HAVING COUNT(*) >= 2"""
+
+
 def _kcore_parts_sql() -> str:
     from ..ops.graph import k_core_sql
 
-    edges = """SELECT u, v FROM (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ) GROUP BY u, v HAVING COUNT(*) >= 2"""
-    return k_core_sql(edges, 3, rounds=4)
+    return k_core_sql(_COPURCHASE_EDGES_SQL, 3, rounds=4)
 
 
 SQL_QUERIES["q_kcore_parts"] = (q_kcore_parts, _kcore_parts_sql())
@@ -4989,13 +4991,6 @@ def _copurchase_edges(sf_dir: str, *, min_weight: int = 2) -> ray.data.Dataset:
     )
 
 
-_COPURCHASE_EDGES_SQL = """SELECT u, v FROM (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-) GROUP BY u, v HAVING COUNT(*) >= 2"""
-
-
 def q_link_prediction_parts(sf_dir: str) -> pd.DataFrame:
     """Common-neighbor link prediction over the part co-purchase graph:
     the top 50 NON-adjacent node pairs by shared-neighbor count, scored
@@ -5010,46 +5005,12 @@ def q_link_prediction_parts(sf_dir: str) -> pd.DataFrame:
     and a per-block partial top-k so only k rows per block reach the
     driver. The Jaccard double divides the SAME int64s in both engines,
     so it compares bitwise."""
-    from ..ops.graph import common_neighbor_scores
+    from ..ops.graph import common_neighbor_scores, top_jaccard_pairs
 
-    dab = common_neighbor_scores(
+    scored = common_neighbor_scores(
         _copurchase_edges(sf_dir), min_cn=2, num_buckets=32
     )
-
-    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(["cn", "a", "b"], ascending=[False, True, True])
-        return b.head(50)
-
-    parts = dab.map_batches(partial_topk, batch_format="pandas").to_pandas()
-    if parts.shape[1] == 0:
-        parts = pd.DataFrame(
-            {
-                "a": pd.Series(dtype="int64"),
-                "b": pd.Series(dtype="int64"),
-                "cn": pd.Series(dtype="int64"),
-                "deg_a": pd.Series(dtype="int64"),
-                "deg_b": pd.Series(dtype="int64"),
-            }
-        )
-    top = (
-        parts.sort_values(["cn", "a", "b"], ascending=[False, True, True])
-        .head(50)
-        .reset_index(drop=True)
-    )
-    cnv = top["cn"].to_numpy().astype("int64")
-    union = (
-        top["deg_a"].to_numpy().astype("int64")
-        + top["deg_b"].to_numpy().astype("int64")
-        - cnv
-    )
-    return pd.DataFrame(
-        {
-            "a": top["a"].to_numpy().astype("int64"),
-            "b": top["b"].to_numpy().astype("int64"),
-            "cn": cnv,
-            "jaccard": cnv.astype("float64") / union.astype("float64"),
-        }
-    )
+    return top_jaccard_pairs(scored, 50)
 
 
 Q_LINK_PREDICTION_SQL = f"""
@@ -5122,7 +5083,9 @@ def q_url_domain_stats(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parsed = docs.map_batches(synth_and_parse, batch_format="pandas")
+    # consumed by TWO aggregates below — materialize or the read+parse
+    # lineage executes twice
+    parsed = docs.map_batches(synth_and_parse, batch_format="pandas").materialize()
 
     per_host = grouped_agg(
         parsed,

@@ -1654,3 +1654,20 @@ def test_parse_urls_no_separator_anywhere():
     out = parse_urls(pd.Series(["https://a.com/x/y", "https://b.com"]))
     assert list(out["norm"]) == ["https://a.com/x/y", "https://b.com"]
     assert list(out["n_params"]) == [0, 0]
+
+
+def test_parse_urls_query_without_path():
+    """'http://h.com?x=1' is absolute with a query and NO path — the
+    authority must end at '?', not be swallowed into the host (and an
+    explicit port before '?' must still parse as an int)."""
+    from ocds_entity_extract_ray.ops.urls import parse_urls
+
+    out = parse_urls(pd.Series(["http://h.com?x=1&y=2", "http://h.com:8080?x=1"]))
+    assert list(out["host"]) == ["h.com", "h.com"]
+    assert list(out["port"]) == [80, 8080]
+    assert list(out["path"]) == ["", ""]
+    assert list(out["n_params"]) == [2, 1]
+    assert list(out["norm"]) == [
+        "http://h.com?x=1&y=2",
+        "http://h.com:8080?x=1",
+    ]

@@ -622,3 +622,36 @@ def test_link_prediction_pairs_are_nonadjacent(ray_session):
         assert (a, b) not in eset
         assert 0 < j <= 1.0
         assert cn >= 2
+
+
+def test_common_neighbor_scores_hub_cap(ray_session):
+    """A star center with degree > max_center_degree is skipped (its
+    quadratic wedge fan is the guard's whole point); evidence routed
+    through low-degree centers survives."""
+    from ocds_entity_extract_ray.ops.graph import (
+        common_neighbor_scores,
+        top_jaccard_pairs,
+    )
+
+    hub = 100
+    spokes = list(range(10))
+    e = pd.DataFrame(
+        {"u": [min(hub, s) for s in spokes] + [1, 2],
+         "v": [max(hub, s) for s in spokes] + [3, 3]}
+    )
+    capped = common_neighbor_scores(
+        ray.data.from_pandas(e), min_cn=1, num_buckets=4, max_center_degree=5
+    )
+    got = top_jaccard_pairs(capped, 100)
+    # the hub (deg 10 > 5) contributes no wedges; only center 3 (deg 2)
+    # survives, with the single pair (1, 2)
+    assert list(zip(got["a"], got["b"])) == [(1, 2)]
+
+    uncapped = common_neighbor_scores(
+        ray.data.from_pandas(e), min_cn=1, num_buckets=4
+    )
+    full = top_jaccard_pairs(uncapped, 1000)
+    # 45 spoke pairs through the hub, minus (1,3) and (2,3) which are
+    # actual edges; (3,100) is adjacent too, and (1,2) merges with its
+    # hub wedge rather than adding a row
+    assert len(full) == 43
