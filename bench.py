@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_median_order_cents",
     "q_event_transitions",
     "q_scd2_user_value",
+    "q_personalized_pagerank",
 ]
 
 

@@ -189,9 +189,18 @@ def pagerank(
     damp_den: int = 20,
     num_buckets: int = 32,
     broadcast_max_edges: int = 1_000_000,
+    seeds: "list[int] | None" = None,
 ) -> ray.data.Dataset:
     """Fixed-point integer PageRank: (node, rank) after ``iters`` power
     iterations, rank in 1/``scale`` units.
+
+    ``seeds`` switches to PERSONALIZED PageRank (relatedness to a seed
+    set, the related-entity primitive): initial mass and the per-round
+    teleport go only to seed nodes — r0(v) = scale // |S| and
+    base(v) = ((den-num)*scale) // (den*|S|) for v in S, else 0, with
+    |S| = distinct seed count. Seed sets are small by use case (a
+    handful of query entities), so shipping them to workers is a
+    bounded broadcast, never node-sized.
 
     ALL arithmetic is int64 floor division/addition — deliberately, so the
     result is bit-identical regardless of summation order (float PageRank
@@ -211,6 +220,8 @@ def pagerank(
     group-sum per destination). The driver never holds more than the
     small-path edge list; the distributed path keeps everything a
     Dataset."""
+    if seeds is not None and not len(list(seeds)):
+        raise ValueError("pagerank: seeds must be non-empty when given")
     dedup = bucketed_map_groups(
         edges.map_batches(
             lambda b: pd.DataFrame(
@@ -241,11 +252,22 @@ def pagerank(
         d = edf["dst"].map(idx).to_numpy()
         outdeg = np.zeros(n, dtype=np.int64)
         np.add.at(outdeg, s, 1)
-        base = ((damp_den - damp_num) * scale) // (damp_den * n)
-        r = np.full(n, scale // n, dtype=np.int64)
+        if seeds is None:
+            base_vec = np.full(
+                n, ((damp_den - damp_num) * scale) // (damp_den * n), dtype=np.int64
+            )
+            r = np.full(n, scale // n, dtype=np.int64)
+        else:
+            seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+            n_s = len(seed_arr)
+            sm = np.isin(nodes, seed_arr)
+            base_vec = np.where(
+                sm, ((damp_den - damp_num) * scale) // (damp_den * n_s), 0
+            ).astype(np.int64)
+            r = np.where(sm, scale // n_s, 0).astype(np.int64)
         for _ in range(iters):
             contrib = (damp_num * r[s]) // (damp_den * outdeg[s])
-            nxt = np.full(n, base, dtype=np.int64)
+            nxt = base_vec.copy()
             np.add.at(nxt, d, contrib)
             r = nxt
         return ray.data.from_pandas(
@@ -295,8 +317,17 @@ def pagerank(
         empty_result=empty_nd,
     ).materialize()
     n = meta.count()
-    base = ((damp_den - damp_num) * scale) // (damp_den * n)
-    r0 = scale // n
+    if seeds is None:
+        seed_arr = None
+        base = ((damp_den - damp_num) * scale) // (damp_den * n)
+        r0 = scale // n
+    else:
+        # personalization sets are query-sized — shipping the array to
+        # the per-bucket init/reduce tasks is a bounded broadcast
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        n_s = len(seed_arr)
+        base = ((damp_den - damp_num) * scale) // (damp_den * n_s)
+        r0 = scale // n_s
 
     @_ray.remote
     def _split(df: pd.DataFrame, col: str, cols: tuple):
@@ -352,7 +383,13 @@ def pagerank(
             if parts
             else empty_nd.copy()
         )
-        return m.assign(rank=np.int64(r0))[["node", "rank", "deg"]].astype("int64")
+        if seed_arr is None:
+            rank = np.full(len(m), r0, dtype=np.int64)
+        else:
+            rank = np.where(
+                np.isin(m["node"].to_numpy().astype("int64"), seed_arr), r0, 0
+            ).astype(np.int64)
+        return m.assign(rank=rank)[["node", "rank", "deg"]].astype("int64")
 
     rank_refs = [
         _init_rank.remote(*[rank_pieces[i][b] for i in range(len(rank_pieces))])
@@ -371,7 +408,17 @@ def pagerank(
         pos = s.index.get_indexer(out["node"])
         m = pos >= 0
         vals[m] = s.to_numpy()[pos[m]]
-        out["rank"] = base + vals
+        if seed_arr is None:
+            out["rank"] = base + vals
+        else:
+            out["rank"] = (
+                np.where(
+                    np.isin(out["node"].to_numpy().astype("int64"), seed_arr),
+                    base,
+                    0,
+                ).astype(np.int64)
+                + vals
+            )
         return out[["node", "rank", "deg"]].astype("int64")
 
     for _ in range(iters):
@@ -401,24 +448,46 @@ def pagerank_sql(
     scale: int = 10**12,
     damp_num: int = 17,
     damp_den: int = 20,
+    seeds_sql: "str | None" = None,
 ) -> str:
     """The exact DuckDB twin of ``pagerank`` — same integer recurrence,
     iterations unrolled as chained CTEs. ``edges_sql`` must produce
-    DISTINCT (src, dst) rows."""
-    head = (
-        f"WITH edges AS ({edges_sql}),\n"
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),\n"
-        "nn AS (SELECT COUNT(*) AS c FROM nodes),\n"
-        "outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),\n"
-        f"r0 AS (SELECT node, {scale} // (SELECT c FROM nn) AS rank FROM nodes),\n"
-    )
+    DISTINCT (src, dst) rows. ``seeds_sql`` (yielding (node)) switches to
+    the personalized variant: mass and teleport restricted to the seed
+    set, |S| = its distinct count — mirroring ``pagerank(seeds=...)``."""
+    if seeds_sql is None:
+        head = (
+            f"WITH edges AS ({edges_sql}),\n"
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),\n"
+            "nn AS (SELECT COUNT(*) AS c FROM nodes),\n"
+            "outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),\n"
+            f"r0 AS (SELECT node, {scale} // (SELECT c FROM nn) AS rank FROM nodes),\n"
+        )
+        base_expr = (
+            f"(({damp_den} - {damp_num}) * {scale}::BIGINT)"
+            f" // ({damp_den} * (SELECT c FROM nn))"
+        )
+    else:
+        head = (
+            f"WITH edges AS ({edges_sql}),\n"
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),\n"
+            f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql})),\n"
+            "ns AS (SELECT COUNT(*) AS c FROM seeds),\n"
+            "outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),\n"
+            f"r0 AS (SELECT node, CASE WHEN node IN (SELECT node FROM seeds)"
+            f" THEN {scale} // (SELECT c FROM ns) ELSE 0 END AS rank FROM nodes),\n"
+        )
+        base_expr = (
+            "CASE WHEN nd.node IN (SELECT node FROM seeds) THEN "
+            f"(({damp_den} - {damp_num}) * {scale}::BIGINT)"
+            f" // ({damp_den} * (SELECT c FROM ns)) ELSE 0 END"
+        )
     body = []
     for i in range(1, iters + 1):
         body.append(
             f"r{i} AS (\n"
             "  SELECT nd.node,\n"
-            f"         (({damp_den} - {damp_num}) * {scale}::BIGINT)"
-            f" // ({damp_den} * (SELECT c FROM nn))\n"
+            f"         {base_expr}\n"
             f"         + COALESCE(SUM(({damp_num} * r.rank) // ({damp_den} * o.d)), 0)"
             " AS rank\n"
             "  FROM nodes nd\n"

@@ -5464,3 +5464,60 @@ ORDER BY user_id, valid_from_us, valid_to_us
 """
 
 SQL_QUERIES["q_scd2_user_value"] = (q_scd2_user_value, Q_SCD2_USER_VALUE_SQL)
+
+
+def q_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Personalized (seed-teleport) integer PageRank — the related-entity
+    primitive: relatedness of every customer/supplier node to the
+    seed suppliers (s_suppkey % 7 == 1 — scale-proof, unlike a nation
+    filter that can be empty at tiny sf), over the same bidirected
+    purchase graph as
+    q_pagerank. Same fixed-point int64 recurrence (order-independent ⇒
+    hash-exact twin via pagerank_sql(seeds_sql=...)); mass and teleport
+    restricted to the seed set. The seed list is nation-sized and rides
+    to workers as a bounded broadcast."""
+    from ..ops.graph import pagerank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"])
+    from ..ops.agg import to_pandas_safe
+
+    seed_df = to_pandas_safe(
+        sup.map_batches(
+            lambda b: b.loc[b["s_suppkey"] % 7 == 1, ["s_suppkey"]],
+            batch_format="pandas",
+        ),
+        pd.DataFrame({"s_suppkey": pd.Series(dtype="int64")}),
+    )
+    seeds = [int(x) + 10_000_000 for x in seed_df["s_suppkey"]]
+    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    edges = j.map_batches(
+        lambda b: pd.concat(
+            [
+                pd.DataFrame(
+                    {"src": b["o_custkey"], "dst": b["l_suppkey"] + 10_000_000}
+                ),
+                pd.DataFrame(
+                    {"src": b["l_suppkey"] + 10_000_000, "dst": b["o_custkey"]}
+                ),
+            ],
+            ignore_index=True,
+        ).astype({"src": "int64", "dst": "int64"}),
+        batch_format="pandas",
+    )
+    out = pagerank(edges, iters=8, seeds=seeds).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+Q_PPR_SQL = _pagerank_sql(
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    " UNION "
+    "SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
+    iters=8,
+    seeds_sql="SELECT s_suppkey + 10000000 AS node FROM supplier WHERE s_suppkey % 7 = 1",
+)
+
+SQL_QUERIES["q_personalized_pagerank"] = (q_personalized_pagerank, Q_PPR_SQL)

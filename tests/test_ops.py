@@ -1671,3 +1671,72 @@ def test_parse_urls_query_without_path():
         "http://h.com?x=1&y=2",
         "http://h.com:8080?x=1",
     ]
+
+
+def test_personalized_pagerank_paths_agree(ray_session):
+    """Seed-teleport PageRank: driver and BSP paths equal a plain-Python
+    integer reference, and the seeded SQL twin reproduces it. Seeds
+    include an id absent from the graph (counts toward |S| by contract,
+    receives no row), and a non-seed node must still accumulate mass."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.graph import pagerank, pagerank_sql
+
+    def ref_ppr(edges, seeds, iters=6, scale=10**12, dn=17, dd=20):
+        edges = sorted(set(edges))
+        nodes = sorted({x for e in edges for x in e})
+        n_s = len(set(seeds))
+        out = {v: 0 for v in nodes}
+        for s, _ in edges:
+            out[s] += 1
+        r = {v: (scale // n_s if v in seeds else 0) for v in nodes}
+        base = {v: (((dd - dn) * scale) // (dd * n_s) if v in seeds else 0)
+                for v in nodes}
+        for _ in range(iters):
+            nxt = dict(base)
+            for s, d in edges:
+                nxt[d] += (dn * r[s]) // (dd * out[s])
+            r = nxt
+        return pd.DataFrame({"node": nodes, "rank": [r[v] for v in nodes]})
+
+    rng = np.random.RandomState(5)
+    E = [(int(a), int(b)) for a, b in rng.randint(0, 40, size=(200, 2)) if a != b]
+    seeds = [0, 1, 2, 999]  # 999 not in the graph
+    eds = ray.data.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(4)
+    want = ref_ppr(E, seeds)
+    got_drv = (
+        pagerank(eds, iters=6, seeds=seeds)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    got_dist = (
+        pagerank(eds, iters=6, seeds=seeds, broadcast_max_edges=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert got_drv.equals(want)
+    assert got_dist.equals(want)
+    assert (want["rank"] > 0).any()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in sorted(set(E)))
+        + ") t(src,dst)"
+    )
+    exp = con.execute(
+        pagerank_sql(
+            "SELECT DISTINCT src, dst FROM e",
+            iters=6,
+            seeds_sql="SELECT UNNEST([0, 1, 2, 999]) AS node",
+        )
+    ).df()
+    assert exp.astype({"node": "int64", "rank": "int64"}).equals(want)
+
+
+def test_personalized_pagerank_empty_seeds_raises(ray_session):
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.graph import pagerank
+
+    eds = ray.data.from_pandas(pd.DataFrame({"src": [1], "dst": [2]}))
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(eds, seeds=[]).to_pandas()
