@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_scd2_user_value",
     "q_personalized_pagerank",
+    "q_bucketed_join_segments",
 ]
 
 

@@ -5521,3 +5521,86 @@ Q_PPR_SQL = _pagerank_sql(
 )
 
 SQL_QUERIES["q_personalized_pagerank"] = (q_personalized_pagerank, Q_PPR_SQL)
+
+
+def q_bucketed_join_segments(sf_dir: str) -> pd.DataFrame:
+    """Storage-partitioned (bucketed) join: customer and orders are first
+    WRITTEN hash-bucketed by custkey (ops/layout.py:write_bucketed — the
+    Spark-bucketing / Iceberg layout), then joined bucket-locally with
+    ZERO shuffle (bucketed_join: bucket i of one table can only match
+    bucket i of the other), then aggregated per market segment. The
+    oracle is the plain SQL join — proving the layout path computes the
+    identical relation while amortizing the fact-table exchange into the
+    ingest write."""
+    import shutil
+
+    from ..ops.layout import bucketed_join, write_bucketed
+
+    nb = 16
+    base = f"/tmp/ocds_ray_bucketed/{os.path.basename(os.path.normpath(sf_dir))}"
+    cust_dir, ord_dir = f"{base}/customer_{nb}", f"{base}/orders_{nb}"
+    # rewrite each run: the query owns its scratch layout (resume-style
+    # fingerprinting would skip this, but the WRITE is part of what the
+    # query demonstrates)
+    for d in (cust_dir, ord_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    write_bucketed(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        cust_dir,
+        "c_custkey",
+        num_buckets=nb,
+    )
+    write_bucketed(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        ord_dir,
+        "o_custkey",
+        num_buckets=nb,
+    )
+
+    joined = bucketed_join(
+        cust_dir,
+        ord_dir,
+        key_a="c_custkey",
+        key_b="o_custkey",
+        num_buckets=nb,
+        columns_a=["c_custkey", "c_mktsegment"],
+        columns_b=["o_custkey", "o_totalprice"],
+        empty_result=pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_mktsegment": pd.Series(dtype="object"),
+                "o_custkey": pd.Series(dtype="int64"),
+                "o_totalprice": pd.Series(dtype="float64"),
+            }
+        ),
+    )
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"].to_numpy(),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    out = grouped_agg(
+        joined,
+        ["c_mktsegment"],
+        {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
+        pre=pre,
+        final="driver",
+    )
+    out = out.astype({"n_orders": "int64", "sum_cents": "int64"})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(ROUND(o_totalprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+SQL_QUERIES["q_bucketed_join_segments"] = (q_bucketed_join_segments, Q_BUCKETED_JOIN_SQL)

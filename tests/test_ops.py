@@ -1740,3 +1740,55 @@ def test_personalized_pagerank_empty_seeds_raises(ray_session):
     eds = ray.data.from_pandas(pd.DataFrame({"src": [1], "dst": [2]}))
     with _pytest.raises(ValueError, match="non-empty"):
         pagerank(eds, seeds=[]).to_pandas()
+
+
+# --- bucketed layout: storage-partitioned joins -------------------------------
+
+
+def test_bucketed_join_matches_plain_merge(ray_session, tmp_path):
+    from ocds_entity_extract_ray.ops.layout import bucketed_join, write_bucketed
+
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({"k": rng.integers(0, 50, 200), "x": rng.integers(0, 9, 200)})
+    b = pd.DataFrame({"k2": rng.integers(0, 50, 150), "y": rng.integers(0, 9, 150)})
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(ray.data.from_pandas(a), pa_dir, "k", num_buckets=8)
+    write_bucketed(ray.data.from_pandas(b), pb_dir, "k2", num_buckets=8)
+    got = (
+        bucketed_join(pa_dir, pb_dir, key_a="k", key_b="k2", num_buckets=8,
+                      columns_a=["k", "x"], columns_b=["k2", "y"])
+        .to_pandas()
+        .sort_values(["k", "x", "y"])
+        .reset_index(drop=True)
+    )
+    want = (
+        a.merge(b, left_on="k", right_on="k2")
+        .sort_values(["k", "x", "y"])
+        .reset_index(drop=True)[got.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucketed_join_string_keys_and_empty_buckets(ray_session, tmp_path):
+    """String keys route through crc32 (same as the shuffle buckets); a
+    key domain smaller than the bucket count leaves empty partitions,
+    which must join empty rather than crash or mis-match."""
+    from ocds_entity_extract_ray.ops.layout import bucketed_join, write_bucketed
+
+    a = pd.DataFrame({"k": ["x", "y", "z", "x"], "va": [1, 2, 3, 4]})
+    b = pd.DataFrame({"k": ["x", "z", "w"], "vb": [10, 30, 70]})
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(ray.data.from_pandas(a), pa_dir, "k", num_buckets=16)
+    write_bucketed(ray.data.from_pandas(b), pb_dir, "k", num_buckets=16)
+    empty = pd.DataFrame(
+        {"k_x": pd.Series(dtype="object"), "va": pd.Series(dtype="int64"),
+         "k_y": pd.Series(dtype="object"), "vb": pd.Series(dtype="int64")}
+    )
+    got = bucketed_join(
+        pa_dir, pb_dir, key_a="k", key_b="k", num_buckets=16,
+        empty_result=empty,
+    ).to_pandas()
+    # pandas suffixes the shared key name
+    got = got.sort_values(["va"]).reset_index(drop=True)
+    assert list(got["va"]) == [1, 3, 4]
+    assert list(got["vb"]) == [10, 30, 10]  # x->10, z->30, x->10
