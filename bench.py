@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q_scd2_user_value",
     "q_personalized_pagerank",
     "q_bucketed_join_segments",
+    "q_range_moving_sum",
 ]
 
 

@@ -5604,3 +5604,68 @@ ORDER BY c_mktsegment
 """
 
 SQL_QUERIES["q_bucketed_join_segments"] = (q_bucketed_join_segments, Q_BUCKETED_JOIN_SQL)
+
+
+def q_range_moving_sum(sf_dir: str) -> pd.DataFrame:
+    """TIME-range framed window (RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+    AND CURRENT ROW): per event, the same user's value over the trailing
+    3 days — the completion of the window family beyond ROWS frames.
+    Per user inside the one-shuffle window bucket: prefix sums + two
+    binary searches per row (lower bound ts-3d inclusive; upper bound
+    'right' so EQUAL-ts peers are included, exactly RANGE's peer rule).
+    Integer cents and integer nanosecond bounds keep the twin exact."""
+    from ..ops.windows import window_over
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    three_days_ns = 3 * 86_400 * 10**9
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        ts_ns = b["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        cents = _cents(b["value"])
+        out = np.empty(len(b), dtype=np.int64)
+        pos = 0
+        for _, grp in g:
+            k = len(grp)
+            t = ts_ns[pos : pos + k]
+            c = cents[pos : pos + k]
+            cum = np.concatenate([[0], np.cumsum(c)])
+            hi = np.searchsorted(t, t, side="right")
+            lo = np.searchsorted(t, t - three_days_ns, side="left")
+            out[pos : pos + k] = cum[hi] - cum[lo]
+            pos += k
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "window_cents": out,
+            }
+        )
+
+    res = window_over(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        assign=assign,
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "window_cents": pd.Series(dtype="int64"),
+            }
+        ),
+    ).to_pandas()
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+Q_RANGE_MOVING_SUM_SQL = """
+SELECT event_id, user_id,
+       SUM(ROUND(value * 100, 0)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW
+       )::BIGINT AS window_cents
+FROM events
+ORDER BY event_id
+"""
+
+SQL_QUERIES["q_range_moving_sum"] = (q_range_moving_sum, Q_RANGE_MOVING_SUM_SQL)
