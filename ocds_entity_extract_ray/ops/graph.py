@@ -220,8 +220,11 @@ def pagerank(
     group-sum per destination). The driver never holds more than the
     small-path edge list; the distributed path keeps everything a
     Dataset."""
-    if seeds is not None and not len(list(seeds)):
-        raise ValueError("pagerank: seeds must be non-empty when given")
+    if seeds is not None:
+        seeds = list(seeds)  # normalize once: a generator would be
+        # exhausted by the emptiness check and re-read as empty later
+        if not seeds:
+            raise ValueError("pagerank: seeds must be non-empty when given")
     dedup = bucketed_map_groups(
         edges.map_batches(
             lambda b: pd.DataFrame(
@@ -383,13 +386,19 @@ def pagerank(
             if parts
             else empty_nd.copy()
         )
+        # per-node base computed ONCE here and carried as a column — the
+        # node set per bucket is static, so recomputing the seed mask in
+        # every _reduce round would be iters x nb wasted isin scans
         if seed_arr is None:
             rank = np.full(len(m), r0, dtype=np.int64)
+            bvec = np.full(len(m), base, dtype=np.int64)
         else:
-            rank = np.where(
-                np.isin(m["node"].to_numpy().astype("int64"), seed_arr), r0, 0
-            ).astype(np.int64)
-        return m.assign(rank=rank)[["node", "rank", "deg"]].astype("int64")
+            sm = np.isin(m["node"].to_numpy().astype("int64"), seed_arr)
+            rank = np.where(sm, r0, 0).astype(np.int64)
+            bvec = np.where(sm, base, 0).astype(np.int64)
+        return m.assign(rank=rank, base=bvec)[
+            ["node", "rank", "deg", "base"]
+        ].astype("int64")
 
     rank_refs = [
         _init_rank.remote(*[rank_pieces[i][b] for i in range(len(rank_pieces))])
@@ -408,18 +417,8 @@ def pagerank(
         pos = s.index.get_indexer(out["node"])
         m = pos >= 0
         vals[m] = s.to_numpy()[pos[m]]
-        if seed_arr is None:
-            out["rank"] = base + vals
-        else:
-            out["rank"] = (
-                np.where(
-                    np.isin(out["node"].to_numpy().astype("int64"), seed_arr),
-                    base,
-                    0,
-                ).astype(np.int64)
-                + vals
-            )
-        return out[["node", "rank", "deg"]].astype("int64")
+        out["rank"] = out["base"].to_numpy() + vals
+        return out[["node", "rank", "deg", "base"]].astype("int64")
 
     for _ in range(iters):
         grid = [

@@ -141,6 +141,7 @@ def write_bucketed(
     the dominant cost of a repeated fact×dim join is re-exchanging the
     fact table every run, and pre-bucketing amortizes that exchange into
     the ingest write."""
+    import json
     import os
 
     from .agg import _bucket_series
@@ -150,9 +151,15 @@ def write_bucketed(
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(_bucket=_bucket_series(b[key_col], num_buckets))
 
+    # mode="overwrite": Ray's write_parquet default is APPEND, which would
+    # silently double every row on a rerun of the same layout
     ds.map_batches(add_bucket, batch_format="pandas").write_parquet(
-        path, partition_cols=["_bucket"]
+        path, partition_cols=["_bucket"], mode="overwrite"
     )
+    # layout manifest: turns bucketed_join's same-num_buckets precondition
+    # into a checked one (mismatched layouts silently DROP matches)
+    with open(os.path.join(path, "_bucketed_manifest.json"), "w") as f:
+        json.dump({"num_buckets": num_buckets, "key_col": key_col}, f)
     return path
 
 
@@ -175,10 +182,30 @@ def bucketed_join(
     driver-side data. Missing partitions (empty buckets) join empty.
 
     This is the storage-partitioned join: parallelism = bucket count,
-    so pick num_buckets >= cluster width at write time."""
+    so pick num_buckets >= cluster width at write time. Paths must be on
+    storage every worker can read (shared FS / object store; node-local
+    /tmp only works single-node)."""
+    import json
     import os
 
     import pyarrow.parquet as pq
+
+    for path in (path_a, path_b):
+        mf = os.path.join(path, "_bucketed_manifest.json")
+        if not os.path.isfile(mf):
+            raise FileNotFoundError(
+                f"bucketed_join: {path!r} is not a write_bucketed layout "
+                "(missing _bucketed_manifest.json) — a missing table must "
+                "error, not join empty"
+            )
+        with open(mf) as f:
+            meta = json.load(f)
+        if meta["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"bucketed_join: {path!r} was written with "
+                f"num_buckets={meta['num_buckets']}, joined with "
+                f"{num_buckets} — mismatched layouts silently drop matches"
+            )
 
     work = ray.data.from_items(
         [{"bucket": b} for b in range(num_buckets)]

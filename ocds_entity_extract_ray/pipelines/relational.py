@@ -2222,20 +2222,15 @@ SQL_QUERIES.update(
 )
 
 
-def q_pagerank(sf_dir: str) -> pd.DataFrame:
-    """Fixed-point integer PageRank over the bidirected customer-supplier
-    purchase graph (edges = distinct (custkey, suppkey) pairs through
-    orders x lineitem, both directions; supplier ids offset by 10M to keep
-    the node namespaces apart). The ONLY hash-exact-oracle-able PageRank:
-    all-integer arithmetic makes the result independent of summation
-    order, so DuckDB reproduces it bit for bit (ops/graph.py:pagerank_sql
-    unrolls the same recurrence as chained CTEs)."""
-    from ..ops.graph import pagerank
-
+def _purchase_graph_edges(sf_dir: str) -> ray.data.Dataset:
+    """Bidirected customer-supplier purchase graph (supplier ids offset
+    by 10M to separate the namespaces) — shared by q_pagerank and
+    q_personalized_pagerank so the edge definition cannot desynchronize
+    between them (or their SQL twins, see _PURCHASE_EDGES_SQL)."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
-    edges = j.map_batches(
+    return j.map_batches(
         lambda b: pd.concat(
             [
                 pd.DataFrame(
@@ -2249,20 +2244,34 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         ).astype({"src": "int64", "dst": "int64"}),
         batch_format="pandas",
     )
-    out = pagerank(edges, iters=10).to_pandas()
+
+
+_PURCHASE_EDGES_SQL = (
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    " UNION "
+    "SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+)
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Fixed-point integer PageRank over the bidirected customer-supplier
+    purchase graph (edges = distinct (custkey, suppkey) pairs through
+    orders x lineitem, both directions; supplier ids offset by 10M to keep
+    the node namespaces apart). The ONLY hash-exact-oracle-able PageRank:
+    all-integer arithmetic makes the result independent of summation
+    order, so DuckDB reproduces it bit for bit (ops/graph.py:pagerank_sql
+    unrolls the same recurrence as chained CTEs)."""
+    from ..ops.graph import pagerank
+
+    out = pagerank(_purchase_graph_edges(sf_dir), iters=10).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
 from ..ops.graph import pagerank_sql as _pagerank_sql  # noqa: E402
 
-Q_PAGERANK_SQL = _pagerank_sql(
-    "SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst"
-    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
-    " UNION "
-    "SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst"
-    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
-    iters=10,
-)
+Q_PAGERANK_SQL = _pagerank_sql(_PURCHASE_EDGES_SQL, iters=10)
 
 SQL_QUERIES["q_pagerank"] = (q_pagerank, Q_PAGERANK_SQL)
 
@@ -5476,12 +5485,10 @@ def q_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
     hash-exact twin via pagerank_sql(seeds_sql=...)); mass and teleport
     restricted to the seed set. The seed list is nation-sized and rides
     to workers as a bounded broadcast."""
+    from ..ops.agg import to_pandas_safe
     from ..ops.graph import pagerank
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     sup = _read(sf_dir, "supplier", columns=["s_suppkey"])
-    from ..ops.agg import to_pandas_safe
 
     seed_df = to_pandas_safe(
         sup.map_batches(
@@ -5491,31 +5498,12 @@ def q_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
         pd.DataFrame({"s_suppkey": pd.Series(dtype="int64")}),
     )
     seeds = [int(x) + 10_000_000 for x in seed_df["s_suppkey"]]
-    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
-    edges = j.map_batches(
-        lambda b: pd.concat(
-            [
-                pd.DataFrame(
-                    {"src": b["o_custkey"], "dst": b["l_suppkey"] + 10_000_000}
-                ),
-                pd.DataFrame(
-                    {"src": b["l_suppkey"] + 10_000_000, "dst": b["o_custkey"]}
-                ),
-            ],
-            ignore_index=True,
-        ).astype({"src": "int64", "dst": "int64"}),
-        batch_format="pandas",
-    )
-    out = pagerank(edges, iters=8, seeds=seeds).to_pandas()
+    out = pagerank(_purchase_graph_edges(sf_dir), iters=8, seeds=seeds).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
 Q_PPR_SQL = _pagerank_sql(
-    "SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst"
-    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
-    " UNION "
-    "SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst"
-    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey",
+    _PURCHASE_EDGES_SQL,
     iters=8,
     seeds_sql="SELECT s_suppkey + 10000000 AS node FROM supplier WHERE s_suppkey % 7 = 1",
 )
@@ -5533,17 +5521,17 @@ def q_bucketed_join_segments(sf_dir: str) -> pd.DataFrame:
     identical relation while amortizing the fact-table exchange into the
     ingest write."""
     import shutil
+    import tempfile
 
     from ..ops.layout import bucketed_join, write_bucketed
 
     nb = 16
-    base = f"/tmp/ocds_ray_bucketed/{os.path.basename(os.path.normpath(sf_dir))}"
+    # per-run unique scratch: a fixed path keyed on the sf_dir basename
+    # races concurrent runs (bench + sweep) into each other's
+    # rmtree/write/read; node-local /tmp is fine in this single-node
+    # sandbox, a multi-node run needs shared storage (see bucketed_join)
+    base = tempfile.mkdtemp(prefix="ocds_ray_bucketed_")
     cust_dir, ord_dir = f"{base}/customer_{nb}", f"{base}/orders_{nb}"
-    # rewrite each run: the query owns its scratch layout (resume-style
-    # fingerprinting would skip this, but the WRITE is part of what the
-    # query demonstrates)
-    for d in (cust_dir, ord_dir):
-        shutil.rmtree(d, ignore_errors=True)
     write_bucketed(
         _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
         cust_dir,
@@ -5583,13 +5571,16 @@ def q_bucketed_join_segments(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = grouped_agg(
-        joined,
-        ["c_mktsegment"],
-        {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
-        pre=pre,
-        final="driver",
-    )
+    try:
+        out = grouped_agg(
+            joined,
+            ["c_mktsegment"],
+            {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
+            pre=pre,
+            final="driver",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     out = out.astype({"n_orders": "int64", "sum_cents": "int64"})
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 

@@ -1792,3 +1792,33 @@ def test_bucketed_join_string_keys_and_empty_buckets(ray_session, tmp_path):
     got = got.sort_values(["va"]).reset_index(drop=True)
     assert list(got["va"]) == [1, 3, 4]
     assert list(got["vb"]) == [10, 30, 10]  # x->10, z->30, x->10
+
+
+def test_bucketed_join_guards(ray_session, tmp_path):
+    """A missing layout errors (not an empty join); a num_buckets
+    mismatch errors (it would silently drop matches); a rerun of
+    write_bucketed overwrites instead of appending duplicates."""
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.layout import bucketed_join, write_bucketed
+
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [1, 2, 3]})
+    pa_dir = str(tmp_path / "a")
+    write_bucketed(ray.data.from_pandas(a), pa_dir, "k", num_buckets=4)
+
+    with _pytest.raises(FileNotFoundError, match="not a write_bucketed layout"):
+        bucketed_join(pa_dir, str(tmp_path / "nope"), key_a="k", key_b="k",
+                      num_buckets=4).to_pandas()
+
+    pb_dir = str(tmp_path / "b")
+    write_bucketed(ray.data.from_pandas(a), pb_dir, "k", num_buckets=8)
+    with _pytest.raises(ValueError, match="num_buckets"):
+        bucketed_join(pa_dir, pb_dir, key_a="k", key_b="k",
+                      num_buckets=4).to_pandas()
+
+    # rerun the SAME layout: counts must not double
+    write_bucketed(ray.data.from_pandas(a), pa_dir, "k", num_buckets=4)
+    write_bucketed(ray.data.from_pandas(a), str(tmp_path / "c"), "k", num_buckets=4)
+    got = bucketed_join(pa_dir, str(tmp_path / "c"), key_a="k", key_b="k",
+                        num_buckets=4).to_pandas()
+    assert len(got) == 3
