@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "q_personalized_pagerank",
     "q_bucketed_join_segments",
     "q_range_moving_sum",
+    "q_iqr_outliers",
+    "q_gapfill_daily_orders",
 ]
 
 

@@ -5660,3 +5660,147 @@ ORDER BY event_id
 """
 
 SQL_QUERIES["q_range_moving_sum"] = (q_range_moving_sum, Q_RANGE_MOVING_SUM_SQL)
+
+
+def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped DISCRETE quantiles + IQR outlier counts from the
+    same value histogram that powers q_median_order_cents: p25/p75 are
+    the sorted-expansion elements at ceil(n*q) - 1 — DuckDB's
+    quantile_disc rule (probed across n; it is NOT floor((n-1)*q)) —
+    computed as the INTEGER index (n*q_num + q_den - 1) // q_den - 1 so
+    no float boundary exists — and the outlier bound
+    p75 + (3*(p75-p25)) // 2 stays in int64, so the count is hash-exact.
+    One bucketed (key, cents) count; the quantile search and the outlier
+    sum both read the histogram, never the rows."""
+    from ..ops.agg import bucketed_map_groups
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": b["o_orderpriority"].to_numpy(),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    hist = grouped_agg(
+        orders.map_batches(pre, batch_format="pandas"),
+        ["k", "cents"],
+        {"n": ("cents", "count")},
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "k": pd.Series(dtype="object"),
+                "cents": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+
+    def iqr(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in bucket.groupby("k", sort=False):
+            g = g.sort_values("cents")
+            vals = g["cents"].to_numpy()
+            cnt = g["n"].to_numpy()
+            cum = cnt.cumsum()
+            n = int(cum[-1])
+            p25 = int(vals[np.searchsorted(cum, (n * 1 + 3) // 4)])
+            p75 = int(vals[np.searchsorted(cum, (n * 3 + 3) // 4)])
+            hi = p75 + (3 * (p75 - p25)) // 2
+            n_out = int(cnt[vals > hi].sum())
+            rows.append((k, p25, p75, n_out))
+        return pd.DataFrame(
+            rows, columns=["k", "p25", "p75", "n_outliers"]
+        ).astype({"p25": "int64", "p75": "int64", "n_outliers": "int64"})
+
+    out = bucketed_map_groups(
+        hist,
+        "k",
+        iqr,
+        num_buckets=8,
+        empty_result=pd.DataFrame(
+            {
+                "k": pd.Series(dtype="object"),
+                "p25": pd.Series(dtype="int64"),
+                "p75": pd.Series(dtype="int64"),
+                "n_outliers": pd.Series(dtype="int64"),
+            }
+        ),
+    ).to_pandas()
+    return (
+        out.rename(columns={"k": "o_orderpriority"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+Q_IQR_OUTLIERS_SQL = """
+WITH c AS MATERIALIZED (
+  SELECT o_orderpriority AS k, ROUND(o_totalprice * 100, 0)::BIGINT AS cents
+  FROM orders
+), q AS MATERIALIZED (
+  SELECT k,
+         quantile_disc(cents, 0.25)::BIGINT AS p25,
+         quantile_disc(cents, 0.75)::BIGINT AS p75
+  FROM c GROUP BY k
+)
+SELECT q.k AS o_orderpriority, q.p25, q.p75,
+       SUM(CASE WHEN c.cents > q.p75 + (3 * (q.p75 - q.p25)) // 2
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM c JOIN q USING (k)
+GROUP BY q.k, q.p25, q.p75
+ORDER BY o_orderpriority
+"""
+
+SQL_QUERIES["q_iqr_outliers"] = (q_iqr_outliers, Q_IQR_OUTLIERS_SQL)
+
+
+def q_gapfill_daily_orders(sf_dir: str) -> pd.DataFrame:
+    """Time-series gap filling: the daily order count over the FULL
+    calendar span (missing days as explicit zero rows — the
+    generate_series + LEFT JOIN idiom) plus the running cumulative count
+    across the filled series. The day counts reduce distributed (one
+    bucketed groupby); the calendar spine is bounded by the date span,
+    not the corpus, so the fill + cumsum is a driver-side reindex by
+    design."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].astype("datetime64[ns]").astype("int64") // (
+            86_400 * 10**9
+        )
+        return pd.DataFrame({"day": d.to_numpy()})
+
+    counts = grouped_agg(
+        orders.map_batches(pre, batch_format="pandas"),
+        ["day"],
+        {"n_orders": ("day", "count")},
+        final="driver",
+    )
+    lo, hi = int(counts["day"].min()), int(counts["day"].max())
+    spine = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
+    filled = spine.merge(counts, on="day", how="left")
+    filled["n_orders"] = filled["n_orders"].fillna(0).astype("int64")
+    filled["cum_orders"] = filled["n_orders"].cumsum().astype("int64")
+    return filled.reset_index(drop=True)
+
+
+Q_GAPFILL_DAILY_SQL = """
+WITH c AS MATERIALIZED (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day, COUNT(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+), spine AS (
+  SELECT UNNEST(generate_series((SELECT MIN(day) FROM c),
+                                (SELECT MAX(day) FROM c))) AS day
+)
+SELECT spine.day,
+       COALESCE(c.n, 0)::BIGINT AS n_orders,
+       SUM(COALESCE(c.n, 0)) OVER (ORDER BY spine.day)::BIGINT AS cum_orders
+FROM spine LEFT JOIN c USING (day)
+ORDER BY spine.day
+"""
+
+SQL_QUERIES["q_gapfill_daily_orders"] = (q_gapfill_daily_orders, Q_GAPFILL_DAILY_SQL)
