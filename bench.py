@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q_range_moving_sum",
     "q_iqr_outliers",
     "q_gapfill_daily_orders",
+    "q_top_session_paths",
 ]
 
 

@@ -5804,3 +5804,74 @@ ORDER BY spine.day
 """
 
 SQL_QUERIES["q_gapfill_daily_orders"] = (q_gapfill_daily_orders, Q_GAPFILL_DAILY_SQL)
+
+
+def q_top_session_paths(sf_dir: str) -> pd.DataFrame:
+    """Sequence mining over sessionized streams: the first-3-event-type
+    path of every session (30-minute gap rule, same as q_sessions),
+    counted corpus-wide — the 'common user journeys' query. The session
+    assignment, per-session row numbers, truncation, and '>'-joined path
+    all complete inside the ONE user-keyed window bucket; only
+    path-cardinality rows (bounded by |event_type|^3) leave it."""
+    from ..ops.windows import window_over
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def assign(b: pd.DataFrame, g) -> pd.DataFrame:
+        prev = g["ts"].shift()
+        # NaT comparison is False -> first event of a user opens session 0,
+        # exactly the SQL CASE's ELSE 0 on a NULL LAG
+        new_s = ((b["ts"] - prev) > pd.Timedelta(minutes=30)).astype("int64")
+        sess = new_s.groupby(b["user_id"], sort=False).cumsum()
+        key = [b["user_id"], sess]
+        rn = b.groupby(key, sort=False).cumcount()
+        kept = b.assign(_sess=sess)[rn < 3]
+        paths = (
+            kept.groupby(["user_id", "_sess"], sort=False)["event_type"]
+            .agg(">".join)
+            .reset_index(name="path")
+        )
+        return paths[["path"]]
+
+    paths = window_over(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        assign=assign,
+        num_buckets=16,
+        empty_result=pd.DataFrame({"path": pd.Series(dtype="object")}),
+    )
+    out = grouped_agg(
+        paths, ["path"], {"n_sessions": ("path", "count")}, final="driver"
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values(
+        ["n_sessions", "path"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+Q_TOP_SESSION_PATHS_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS MATERIALIZED (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+), r AS MATERIALIZED (
+  SELECT user_id, sess, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn
+  FROM s
+)
+SELECT path, COUNT(*)::BIGINT AS n_sessions FROM (
+  SELECT user_id, sess, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sess
+)
+GROUP BY path
+ORDER BY n_sessions DESC, path
+"""
+
+SQL_QUERIES["q_top_session_paths"] = (q_top_session_paths, Q_TOP_SESSION_PATHS_SQL)
