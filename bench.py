@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q_iqr_outliers",
     "q_gapfill_daily_orders",
     "q_top_session_paths",
+    "q_revenue_share",
 ]
 
 

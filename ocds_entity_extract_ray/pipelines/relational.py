@@ -5875,3 +5875,47 @@ ORDER BY n_sessions DESC, path
 """
 
 SQL_QUERIES["q_top_session_paths"] = (q_top_session_paths, Q_TOP_SESSION_PATHS_SQL)
+
+
+def q_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total report (RATIO_TO_REPORT / SUM() OVER ()): each
+    market segment's share of total order value. One distributed
+    customer-orders join (reusing the bucketed-aggregate shape via a
+    broadcast of the customer dim is unnecessary — the hash join is the
+    generic path), one small aggregate, then the share divides the SAME
+    int64 cents in both engines, so the double compares bitwise."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    j = hash_join(orders, cust, "inner", on=("o_custkey",), right_on=("c_custkey",))
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"].to_numpy(),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    seg = grouped_agg(
+        j, ["c_mktsegment"], {"seg_cents": ("cents", "sum")}, pre=pre, final="driver"
+    )
+    seg["seg_cents"] = seg["seg_cents"].astype("int64")
+    total = int(seg["seg_cents"].sum())
+    seg["share"] = seg["seg_cents"].to_numpy().astype("float64") / float(total)
+    return seg.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q_REVENUE_SHARE_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         SUM(ROUND(o_totalprice * 100, 0)::BIGINT)::BIGINT AS seg_cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, seg_cents,
+       seg_cents::DOUBLE / (SELECT SUM(seg_cents) FROM seg)::DOUBLE AS share
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+SQL_QUERIES["q_revenue_share"] = (q_revenue_share, Q_REVENUE_SHARE_SQL)

@@ -1822,3 +1822,24 @@ def test_bucketed_join_guards(ray_session, tmp_path):
     got = bucketed_join(pa_dir, str(tmp_path / "c"), key_a="k", key_b="k",
                         num_buckets=4).to_pandas()
     assert len(got) == 3
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    """Many tiny files -> few target-sized files, rows and values intact;
+    the destination swap is atomic (tmp dir renamed into place)."""
+    import pyarrow.parquet as pq_
+
+    from ocds_entity_extract_ray.ops.layout import compact_parquet
+
+    src = str(tmp_path / "small")
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                       "v": np.arange(1000, dtype=np.int64) * 3})
+    # 20 tiny files
+    ray.data.from_pandas(df).repartition(20).write_parquet(src)
+    dst = str(tmp_path / "compacted")
+    rep = compact_parquet(src, dst, target_rows_per_file=500)
+    assert rep["rows"] == 1000
+    assert rep["files_before"] >= 10
+    assert rep["files_after"] <= 3
+    got = pq_.read_table(dst).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df)
