@@ -241,14 +241,23 @@ def compact_parquet(
     dst: str,
     *,
     target_rows_per_file: int,
-    columns: "list[str] | None" = None,
 ) -> dict:
     """Small-file compaction — the maintenance op every long-running
     ingest needs: a directory accreted from many incremental writes
     (hundreds of KB-sized files) is re-read as a stream and rewritten
-    into ~``target_rows_per_file``-row files, atomically (write to
-    ``dst + '.tmp'``, fsync-rename into place), returning
+    into ~``target_rows_per_file``-row files, returning
     {rows, files_before, files_after}.
+
+    ``src`` must differ from ``dst`` (raises otherwise): in-place
+    compaction would delete files a concurrent ingest adds after the
+    read's file listing, and a crash between the rm and the rename
+    would leave the only copy in the tmp dir — this way the source is
+    genuinely untouched until the caller retires it. The destination
+    swap is rename-based (tmp dir renamed into place, parent dir
+    fsynced); a crash before the rename leaves dst absent, never
+    half-written. No column projection parameter on purpose — a
+    compaction that silently drops columns is the same defect class as
+    one that drops rows.
 
     Scale shape: one streamed read -> write with row caps; no shuffle,
     no driver-side rows. Row-count equality before/after is asserted —
@@ -257,7 +266,14 @@ def compact_parquet(
     import os
     import shutil
 
-    before = ray.data.read_parquet(src, columns=columns)
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError(
+            "compact_parquet: src == dst — in-place compaction races "
+            "concurrent ingest and loses crash-atomicity; write to a new "
+            "directory and retire the old one after"
+        )
+
+    before = ray.data.read_parquet(src)
     n_before = before.count()
     files_before = sum(
         1 for _r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
@@ -280,6 +296,13 @@ def compact_parquet(
         )
     shutil.rmtree(dst, ignore_errors=True)
     os.rename(tmp, dst)
+    # durability for the rename itself (rename alone is not persisted
+    # until the directory entry is)
+    dfd = os.open(os.path.dirname(os.path.abspath(dst)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     files_after = sum(
         1 for _r, _d, fs in os.walk(dst) for f in fs if f.endswith(".parquet")
     )

@@ -4958,7 +4958,13 @@ SQL_QUERIES["q_kcore_parts"] = (q_kcore_parts, _kcore_parts_sql())
 def _copurchase_edges(sf_dir: str, *, min_weight: int = 2) -> ray.data.Dataset:
     """Distinct part co-purchase edges (u < v, co-appearing in >=
     ``min_weight`` orders) — shared by q_kcore_parts and
-    q_link_prediction_parts. One bucketed per-order self-merge (order
+    q_link_prediction_parts. NOTE: edge density FALLS with scale factor
+    (the part space grows as fast as the lineitems, so repeat
+    co-purchases thin out — at sf0.1 the weight>=2 graph is empty and
+    both engines agree on the empty result); the structurally rich
+    validation scale is the driver's sf0.01 (multi-round peeling,
+    1295->1065 nodes). The KG entity-graph variants (kg_entity_cores /
+    kg_link_prediction) have scale-independent structure. One bucketed per-order self-merge (order
     size bounds the per-group pair blowup) + one bucketed weight count;
     the weight threshold is what keeps node degree bounded downstream
     (the wedge stages are quadratic in degree, see
@@ -5270,16 +5276,10 @@ ORDER BY 1, 2
 SQL_QUERIES["q_cohort_retention"] = (q_cohort_retention, Q_COHORT_RETENTION_SQL)
 
 
-def q_median_order_cents(sf_dir: str) -> pd.DataFrame:
-    """EXACT grouped median without a per-key sort of the raw rows: the
-    values are integer cents, so the group's value HISTOGRAM (one
-    bucketed (key, cents) count — cardinality bounded by distinct prices,
-    not row count) is a sufficient statistic, and the median falls out of
-    a cumulative-weight search per key. This is the exact-median scale
-    path that complements the rank-sketch in ops/quantiles (which is
-    approximate but histogram-free); MEDIAN's even-count rule (mean of
-    the two middle values, as a double) is reproduced bit-for-bit since
-    (a + b) / 2 of int64 cents is exact in ieee754."""
+def _priority_cents_hist(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderpriority, cents) value histogram — the shared sufficient
+    statistic for the exact grouped median AND the quantile_disc/IQR
+    query (one bucketed count; cardinality bounded by distinct prices)."""
     orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
@@ -5290,7 +5290,7 @@ def q_median_order_cents(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    hist = grouped_agg(
+    return grouped_agg(
         orders.map_batches(pre, batch_format="pandas"),
         ["k", "cents"],
         {"n": ("cents", "count")},
@@ -5305,7 +5305,20 @@ def q_median_order_cents(sf_dir: str) -> pd.DataFrame:
         ),
     )
 
+
+def q_median_order_cents(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped median without a per-key sort of the raw rows: the
+    values are integer cents, so the group's value HISTOGRAM (one
+    bucketed (key, cents) count — cardinality bounded by distinct prices,
+    not row count) is a sufficient statistic, and the median falls out of
+    a cumulative-weight search per key. This is the exact-median scale
+    path that complements the rank-sketch in ops/quantiles (which is
+    approximate but histogram-free); MEDIAN's even-count rule (mean of
+    the two middle values, as a double) is reproduced bit-for-bit since
+    (a + b) / 2 of int64 cents is exact in ieee754."""
     from ..ops.agg import bucketed_map_groups
+
+    hist = _priority_cents_hist(sf_dir)
 
     def med(bucket: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -5674,30 +5687,7 @@ def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
     sum both read the histogram, never the rows."""
     from ..ops.agg import bucketed_map_groups
 
-    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
-
-    def pre(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "k": b["o_orderpriority"].to_numpy(),
-                "cents": _cents(b["o_totalprice"]),
-            }
-        )
-
-    hist = grouped_agg(
-        orders.map_batches(pre, batch_format="pandas"),
-        ["k", "cents"],
-        {"n": ("cents", "count")},
-        final="bucketed",
-        num_buckets=16,
-        empty_result=pd.DataFrame(
-            {
-                "k": pd.Series(dtype="object"),
-                "cents": pd.Series(dtype="int64"),
-                "n": pd.Series(dtype="int64"),
-            }
-        ),
-    )
+    hist = _priority_cents_hist(sf_dir)
 
     def iqr(bucket: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -5780,6 +5770,14 @@ def q_gapfill_daily_orders(sf_dir: str) -> pd.DataFrame:
         {"n_orders": ("day", "count")},
         final="driver",
     )
+    if len(counts) == 0 or "day" not in counts.columns:
+        return pd.DataFrame(
+            {
+                "day": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64"),
+                "cum_orders": pd.Series(dtype="int64"),
+            }
+        )
     lo, hi = int(counts["day"].min()), int(counts["day"].max())
     spine = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
     filled = spine.merge(counts, on="day", how="left")

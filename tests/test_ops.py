@@ -1843,3 +1843,14 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
     assert rep["files_after"] <= 3
     got = pq_.read_table(dst).to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, df)
+
+
+def test_compact_parquet_rejects_in_place(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.layout import compact_parquet
+
+    src = str(tmp_path / "t")
+    ray.data.from_pandas(pd.DataFrame({"x": [1, 2]})).write_parquet(src)
+    with _pytest.raises(ValueError, match="src == dst"):
+        compact_parquet(src, src, target_rows_per_file=10)
