@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_two_hop"] = _kg_two_hop
     out["kg_entity_cores"] = _kg_entity_cores
     out["kg_link_prediction"] = _kg_link_prediction
+    out["kg_partition_lineage"] = _kg_partition_lineage
     return out
 
 
@@ -438,3 +439,45 @@ def oracle_sql() -> dict[str, str]:
     from ocds_entity_extract_ray.pipelines.relational import SQL_QUERIES
 
     return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+
+
+def _kg_partition_lineage(sf_dir: str):
+    """Rows-only: the per-partition lineage surface the north rule asks
+    for, as a QUERYABLE table — run the flagship pipeline, then read its
+    stage manifests (state/manifest.py: input fingerprint, per-partition
+    row counts, per-stage secs/docs-per-sec metrics) back as one frame:
+    (stage, partition, n_rows, stage_secs, stage_rate). This is what a
+    failed 100 TB run consults to skip finished partitions and what an
+    auditor consults for where every output row came from."""
+    import shutil
+
+    import pandas as pd
+
+    from ocds_entity_extract_ray.pipelines.kg import run_kg
+    from ocds_entity_extract_ray.state.manifest import read_manifest
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    clist, pidx = _kg_inputs()
+    out_dir = f"/tmp/ocds_ray_corpus/lineage_{n}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_kg(pages_dir, out_dir, clist, pidx, num_buckets=32, resume=False)
+
+    rows = []
+    for stage in ("entities", "triples"):
+        m = read_manifest(f"{out_dir}/{stage}")
+        if m is None:
+            continue
+        secs = m.get("metrics", {}).get("secs")
+        rate = m.get("metrics", {}).get("docs_per_sec") or m.get(
+            "metrics", {}
+        ).get("triples_per_sec")
+        for part, n_rows in sorted(m.get("partitions", {}).items()):
+            rows.append(
+                (stage, part, int(n_rows),
+                 float(secs) if secs is not None else None,
+                 float(rate) if rate is not None else None)
+            )
+    return pd.DataFrame(
+        rows, columns=["stage", "partition", "n_rows", "stage_secs", "stage_rate"]
+    )
