@@ -152,3 +152,56 @@ def load_small_table(path: str) -> pa.Table:
     """Driver-side load of a SMALL side (product index, classifier list) —
     broadcast to workers via actor constructor args, never shuffled."""
     return pq.read_table(path)
+
+
+def read_parquet_evolved(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """read_parquet for a directory whose shards have EVOLVED schemas
+    (later ingests added columns): unify the file schemas from metadata
+    on the driver (cheap — footers only) and pin the unified schema on
+    the read, so every block is uniformly typed and files missing a
+    column yield typed nulls.
+
+    Without this, Ray reads each file with its own schema and emits
+    MIXED-schema blocks ("RefBundle with a different schema" warnings) —
+    the same block-schema divergence that crashes Arrow's hash join
+    downstream. A 100 TB corpus accreted over months virtually always
+    has evolved schemas, so this is the default reader for long-lived
+    tables. (Passing ``schema=`` to read_parquet does NOT fill missing
+    columns — the fragment scan raises on old files — so conformance is
+    an explicit zero-copy arrow map over each block.)"""
+    import pyarrow.dataset as pads
+
+    frag_schemas = []
+    dataset = pads.dataset(path, format="parquet")
+    for frag in dataset.get_fragments():
+        frag_schemas.append(frag.physical_schema)
+    unified = pa.unify_schemas(frag_schemas)
+    if columns is not None:
+        unified = pa.schema([unified.field(c) for c in columns])
+
+    def conform(t: pa.Table) -> pa.Table:
+        arrays = []
+        for f in unified:
+            if f.name in t.column_names:
+                arrays.append(t[f.name].cast(f.type))
+            else:
+                arrays.append(pa.nulls(len(t), f.type))
+        return pa.Table.from_arrays(arrays, schema=unified)
+
+    # prune at the read where safe: a column present in EVERY file can be
+    # pushed into the parquet scan; columns some files lack must be
+    # conformed post-read (pushing them down raises on the old files)
+    if columns is not None:
+        common = [
+            c for c in columns
+            if all(sch.get_field_index(c) != -1 for sch in frag_schemas)
+        ]
+        if len(common) == len(columns):
+            kwargs = dict(kwargs, columns=columns)
+    raw = ray.data.read_parquet(path, **kwargs)
+    return raw.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)

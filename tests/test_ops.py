@@ -1854,3 +1854,29 @@ def test_compact_parquet_rejects_in_place(ray_session, tmp_path):
     ray.data.from_pandas(pd.DataFrame({"x": [1, 2]})).write_parquet(src)
     with _pytest.raises(ValueError, match="src == dst"):
         compact_parquet(src, src, target_rows_per_file=10)
+
+
+def test_read_parquet_evolved_unifies_blocks(ray_session, tmp_path):
+    """Shards with added columns read as ONE uniform schema (missing
+    columns become typed nulls), so downstream joins see no mixed
+    blocks; column pruning still works against the unified schema."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ocds_entity_extract_ray.sources.readers import read_parquet_evolved
+
+    d = str(tmp_path / "evo")
+    import os as _os
+    _os.makedirs(d)
+    pq_.write_table(pa_.table({"id": [1, 2], "a": [10, 20]}), d + "/f1.parquet")
+    pq_.write_table(
+        pa_.table({"id": [3], "a": [30], "b": ["x"]}), d + "/f2.parquet"
+    )
+    ds = read_parquet_evolved(d)
+    assert set(ds.schema().names) == {"id", "a", "b"}
+    out = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["b"].isna().sum() == 2 and out.loc[2, "b"] == "x"
+
+    pruned = read_parquet_evolved(d, columns=["id", "b"])
+    assert set(pruned.schema().names) == {"id", "b"}
+    assert len(pruned.to_pandas()) == 3
