@@ -689,6 +689,68 @@ def triangles_per_node(
     )
 
 
+def _driver_relax(
+    edges: ray.data.Dataset,
+    sources: ray.data.Dataset,
+    *,
+    rounds: int,
+    src_col: str,
+    dst_col: str,
+    source_col: str,
+    weight_col: "str | None",
+    empty: pd.DataFrame,
+) -> ray.data.Dataset:
+    """Driver-side bounded-round relaxation shared by the small-graph
+    paths of :func:`bfs_distances` (unit weights) and
+    :func:`shortest_path_distances` (integer weights). Jacobi iteration:
+    each round's candidates derive from the PREVIOUS round's distances
+    only, so k rounds relax exactly the <=k-edge paths — the same
+    bounded semantics as the distributed loops and the unrolled SQL
+    twin (Gauss-Seidel-style in-place updates would leak extra hops
+    within a round and overshoot the bound)."""
+    sdf = sources.to_pandas()
+    if source_col not in sdf.columns:
+        sdf = pd.DataFrame({source_col: pd.Series(dtype="int64")})
+    edf = edges.to_pandas()
+    if src_col not in edf.columns:
+        edf = pd.DataFrame(
+            {src_col: pd.Series(dtype="int64"), dst_col: pd.Series(dtype="int64"),
+             **({weight_col: pd.Series(dtype="int64")} if weight_col else {})}
+        )
+    s0 = np.unique(sdf[source_col].to_numpy().astype("int64"))
+    u = edf[src_col].to_numpy().astype(np.int64)
+    v = edf[dst_col].to_numpy().astype(np.int64)
+    w = (
+        edf[weight_col].to_numpy().astype(np.int64)
+        if weight_col is not None
+        else np.ones(len(u), dtype=np.int64)
+    )
+    if weight_col is not None and (w < 0).any():
+        raise ValueError("shortest_path_distances: negative weights")
+    nodes = np.unique(np.concatenate([u, v, s0]))
+    if not len(nodes):
+        return ray.data.from_pandas(empty.copy())
+    inf = np.iinfo(np.int64).max // 4
+    dist = np.full(len(nodes), inf, dtype=np.int64)
+    dist[np.searchsorted(nodes, s0)] = 0
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    for _ in range(rounds):
+        prev = dist.copy()
+        ok = prev[iu] < inf
+        if not ok.any():
+            break
+        np.minimum.at(dist, iv[ok], prev[iu[ok]] + w[ok])
+        if np.array_equal(prev, dist):
+            break
+    keep = dist < inf
+    return ray.data.from_pandas(
+        pd.DataFrame({"node": nodes[keep], "dist": dist[keep]}).astype(
+            {"node": "int64", "dist": "int64"}
+        )
+    )
+
+
 def bfs_distances(
     edges: ray.data.Dataset,
     sources: ray.data.Dataset,
@@ -698,10 +760,17 @@ def bfs_distances(
     dst_col: str = "dst",
     source_col: str = "node",
     num_buckets: int = 32,
+    broadcast_max_edges: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Bounded-hop multi-source BFS: ``(node, dist)`` for every node
     reachable within ``hops`` directed edges of any source, ``dist`` the
     exact minimum hop count (sources are dist 0).
+
+    Adaptive like :func:`pagerank` / :func:`k_core`: an edge list that
+    fits on the driver relaxes in a vectorized numpy loop (Jacobi-style
+    — each round reads the PREVIOUS round's distances, so the bounded
+    round count means exactly what the distributed version and the SQL
+    twin mean); above ``broadcast_max_edges`` the BSP loop below runs.
 
     BSP frontier expansion with the same two-bucketed-shuffles-per-round
     shape as :func:`connected_components`: co-locate the FRONTIER (only
@@ -719,6 +788,13 @@ def bfs_distances(
     empty = pd.DataFrame(
         {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
     )
+
+    edges = edges.materialize()
+    if edges.count() <= broadcast_max_edges:
+        return _driver_relax(
+            edges, sources, rounds=hops, src_col=src_col, dst_col=dst_col,
+            source_col=source_col, weight_col=None, empty=empty,
+        )
 
     def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -818,6 +894,7 @@ def shortest_path_distances(
     dst_col: str = "dst",
     source_col: str = "node",
     num_buckets: int = 32,
+    broadcast_max_edges: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Bounded-round multi-source WEIGHTED shortest paths (integer
     non-negative weights): ``(node, dist)`` with dist the exact minimum
@@ -835,6 +912,16 @@ def shortest_path_distances(
     empty = pd.DataFrame(
         {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
     )
+
+    edges = edges.materialize()
+    if edges.count() <= broadcast_max_edges:
+        # adaptive driver fast path (see bfs_distances) — Jacobi rounds
+        # keep the bounded-round semantics identical to the BSP loop
+        return _driver_relax(
+            edges, sources, rounds=rounds, src_col=src_col, dst_col=dst_col,
+            source_col=source_col, weight_col=weight_col, empty=empty,
+        )
+
     empty_flag = pd.DataFrame(
         {
             "node": pd.Series(dtype="int64"),

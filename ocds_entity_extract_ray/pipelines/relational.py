@@ -4403,7 +4403,12 @@ def q_bfs_purchase_radius(sf_dir: str) -> pd.DataFrame:
     sources = ray.data.from_pandas(
         pd.DataFrame({"node": np.arange(5, dtype=np.int64)})
     )
-    out = bfs_distances(edges, sources, hops=3).to_pandas()
+    # the purchase graph is ~26 MB/1M edges at sf0.1 — comfortably
+    # driver-sized, so let the adaptive fast path engage; a true
+    # web-scale edge list exceeds this and falls back to the BSP loop
+    out = bfs_distances(
+        edges, sources, hops=3, broadcast_max_edges=4_000_000
+    ).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -4756,7 +4761,9 @@ def q_weighted_purchase_paths(sf_dir: str) -> pd.DataFrame:
     sources = ray.data.from_pandas(
         pd.DataFrame({"node": np.arange(5, dtype=np.int64)})
     )
-    out = shortest_path_distances(edges, sources, rounds=4).to_pandas()
+    out = shortest_path_distances(
+        edges, sources, rounds=4, broadcast_max_edges=4_000_000
+    ).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 

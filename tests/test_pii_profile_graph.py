@@ -121,12 +121,15 @@ def test_bfs_sql_matches_op(ray_session):
     e = pd.DataFrame(
         {"src": rng.integers(0, 60, 150), "dst": rng.integers(0, 60, 150)}
     ).drop_duplicates()
+    # bme=0 forces the DISTRIBUTED BSP loop; the planted-graph tests
+    # cover the driver fast path
     out = (
         bfs_distances(
             ray.data.from_pandas(e),
             ray.data.from_pandas(pd.DataFrame({"node": [0, 1]})),
             hops=4,
             num_buckets=8,
+            broadcast_max_edges=0,
         )
         .to_pandas()
         .sort_values("node")
@@ -274,6 +277,7 @@ def test_shortest_paths_sql_matches_op(ray_session):
             ray.data.from_pandas(pd.DataFrame({"node": [0, 1]})),
             rounds=5,
             num_buckets=8,
+            broadcast_max_edges=0,  # force the distributed path
         )
         .to_pandas()
         .sort_values("node")
@@ -655,3 +659,37 @@ def test_common_neighbor_scores_hub_cap(ray_session):
     # actual edges; (3,100) is adjacent too, and (1,2) merges with its
     # hub wedge rather than adding a row
     assert len(full) == 43
+
+
+def test_driver_relax_matches_distributed(ray_session):
+    """The adaptive driver fast path and the BSP loop compute the same
+    bounded-round result, weighted and unweighted (the Jacobi rule —
+    in-place updates would leak extra hops within a round)."""
+    from ocds_entity_extract_ray.ops.graph import (
+        bfs_distances,
+        shortest_path_distances,
+    )
+
+    rng = np.random.default_rng(23)
+    e = pd.DataFrame(
+        {
+            "src": rng.integers(0, 50, 160),
+            "dst": rng.integers(0, 50, 160),
+            "w": rng.integers(1, 9, 160),
+        }
+    ).drop_duplicates(["src", "dst"])
+    src = pd.DataFrame({"node": [0, 7]})
+    for fn, kw in [
+        (bfs_distances, {"hops": 3}),
+        (shortest_path_distances, {"rounds": 4}),
+    ]:
+        fast = (
+            fn(ray.data.from_pandas(e), ray.data.from_pandas(src), **kw)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        dist = (
+            fn(ray.data.from_pandas(e), ray.data.from_pandas(src),
+               broadcast_max_edges=0, num_buckets=4, **kw)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, dist)
