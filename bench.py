@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q_gapfill_daily_orders",
     "q_top_session_paths",
     "q_revenue_share",
+    "q_url_frontier_dedup",
 ]
 
 

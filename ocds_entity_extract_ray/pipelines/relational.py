@@ -5058,6 +5058,47 @@ LIMIT 50
 SQL_QUERIES["q_link_prediction_parts"] = (q_link_prediction_parts, Q_LINK_PREDICTION_SQL)
 
 
+def _synth_parse_urls(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic adversarial URL synthesis from (doc_id, source) —
+    mixed-case schemes/hosts, explicit default AND non-default ports,
+    fragments, 0-3 params, varying depth — parsed by ops/urls.py. Shared
+    by q_url_domain_stats and q_url_frontier_dedup; the SQL mirror is
+    _SYNTH_URLS_SQL + _url_parse_ctes()."""
+    from ..ops.urls import parse_urls
+
+    d = b["doc_id"].to_numpy().astype("int64")
+    scheme = np.where(d % 2 == 0, "HTTPS://WWW.", "http://www.")
+    port = np.where(d % 6 == 0, ":443", "")
+    path = np.select([d % 3 == 0, d % 3 == 1], ["/a", "/a/b"], default="/a/b/c")
+    qs = np.select([d % 4 == 0, d % 4 == 1], ["?x=1&y=2&z=3", "?x=1"], default="")
+    frag = np.where(d % 5 == 0, "#frag", "")
+    url = (
+        scheme
+        + b["source"].str.upper().to_numpy()
+        + ".EXAMPLE.COM"
+        + port
+        + path
+        + qs
+        + frag
+    )
+    out = parse_urls(pd.Series(url))
+    out.index = b.index
+    out["doc_id"] = d
+    return out
+
+
+_SYNTH_URLS_SQL = """
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://www.' END)
+    || upper(source) || '.EXAMPLE.COM'
+    || (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END)
+    || (CASE doc_id % 3 WHEN 0 THEN '/a' WHEN 1 THEN '/a/b' ELSE '/a/b/c' END)
+    || (CASE doc_id % 4 WHEN 0 THEN '?x=1&y=2&z=3' WHEN 1 THEN '?x=1' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+"""
+
+
 def q_url_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-host crawl stats after URL normalization (ops/urls.py): the
     canonicalize-before-group step every crawl pipeline runs. URLs are
@@ -5071,31 +5112,10 @@ def q_url_domain_stats(sf_dir: str) -> pd.DataFrame:
     DISTINCT normalized url per host) is a bucketed (host, norm) distinct
     BEFORE the per-host count (never a driver-side set); the other three
     aggregates partial-combine map-side."""
-    from ..ops.urls import parse_urls
-
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def synth_and_parse(b: pd.DataFrame) -> pd.DataFrame:
-        d = b["doc_id"].to_numpy().astype("int64")
-        scheme = np.where(d % 2 == 0, "HTTPS://WWW.", "http://www.")
-        port = np.where(d % 6 == 0, ":443", "")
-        path = np.select(
-            [d % 3 == 0, d % 3 == 1], ["/a", "/a/b"], default="/a/b/c"
-        )
-        qs = np.select(
-            [d % 4 == 0, d % 4 == 1], ["?x=1&y=2&z=3", "?x=1"], default=""
-        )
-        frag = np.where(d % 5 == 0, "#frag", "")
-        url = (
-            scheme
-            + b["source"].str.upper().to_numpy()
-            + ".EXAMPLE.COM"
-            + port
-            + path
-            + qs
-            + frag
-        )
-        p = parse_urls(pd.Series(url))
+        p = _synth_parse_urls(b)
         return pd.DataFrame(
             {
                 "host": p["host"].to_numpy(),
@@ -5930,3 +5950,74 @@ ORDER BY c_mktsegment
 """
 
 SQL_QUERIES["q_revenue_share"] = (q_revenue_share, Q_REVENUE_SHARE_SQL)
+
+
+def q_url_frontier_dedup(sf_dir: str) -> pd.DataFrame:
+    """Crawl-frontier dedup by CANONICAL URL: normalize (the laundry in
+    ops/urls.py — case-fold, default-port drop, fragment strip) and keep
+    the earliest doc per normalized URL. Distinct docs genuinely collide
+    after normalization (the synthesis repeats every lcm of the variation
+    cycles per source), so the first-writer choice is exercised, not
+    vacuous. One per-batch argmin pre-shrink + one bucketed argmin on the
+    norm key (latest_by_key ascending) — the frontier's 'seen this URL?'
+    membership state, as a batch op."""
+    from ..ops.agg import latest_by_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        p = _synth_parse_urls(b)
+        return pd.DataFrame(
+            {"norm": p["norm"].to_numpy(), "doc_id": p["doc_id"].to_numpy()}
+        ).astype({"doc_id": "int64"})
+
+    parsed = docs.map_batches(parse, batch_format="pandas")
+    first = latest_by_key(
+        parsed,
+        "norm",
+        ["doc_id"],
+        ascending=True,
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"norm": pd.Series(dtype="object"), "doc_id": pd.Series(dtype="int64")}
+        ),
+    ).to_pandas()
+    return first.sort_values("norm").reset_index(drop=True)[["norm", "doc_id"]]
+
+
+Q_URL_FRONTIER_DEDUP_SQL = f"""
+WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
+), p AS MATERIALIZED (
+  SELECT doc_id,
+    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+    split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM urls
+), hp AS MATERIALIZED (
+  SELECT doc_id, scheme,
+    split_part(rest, '/', 1) AS hostport,
+    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM p
+), f AS MATERIALIZED (
+  SELECT doc_id, scheme,
+    lower(split_part(hostport, ':', 1)) AS host,
+    CASE WHEN contains(hostport, ':')
+         THEN split_part(hostport, ':', 2)::BIGINT
+         ELSE (CASE scheme WHEN 'https' THEN 443 ELSE 80 END) END AS port,
+    split_part(pathq, '?', 1) AS path,
+    CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS query
+  FROM hp
+), n AS MATERIALIZED (
+  SELECT doc_id,
+    scheme || '://' || host
+      || (CASE WHEN port = (CASE scheme WHEN 'https' THEN 443 ELSE 80 END)
+               THEN '' ELSE ':' || port END)
+      || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS norm
+  FROM f
+)
+SELECT norm, MIN(doc_id)::BIGINT AS doc_id
+FROM n
+GROUP BY norm
+ORDER BY norm
+"""
+
+SQL_QUERIES["q_url_frontier_dedup"] = (q_url_frontier_dedup, Q_URL_FRONTIER_DEDUP_SQL)
