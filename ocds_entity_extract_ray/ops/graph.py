@@ -789,25 +789,40 @@ def bfs_distances(
         {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
     )
 
-    edges = edges.materialize()
-    if edges.count() <= broadcast_max_edges:
-        return _driver_relax(
-            edges, sources, rounds=hops, src_col=src_col, dst_col=dst_col,
-            source_col=source_col, weight_col=None, empty=empty,
-        )
-
     def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"key": b[src_col], "val": b[dst_col], "kind": 1}
         ).astype({"key": "int64", "val": "int64", "kind": "int64"})
 
+    # probe the size on the TAGGED copy (the one the loop keeps) —
+    # materializing the raw edges as well would pin a second edge-sized
+    # copy in the object store for the whole run
     edge2 = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+    if edge2.count() <= broadcast_max_edges:
+        return _driver_relax(
+            edge2.map_batches(
+                lambda b: b.rename(columns={"key": src_col, "val": dst_col}),
+                batch_format="pandas",
+            ),
+            sources, rounds=hops, src_col=src_col, dst_col=dst_col,
+            source_col=source_col, weight_col=None, empty=empty,
+        )
 
-    reached = sources.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
-        ).astype({"dist": "int64"}),
-        batch_format="pandas",
+    # grouped min at init: duplicate source rows must collapse to ONE
+    # (matches the driver path's np.unique and the SQL twin's GROUP BY —
+    # visible at hops=0, where no combine round would otherwise run)
+    reached = grouped_agg(
+        sources.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
+            ).astype({"dist": "int64"}),
+            batch_format="pandas",
+        ),
+        ["node"],
+        {"dist": ("dist", "min")},
+        final="bucketed",
+        num_buckets=num_buckets,
+        empty_result=empty,
     ).materialize()
 
     def expand(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -913,12 +928,28 @@ def shortest_path_distances(
         {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
     )
 
-    edges = edges.materialize()
-    if edges.count() <= broadcast_max_edges:
+    def tag_edges_w(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy()
+        # validate on BOTH adaptive paths: the driver kernel raises too,
+        # so behavior cannot depend on which side of the threshold runs
+        if (w < 0).any():
+            raise ValueError("shortest_path_distances: negative weights")
+        return pd.DataFrame(
+            {"key": b[src_col], "val": b[dst_col], "w": w, "kind": 1}
+        ).astype({"key": "int64", "val": "int64", "w": "int64", "kind": "int64"})
+
+    edge2w = edges.map_batches(tag_edges_w, batch_format="pandas").materialize()
+    if edge2w.count() <= broadcast_max_edges:
         # adaptive driver fast path (see bfs_distances) — Jacobi rounds
         # keep the bounded-round semantics identical to the BSP loop
         return _driver_relax(
-            edges, sources, rounds=rounds, src_col=src_col, dst_col=dst_col,
+            edge2w.map_batches(
+                lambda b: b.rename(
+                    columns={"key": src_col, "val": dst_col, "w": weight_col}
+                ),
+                batch_format="pandas",
+            ),
+            sources, rounds=rounds, src_col=src_col, dst_col=dst_col,
             source_col=source_col, weight_col=weight_col, empty=empty,
         )
 
@@ -930,12 +961,7 @@ def shortest_path_distances(
         }
     )
 
-    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"key": b[src_col], "val": b[dst_col], "w": b[weight_col], "kind": 1}
-        ).astype({"key": "int64", "val": "int64", "w": "int64", "kind": "int64"})
-
-    edge2 = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+    edge2 = edge2w
 
     # grouped min at init: a duplicated source node must yield ONE row
     # (the SQL twin GROUP BYs every round; duplicate old rows here would

@@ -5087,6 +5087,46 @@ def _synth_parse_urls(b: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _url_parse_ctes(*, keep: str) -> str:
+    """The split_part/lower/replace parse chain mirroring
+    ops/urls.py:parse_urls, as chained CTEs over a ``urls(doc_id, url)``
+    CTE. ``keep`` is an extra column expression ('doc_id' or '') carried
+    through every stage. Shared by BOTH URL twins so they cannot
+    diverge. Ends with CTE ``n`` exposing (keep?, host, path_depth,
+    n_params, norm)."""
+    k = f"{keep}, " if keep else ""
+    return f"""p AS MATERIALIZED (
+  SELECT {k}
+    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+    split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM urls
+), hp AS MATERIALIZED (
+  SELECT {k}scheme,
+    split_part(rest, '/', 1) AS hostport,
+    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM p
+), f AS MATERIALIZED (
+  SELECT {k}scheme,
+    lower(split_part(hostport, ':', 1)) AS host,
+    CASE WHEN contains(hostport, ':')
+         THEN split_part(hostport, ':', 2)::BIGINT
+         ELSE (CASE scheme WHEN 'https' THEN 443 ELSE 80 END) END AS port,
+    split_part(pathq, '?', 1) AS path,
+    CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS query
+  FROM hp
+), n AS MATERIALIZED (
+  SELECT {k}host,
+    (length(path) - length(replace(path, '/', '')))::BIGINT AS path_depth,
+    (CASE WHEN query = '' THEN 0
+          ELSE length(query) - length(replace(query, '&', '')) + 1 END)::BIGINT AS n_params,
+    scheme || '://' || host
+      || (CASE WHEN port = (CASE scheme WHEN 'https' THEN 443 ELSE 80 END)
+               THEN '' ELSE ':' || port END)
+      || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS norm
+  FROM f
+)"""
+
+
 _SYNTH_URLS_SQL = """
   SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://www.' END)
@@ -5168,46 +5208,9 @@ def q_url_domain_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("host").reset_index(drop=True)
 
 
-Q_URL_DOMAIN_STATS_SQL = """
-WITH urls AS MATERIALIZED (
-  SELECT
-    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://www.' END)
-    || upper(source) || '.EXAMPLE.COM'
-    || (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END)
-    || (CASE doc_id % 3 WHEN 0 THEN '/a' WHEN 1 THEN '/a/b' ELSE '/a/b/c' END)
-    || (CASE doc_id % 4 WHEN 0 THEN '?x=1&y=2&z=3' WHEN 1 THEN '?x=1' ELSE '' END)
-    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
-  FROM documents
-), p AS MATERIALIZED (
-  SELECT
-    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-    split_part(split_part(url, '#', 1), '://', 2) AS rest
-  FROM urls
-), hp AS MATERIALIZED (
-  SELECT scheme,
-    split_part(rest, '/', 1) AS hostport,
-    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
-  FROM p
-), f AS MATERIALIZED (
-  SELECT scheme,
-    lower(split_part(hostport, ':', 1)) AS host,
-    CASE WHEN contains(hostport, ':')
-         THEN split_part(hostport, ':', 2)::BIGINT
-         ELSE (CASE scheme WHEN 'https' THEN 443 ELSE 80 END) END AS port,
-    split_part(pathq, '?', 1) AS path,
-    CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS query
-  FROM hp
-), n AS MATERIALIZED (
-  SELECT host,
-    (length(path) - length(replace(path, '/', '')))::BIGINT AS path_depth,
-    (CASE WHEN query = '' THEN 0
-          ELSE length(query) - length(replace(query, '&', '')) + 1 END)::BIGINT AS n_params,
-    scheme || '://' || host
-      || (CASE WHEN port = (CASE scheme WHEN 'https' THEN 443 ELSE 80 END)
-               THEN '' ELSE ':' || port END)
-      || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS norm
-  FROM f
-)
+Q_URL_DOMAIN_STATS_SQL = f"""
+WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
+), {_url_parse_ctes(keep="")}
 SELECT host,
   COUNT(*)::BIGINT AS n_pages,
   COUNT(DISTINCT norm)::BIGINT AS n_urls,
@@ -5987,33 +5990,7 @@ def q_url_frontier_dedup(sf_dir: str) -> pd.DataFrame:
 
 Q_URL_FRONTIER_DEDUP_SQL = f"""
 WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
-), p AS MATERIALIZED (
-  SELECT doc_id,
-    lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-    split_part(split_part(url, '#', 1), '://', 2) AS rest
-  FROM urls
-), hp AS MATERIALIZED (
-  SELECT doc_id, scheme,
-    split_part(rest, '/', 1) AS hostport,
-    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
-  FROM p
-), f AS MATERIALIZED (
-  SELECT doc_id, scheme,
-    lower(split_part(hostport, ':', 1)) AS host,
-    CASE WHEN contains(hostport, ':')
-         THEN split_part(hostport, ':', 2)::BIGINT
-         ELSE (CASE scheme WHEN 'https' THEN 443 ELSE 80 END) END AS port,
-    split_part(pathq, '?', 1) AS path,
-    CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS query
-  FROM hp
-), n AS MATERIALIZED (
-  SELECT doc_id,
-    scheme || '://' || host
-      || (CASE WHEN port = (CASE scheme WHEN 'https' THEN 443 ELSE 80 END)
-               THEN '' ELSE ':' || port END)
-      || path || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS norm
-  FROM f
-)
+), {_url_parse_ctes(keep="doc_id")}
 SELECT norm, MIN(doc_id)::BIGINT AS doc_id
 FROM n
 GROUP BY norm

@@ -161,47 +161,63 @@ def read_parquet_evolved(
     **kwargs,
 ) -> ray.data.Dataset:
     """read_parquet for a directory whose shards have EVOLVED schemas
-    (later ingests added columns): unify the file schemas from metadata
-    on the driver (cheap — footers only) and pin the unified schema on
-    the read, so every block is uniformly typed and files missing a
-    column yield typed nulls.
+    (later ingests added columns or widened types): unify the file
+    schemas from footers on the driver (parallel metadata reads — a
+    long-lived corpus has tens of thousands of shards, so a serial
+    footer loop would add minutes of driver latency) and conform every
+    block to the unified schema with a zero-copy arrow map — missing
+    columns become typed nulls, widened columns cast up
+    (promote_options="permissive"), and hive PARTITION columns (which
+    never appear in the physical footers) pass through untouched.
 
     Without this, Ray reads each file with its own schema and emits
     MIXED-schema blocks ("RefBundle with a different schema" warnings) —
     the same block-schema divergence that crashes Arrow's hash join
-    downstream. A 100 TB corpus accreted over months virtually always
-    has evolved schemas, so this is the default reader for long-lived
-    tables. (Passing ``schema=`` to read_parquet does NOT fill missing
-    columns — the fragment scan raises on old files — so conformance is
-    an explicit zero-copy arrow map over each block.)"""
+    downstream. (Passing ``schema=`` to read_parquet does NOT fill
+    missing columns — the fragment scan raises on old files — so
+    conformance is an explicit map over each block.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.dataset as pads
 
-    frag_schemas = []
     dataset = pads.dataset(path, format="parquet")
-    for frag in dataset.get_fragments():
-        frag_schemas.append(frag.physical_schema)
-    unified = pa.unify_schemas(frag_schemas)
+    frags = list(dataset.get_fragments())
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        frag_schemas = list(ex.map(lambda f: f.physical_schema, frags))
+    unified = pa.unify_schemas(frag_schemas, promote_options="permissive")
     if columns is not None:
-        unified = pa.schema([unified.field(c) for c in columns])
+        # partition columns are absent from the physical footers; they
+        # surface per block and pass through conform below
+        unified = pa.schema(
+            [unified.field(c) for c in columns if unified.get_field_index(c) != -1]
+        )
 
     def conform(t: pa.Table) -> pa.Table:
-        arrays = []
+        arrays, fields = [], []
         for f in unified:
             if f.name in t.column_names:
                 arrays.append(t[f.name].cast(f.type))
             else:
                 arrays.append(pa.nulls(len(t), f.type))
-        return pa.Table.from_arrays(arrays, schema=unified)
+            fields.append(f)
+        # hive partition columns (and any other block-only columns) ride
+        # along — dropping them would silently lose the partition key
+        for name in t.column_names:
+            if unified.get_field_index(name) == -1 and (
+                columns is None or name in columns
+            ):
+                arrays.append(t[name])
+                fields.append(pa.field(name, t[name].type))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
     # prune at the read where safe: a column present in EVERY file can be
-    # pushed into the parquet scan; columns some files lack must be
-    # conformed post-read (pushing them down raises on the old files)
+    # pushed into the parquet scan; columns some files lack (or partition
+    # columns) must be handled post-read
     if columns is not None:
-        common = [
-            c for c in columns
-            if all(sch.get_field_index(c) != -1 for sch in frag_schemas)
-        ]
-        if len(common) == len(columns):
+        if all(
+            all(sch.get_field_index(c) != -1 for sch in frag_schemas)
+            for c in columns
+        ):
             kwargs = dict(kwargs, columns=columns)
     raw = ray.data.read_parquet(path, **kwargs)
     return raw.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)

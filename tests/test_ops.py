@@ -1880,3 +1880,29 @@ def test_read_parquet_evolved_unifies_blocks(ray_session, tmp_path):
     pruned = read_parquet_evolved(d, columns=["id", "b"])
     assert set(pruned.schema().names) == {"id", "b"}
     assert len(pruned.to_pandas()) == 3
+
+
+def test_read_parquet_evolved_partitions_and_widening(ray_session, tmp_path):
+    """Hive partition columns (absent from physical footers) must ride
+    along, and a column written int32 early / int64 later unifies wide."""
+    import os as _os
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ocds_entity_extract_ray.sources.readers import read_parquet_evolved
+
+    d = str(tmp_path / "hive")
+    _os.makedirs(d + "/part=a"); _os.makedirs(d + "/part=b")
+    pq_.write_table(
+        pa_.table({"id": pa_.array([1, 2], pa_.int32())}), d + "/part=a/f.parquet"
+    )
+    pq_.write_table(
+        pa_.table({"id": pa_.array([3], pa_.int64()), "b": ["x"]}),
+        d + "/part=b/f.parquet",
+    )
+    ds = read_parquet_evolved(d)
+    out = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert set(out.columns) == {"id", "b", "part"}
+    assert list(out["part"]) == ["a", "a", "b"]
+    assert out["id"].dtype == "int64"

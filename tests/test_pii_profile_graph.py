@@ -310,6 +310,7 @@ def test_shortest_paths_duplicate_sources_dedupe(ray_session):
         ray.data.from_pandas(pd.DataFrame({"node": [0, 0]})),
         rounds=3,
         num_buckets=4,
+        broadcast_max_edges=0,  # the init grouped-min dedup lives in the BSP path
     ).to_pandas()
     assert len(out) == 3
     assert dict(zip(out["node"], out["dist"])) == {0: 0, 1: 3, 2: 7}
@@ -693,3 +694,33 @@ def test_driver_relax_matches_distributed(ray_session):
             .to_pandas().sort_values("node").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_adaptive_paths_parity_on_edge_cases(ray_session):
+    """The two adaptive paths must agree on validation and degenerate
+    inputs: negative weights raise on BOTH; hops=0 with duplicated
+    sources yields ONE row on both."""
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.graph import (
+        bfs_distances,
+        shortest_path_distances,
+    )
+
+    neg = pd.DataFrame({"src": [0, 1], "dst": [1, 2], "w": [3, -2]})
+    for bme in (10**6, 0):
+        with _pytest.raises(Exception, match="negative"):
+            shortest_path_distances(
+                ray.data.from_pandas(neg),
+                ray.data.from_pandas(pd.DataFrame({"node": [0]})),
+                rounds=2, num_buckets=4, broadcast_max_edges=bme,
+            ).to_pandas()
+
+    e = pd.DataFrame({"src": [0], "dst": [1]})
+    for bme in (10**6, 0):
+        out = bfs_distances(
+            ray.data.from_pandas(e),
+            ray.data.from_pandas(pd.DataFrame({"node": [0, 0]})),
+            hops=0, num_buckets=4, broadcast_max_edges=bme,
+        ).to_pandas()
+        assert len(out) == 1 and out.iloc[0]["dist"] == 0
