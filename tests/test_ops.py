@@ -1906,3 +1906,33 @@ def test_read_parquet_evolved_partitions_and_widening(ray_session, tmp_path):
     assert set(out.columns) == {"id", "b", "part"}
     assert list(out["part"]) == ["a", "a", "b"]
     assert out["id"].dtype == "int64"
+
+
+def test_parse_urls_normalization_idempotent():
+    """norm is a FIXPOINT: parsing a normalized URL yields the same norm
+    and the same derived fields (hypothesis over the component space)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocds_entity_extract_ray.ops.urls import parse_urls
+
+    host_chars = st.text("abcXYZ09-", min_size=1, max_size=8)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+        host=host_chars,
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=st.sampled_from(["", "/", "/a", "/a/b/c"]),
+        query=st.sampled_from(["", "?x=1", "?x=1&y=2"]),
+        frag=st.sampled_from(["", "#f", "#a/b?c"]),
+    )
+    def check(scheme, host, port, path, query, frag):
+        url = f"{scheme}://{host}{port}{path}{query}{frag}"
+        p1 = parse_urls(pd.Series([url]))
+        p2 = parse_urls(pd.Series([p1["norm"].iloc[0]]))
+        for col in ("scheme", "host", "port", "path", "query",
+                    "path_depth", "n_params", "norm"):
+            assert p1[col].iloc[0] == p2[col].iloc[0], (col, url)
+
+    check()
