@@ -1293,6 +1293,22 @@ def common_neighbor_scores(
         batch_format="pandas",
     ).materialize()
 
+    empty_out = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "cn": pd.Series(dtype="int64"),
+            "deg_a": pd.Series(dtype="int64"),
+            "deg_b": pd.Series(dtype="int64"),
+        }
+    )
+    # a thresholded graph can legitimately be EMPTY at some scales —
+    # skip the three bucketed stages + join guards entirely (each runs a
+    # full sort pipeline even over zero rows, ~1s apiece of pure
+    # overhead measured at sf0.1)
+    if edges.count() == 0:
+        return ray.data.from_pandas(empty_out)
+
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -1345,15 +1361,6 @@ def common_neighbor_scores(
     # materialize+count guards: an ALL-empty side reaches Arrow's hash
     # join as schema-less blocks and acero raises ("No match for key
     # field") — sparse graphs legitimately produce zero cn>=min_cn pairs
-    empty_out = pd.DataFrame(
-        {
-            "a": pd.Series(dtype="int64"),
-            "b": pd.Series(dtype="int64"),
-            "cn": pd.Series(dtype="int64"),
-            "deg_a": pd.Series(dtype="int64"),
-            "deg_b": pd.Series(dtype="int64"),
-        }
-    )
     cn = cn.materialize()
     if cn.count() == 0:
         return ray.data.from_pandas(empty_out)
