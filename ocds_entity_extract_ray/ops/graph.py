@@ -509,6 +509,7 @@ def triangle_count(
     src_col: str = "u",
     dst_col: str = "v",
     num_buckets: int = 32,
+    broadcast_max_edges: int = 1_000_000,
 ) -> int:
     """Exact triangle count over an undirected edge list given in
     canonical orientation (src < dst per edge, no duplicates). The
@@ -530,6 +531,27 @@ def triangle_count(
     bounding wedge fan-out by arboricity); the canonical id-orientation
     here is the right shape for the bounded-degree co-occurrence graphs
     the engine builds (see relational.q_supplier_triangles)."""
+    edges = edges.map_batches(
+        lambda b: b[[src_col, dst_col]].astype(
+            {src_col: "int64", dst_col: "int64"}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    # adaptive driver fast path (the house pattern): a thresholded graph
+    # of <= 1M canonical edges wedges out to a few million rows — one
+    # in-memory two-join is ~4x faster than the bucketed stages at bench
+    # scale; the distributed path below remains for larger graphs
+    if edges.count() <= broadcast_max_edges:
+        edf = edges.to_pandas()
+        if src_col not in edf.columns or not len(edf):
+            return 0
+        e = edf.rename(columns={src_col: "u", dst_col: "v"})
+        wedges_df = e.merge(e, left_on="v", right_on="u")
+        closed = wedges_df.merge(
+            e, left_on=["u_x", "v_y"], right_on=["u", "v"]
+        )
+        return int(len(closed))
+
 
     def tag(kind: int, k, x) -> pd.DataFrame:
         return pd.DataFrame(

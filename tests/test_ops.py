@@ -1228,7 +1228,8 @@ def test_triangle_count_planted_graph(ray_session):
     edges = pd.DataFrame(k4 + extra, columns=["u", "v"]).astype("int64")
     ds = ray.data.from_pandas(edges)
     assert triangle_count(ds) == 5
-    assert triangle_count(ds, num_buckets=3) == 5
+    # force the distributed two-join path too (bme=0)
+    assert triangle_count(ds, num_buckets=3, broadcast_max_edges=0) == 5
 
 
 def test_triangle_count_no_triangles(ray_session):
@@ -1236,6 +1237,7 @@ def test_triangle_count_no_triangles(ray_session):
 
     path = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]}).astype("int64")
     assert triangle_count(ray.data.from_pandas(path)) == 0
+    assert triangle_count(ray.data.from_pandas(path), broadcast_max_edges=0) == 0
 
 
 def test_edit_distance_pairs_matches_bruteforce(ray_session):
