@@ -537,20 +537,31 @@ def triangle_count(
         ),
         batch_format="pandas",
     ).materialize()
-    # adaptive driver fast path (the house pattern): a thresholded graph
-    # of <= 1M canonical edges wedges out to a few million rows — one
-    # in-memory two-join is ~4x faster than the bucketed stages at bench
-    # scale; the distributed path below remains for larger graphs
+    # adaptive driver fast path (the house pattern): ~2x faster than the
+    # bucketed stages at bench scale. The edge threshold alone is NOT a
+    # safe bound — wedge rows are O(sum deg^2), so a dense near-clique
+    # under 1M edges still wedges out to ~5e8 rows — so the gate is the
+    # EXACT wedge-row count (computable from the edge endpoints before
+    # any merge); dense graphs fall through to the distributed path,
+    # which spreads wedges across buckets
     if edges.count() <= broadcast_max_edges:
         edf = edges.to_pandas()
         if src_col not in edf.columns or not len(edf):
             return 0
         e = edf.rename(columns={src_col: "u", dst_col: "v"})
-        wedges_df = e.merge(e, left_on="v", right_on="u")
-        closed = wedges_df.merge(
-            e, left_on=["u_x", "v_y"], right_on=["u", "v"]
+        out_by_node = e["u"].value_counts()
+        in_by_node = e["v"].value_counts()
+        common = out_by_node.index.intersection(in_by_node.index)
+        n_wedges = int(
+            (out_by_node.loc[common] * in_by_node.loc[common]).sum()
         )
-        return int(len(closed))
+        if n_wedges <= 30_000_000:
+            wedges_df = e.merge(e, left_on="v", right_on="u")
+            closed = wedges_df.merge(
+                e, left_on=["u_x", "v_y"], right_on=["u", "v"]
+            )
+            return int(len(closed))
+        edges = ray.data.from_pandas(e.rename(columns={"u": src_col, "v": dst_col}))
 
 
     def tag(kind: int, k, x) -> pd.DataFrame:

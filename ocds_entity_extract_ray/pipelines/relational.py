@@ -5095,6 +5095,8 @@ def _url_parse_ctes(*, keep: str) -> str:
     diverge. Ends with CTE ``n`` exposing (keep?, host, path_depth,
     n_params, norm)."""
     k = f"{keep}, " if keep else ""
+    # authority ends at the first '/' OR '?' — same rule as parse_urls
+    # ('http://h.com?x=1' must not swallow the query into the host)
     return f"""p AS MATERIALIZED (
   SELECT {k}
     lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
@@ -5102,8 +5104,8 @@ def _url_parse_ctes(*, keep: str) -> str:
   FROM urls
 ), hp AS MATERIALIZED (
   SELECT {k}scheme,
-    split_part(rest, '/', 1) AS hostport,
-    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+    regexp_extract(rest, '^[^/?]*') AS hostport,
+    substr(rest, length(regexp_extract(rest, '^[^/?]*')) + 1) AS pathq
   FROM p
 ), f AS MATERIALIZED (
   SELECT {k}scheme,

@@ -164,11 +164,13 @@ def read_parquet_evolved(
     (later ingests added columns or widened types): unify the file
     schemas from footers on the driver (parallel metadata reads — a
     long-lived corpus has tens of thousands of shards, so a serial
-    footer loop would add minutes of driver latency) and conform every
-    block to the unified schema with a zero-copy arrow map — missing
-    columns become typed nulls, widened columns cast up
-    (promote_options="permissive"), and hive PARTITION columns (which
-    never appear in the physical footers) pass through untouched.
+    footer loop would add minutes of driver latency), fold in any hive
+    PARTITION columns (absent from physical footers), and conform every
+    block to the one unified schema with an arrow map — missing columns
+    become typed nulls, widened columns cast up
+    (promote_options="permissive"). Every output block has the SAME
+    schema, including on mixed layouts where some shards sit outside the
+    partition directories.
 
     Without this, Ray reads each file with its own schema and emits
     MIXED-schema blocks ("RefBundle with a different schema" warnings) —
@@ -180,35 +182,36 @@ def read_parquet_evolved(
 
     import pyarrow.dataset as pads
 
-    dataset = pads.dataset(path, format="parquet")
+    dataset = pads.dataset(path, format="parquet", partitioning="hive")
     frags = list(dataset.get_fragments())
     with ThreadPoolExecutor(max_workers=16) as ex:
         frag_schemas = list(ex.map(lambda f: f.physical_schema, frags))
     unified = pa.unify_schemas(frag_schemas, promote_options="permissive")
+    # hive partition columns: in dataset.schema but never in the footers;
+    # add them to the UNIFIED schema so a mixed layout (some shards
+    # outside the partition dirs) still yields one uniform block schema
+    physical = set(unified.names)
+    for f in dataset.schema:
+        if f.name not in physical:
+            unified = unified.append(f)
     if columns is not None:
-        # partition columns are absent from the physical footers; they
-        # surface per block and pass through conform below
-        unified = pa.schema(
-            [unified.field(c) for c in columns if unified.get_field_index(c) != -1]
-        )
+        known = set(unified.names)
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise KeyError(
+                f"read_parquet_evolved: unknown column(s) {missing}; "
+                f"available: {sorted(known)}"
+            )
+        unified = pa.schema([unified.field(c) for c in columns])
 
     def conform(t: pa.Table) -> pa.Table:
-        arrays, fields = [], []
+        arrays = []
         for f in unified:
             if f.name in t.column_names:
                 arrays.append(t[f.name].cast(f.type))
             else:
                 arrays.append(pa.nulls(len(t), f.type))
-            fields.append(f)
-        # hive partition columns (and any other block-only columns) ride
-        # along — dropping them would silently lose the partition key
-        for name in t.column_names:
-            if unified.get_field_index(name) == -1 and (
-                columns is None or name in columns
-            ):
-                arrays.append(t[name])
-                fields.append(pa.field(name, t[name].type))
-        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        return pa.Table.from_arrays(arrays, schema=unified)
 
     # prune at the read where safe: a column present in EVERY file can be
     # pushed into the parquet scan; columns some files lack (or partition

@@ -1909,6 +1909,19 @@ def test_read_parquet_evolved_partitions_and_widening(ray_session, tmp_path):
     assert list(out["part"]) == ["a", "a", "b"]
     assert out["id"].dtype == "int64"
 
+    # MIXED layout: a shard OUTSIDE the partition dirs must still yield
+    # the uniform schema (part = null), not a divergent block
+    pq_.write_table(pa_.table({"id": pa_.array([9], pa_.int64())}), d + "/root.parquet")
+    ds2 = read_parquet_evolved(d)
+    out2 = ds2.to_pandas().sort_values("id").reset_index(drop=True)
+    assert set(out2.columns) == {"id", "b", "part"}
+    assert out2["part"].isna().sum() == 1
+
+    # a typo'd column must raise loudly, not silently vanish
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="soruce"):
+        read_parquet_evolved(d, columns=["id", "soruce"])
+
 
 def test_parse_urls_normalization_idempotent():
     """norm is a FIXPOINT: parsing a normalized URL yields the same norm
