@@ -412,6 +412,45 @@ def _kg_link_prediction(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _kg_crawl_freshness(sf_dir: str):
+    """Rows-only: crawl-freshness profile over the input_hint's
+    ``warc_ts`` column — per crawl HOUR (the synthetic corpus spans
+    hours-to-days depending on sf), page count and embedded-record count
+    (extract_jsonld_blocks, the same parser the flagship mention stage
+    uses). The query a recrawl scheduler runs to decide which slices of
+    a 10^12-page corpus are stale; one stateless map + one small grouped
+    aggregate."""
+    import pandas as pd
+
+    from ocds_entity_extract_ray.functions.textextract import extract_jsonld_blocks
+    from ocds_entity_extract_ray.ops.agg import grouped_agg
+    from ocds_entity_extract_ray.sources.readers import read_pages
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    pages = read_pages(pages_dir, columns=["warc_ts", "html"])
+
+    def per_week(b: pd.DataFrame) -> pd.DataFrame:
+        hr = (
+            b["warc_ts"].astype("datetime64[ns]").astype("int64")
+            // (3_600 * 10**9)
+        )
+        n_rec = [len(extract_jsonld_blocks(h)) for h in b["html"]]
+        return pd.DataFrame(
+            {"crawl_hour": hr.to_numpy(), "n_records": n_rec}
+        ).astype({"crawl_hour": "int64", "n_records": "int64"})
+
+    out = grouped_agg(
+        pages.map_batches(per_week, batch_format="pandas"),
+        ["crawl_hour"],
+        {"n_pages": ("n_records", "count"), "n_records": ("n_records", "sum")},
+        final="driver",
+    )
+    for c in ("n_pages", "n_records"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("crawl_hour").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocds_entity_extract_ray.pipelines.relational import (
         ROWS_ONLY_QUERIES,
@@ -432,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["kg_entity_cores"] = _kg_entity_cores
     out["kg_link_prediction"] = _kg_link_prediction
     out["kg_partition_lineage"] = _kg_partition_lineage
+    out["kg_crawl_freshness"] = _kg_crawl_freshness
     return out
 
 
