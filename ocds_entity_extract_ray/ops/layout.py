@@ -274,7 +274,8 @@ def compact_parquet(
         )
 
     before = ray.data.read_parquet(src)
-    n_before = before.count()
+    # footer-metadata counts: the row-count guard costs zero data reads
+    n_before = count_rows_metadata(src)
     files_before = sum(
         1 for _r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
     )
@@ -287,7 +288,7 @@ def compact_parquet(
         min_rows_per_file=target_rows_per_file,
         max_rows_per_file=target_rows_per_file,
     )
-    n_after = ray.data.read_parquet(tmp).count()
+    n_after = count_rows_metadata(tmp)
     if n_after != n_before:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
@@ -311,3 +312,28 @@ def compact_parquet(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def count_rows_metadata(path: str) -> int:
+    """Row count from parquet FOOTERS only — no data pages read, no Ray
+    tasks: the O(files) metadata scan (parallel, like
+    read_parquet_evolved's schema pass) that makes row-count guards and
+    progress accounting free at 100 TB. Counts must match a full scan by
+    parquet's contract (num_rows is authoritative metadata)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+    def one(fp: str) -> int:
+        return pq.ParquetFile(fp).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return int(sum(ex.map(one, files)))

@@ -202,3 +202,65 @@ def bloom_semi_filter(
         return batch[bloom_contains(bl, batch[col].tolist(), n_hashes=n_hashes)]
 
     return ds.map_batches(flt, batch_format="pandas")
+
+
+def approx_count_distinct_by(
+    ds: ray.data.Dataset,
+    key_col: str,
+    col: str,
+    *,
+    p: int = 12,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """GROUPED HyperLogLog: approx distinct ``col`` per ``key_col`` —
+    the per-domain cardinality profile (distinct urls per host, distinct
+    users per segment) a 100 TB corpus can never answer exactly without
+    shipping every value.
+
+    Two-stage like everything else: per-batch, per-key register arrays
+    (each 2^p bytes, ONE row per (key, batch) regardless of row count),
+    then a bucketed elementwise-max merge per key. Register max-merge is
+    order- and partition-independent, so the estimate is deterministic
+    for a given input set. Error ~1.04/sqrt(2^p) (pytest-bounded <5% at
+    p=12). Driver holds key-cardinality rows only."""
+    from .agg import bucketed_map_groups
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in batch.groupby(key_col, sort=False):
+            rows.append((k, _hll_registers(g[col].tolist(), p).tobytes()))
+        return pd.DataFrame(rows, columns=[key_col, "reg"])
+
+    empty = pd.DataFrame(
+        {key_col: pd.Series(dtype="object"), "reg": pd.Series(dtype="object")}
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in bucket.groupby(key_col, sort=False):
+            m = np.zeros(1 << p, dtype=np.uint8)
+            for blob in g["reg"]:
+                m = np.maximum(m, np.frombuffer(blob, dtype=np.uint8))
+            rows.append((k, int(round(_hll_estimate(m)))))
+        return pd.DataFrame(rows, columns=[key_col, "approx_distinct"]).astype(
+            {"approx_distinct": "int64"}
+        )
+
+    out = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_col,
+        merge,
+        num_buckets=num_buckets,
+        empty_result=pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="object"),
+                "approx_distinct": pd.Series(dtype="int64"),
+            }
+        ),
+    ).to_pandas()
+    if "approx_distinct" not in out.columns:
+        out = pd.DataFrame(
+            {key_col: pd.Series(dtype="object"),
+             "approx_distinct": pd.Series(dtype="int64")}
+        )
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -6000,3 +6000,18 @@ ORDER BY norm
 """
 
 SQL_QUERIES["q_url_frontier_dedup"] = (q_url_frontier_dedup, Q_URL_FRONTIER_DEDUP_SQL)
+
+
+def q_source_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """Rows-only (approximate by construction — no exact SQL twin can
+    hash-match an estimator): per-source approx distinct document texts
+    via the grouped HyperLogLog (ops/sketches.py:approx_count_distinct_by;
+    error pytest-bounded <5%, partition-independent). The per-domain
+    cardinality profile a 100 TB crawl cannot answer exactly."""
+    from ..ops.sketches import approx_count_distinct_by
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return approx_count_distinct_by(docs, "source", "text", num_buckets=8)
+
+
+ROWS_ONLY_QUERIES["q_source_distinct_hll"] = q_source_distinct_hll

@@ -1951,3 +1951,34 @@ def test_parse_urls_normalization_idempotent():
             assert p1[col].iloc[0] == p2[col].iloc[0], (col, url)
 
     check()
+
+
+def test_count_rows_metadata_matches_scan(ray_session, tmp_path):
+    from ocds_entity_extract_ray.ops.layout import count_rows_metadata
+
+    d = str(tmp_path / "t")
+    ray.data.range(12345).repartition(7).write_parquet(d)
+    assert count_rows_metadata(d) == 12345
+    assert count_rows_metadata(str(tmp_path)) == 12345  # recursive walk
+
+
+def test_approx_count_distinct_by_error_bound(ray_session):
+    """Grouped HLL within 5% of exact per key, and partition-independent
+    (same estimates at different block layouts)."""
+    from ocds_entity_extract_ray.ops.sketches import approx_count_distinct_by
+
+    rng = np.random.default_rng(9)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n) < 0.5, "a", "b"),
+            "v": rng.integers(0, 5000, n),
+        }
+    )
+    exact = df.groupby("k")["v"].nunique()
+    got4 = approx_count_distinct_by(ray.data.from_pandas(df).repartition(4), "k", "v")
+    got9 = approx_count_distinct_by(ray.data.from_pandas(df).repartition(9), "k", "v")
+    pd.testing.assert_frame_equal(got4, got9)  # partition independence
+    for _, row in got4.iterrows():
+        e = exact[row["k"]]
+        assert abs(row["approx_distinct"] - e) / e < 0.05, (row["k"], row["approx_distinct"], e)
