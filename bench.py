@@ -281,6 +281,9 @@ def run_bench() -> dict:
         "triples": report.get("triples"),
         "docs_per_sec": round(report.get("docs", 0) / kg_secs, 1),
         "triples_per_sec": round(report.get("triples", 0) / kg_secs, 1),
+        # per-stage metrics from the run's lineage manifests (the
+        # north-rule's "per-stage docs/sec and triples/sec")
+        "stages": report.get("stages"),
         "incremental": {
             "init_docs": inc_docs - inc_docs // 16,
             "delta_docs": inc_docs // 16,
