@@ -430,7 +430,7 @@ def _kg_crawl_freshness(sf_dir: str):
     pages_dir = _corpus(n)
     pages = read_pages(pages_dir, columns=["warc_ts", "html"])
 
-    def per_week(b: pd.DataFrame) -> pd.DataFrame:
+    def per_hour(b: pd.DataFrame) -> pd.DataFrame:
         hr = (
             b["warc_ts"].astype("datetime64[ns]").astype("int64")
             // (3_600 * 10**9)
@@ -441,7 +441,7 @@ def _kg_crawl_freshness(sf_dir: str):
         ).astype({"crawl_hour": "int64", "n_records": "int64"})
 
     out = grouped_agg(
-        pages.map_batches(per_week, batch_format="pandas"),
+        pages.map_batches(per_hour, batch_format="pandas"),
         ["crawl_hour"],
         {"n_pages": ("n_records", "count"), "n_records": ("n_records", "sum")},
         final="driver",

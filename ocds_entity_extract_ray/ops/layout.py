@@ -325,12 +325,20 @@ def count_rows_metadata(path: str) -> int:
 
     import pyarrow.parquet as pq
 
-    files = [
-        os.path.join(r, f)
-        for r, _d, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
+    files = []
+    for r, dirs, fs in os.walk(path):
+        # match Ray's reader semantics: '_'/'.'-prefixed path components
+        # (metadata dirs, hidden files) are skipped — counting files the
+        # read ignores would make guards built on this mis-fire
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in fs:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                files.append(os.path.join(r, f))
+    if not files:
+        raise FileNotFoundError(
+            f"count_rows_metadata: no .parquet files under {path!r} "
+            "(local filesystem only; a URI path walks to nothing)"
+        )
 
     def one(fp: str) -> int:
         return pq.ParquetFile(fp).metadata.num_rows

@@ -231,10 +231,6 @@ def approx_count_distinct_by(
             rows.append((k, _hll_registers(g[col].tolist(), p).tobytes()))
         return pd.DataFrame(rows, columns=[key_col, "reg"])
 
-    empty = pd.DataFrame(
-        {key_col: pd.Series(dtype="object"), "reg": pd.Series(dtype="object")}
-    )
-
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for k, g in bucket.groupby(key_col, sort=False):
@@ -258,9 +254,4 @@ def approx_count_distinct_by(
             }
         ),
     ).to_pandas()
-    if "approx_distinct" not in out.columns:
-        out = pd.DataFrame(
-            {key_col: pd.Series(dtype="object"),
-             "approx_distinct": pd.Series(dtype="int64")}
-        )
     return out.sort_values(key_col).reset_index(drop=True)

@@ -5114,7 +5114,9 @@ def _url_parse_ctes(*, keep: str) -> str:
          THEN split_part(hostport, ':', 2)::BIGINT
          ELSE (CASE scheme WHEN 'https' THEN 443 ELSE 80 END) END AS port,
     split_part(pathq, '?', 1) AS path,
-    CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2) ELSE '' END AS query
+    CASE WHEN contains(pathq, '?')
+         THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+         ELSE '' END AS query
   FROM hp
 ), n AS MATERIALIZED (
   SELECT {k}host,

@@ -189,11 +189,14 @@ def read_parquet_evolved(
     unified = pa.unify_schemas(frag_schemas, promote_options="permissive")
     # hive partition columns: in dataset.schema but never in the footers;
     # add them to the UNIFIED schema so a mixed layout (some shards
-    # outside the partition dirs) still yields one uniform block schema
+    # outside the partition dirs) still yields one uniform block schema.
+    # Typed as STRING deliberately: Ray's reader emits hive values as
+    # strings, and pyarrow's inferred partition type would lossily retype
+    # them (day=01 -> int 1, unrecoverable zero-padding)
     physical = set(unified.names)
     for f in dataset.schema:
         if f.name not in physical:
-            unified = unified.append(f)
+            unified = unified.append(pa.field(f.name, pa.string()))
     if columns is not None:
         known = set(unified.names)
         missing = [c for c in columns if c not in known]
