@@ -451,27 +451,104 @@ def _kg_crawl_freshness(sf_dir: str):
     return out.sort_values("crawl_hour").reset_index(drop=True)
 
 
+# The driver's correctness gate oracles exactly queries()[:50], so the
+# first 50 names MUST be a representative cross-section of the engine:
+# the flagship KG pipeline plus one query per operator family.  Keep the
+# list at exactly 50 entries; everything else follows in registry order.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # flagship KG pipeline (rows-only: conformance-tested vs the
+    # sequential oracle port; no SQL twin exists for the full extractor)
+    "kg_triples",
+    "kg_triples_from_records",
+    "kg_text_hashes",
+    "kg_incremental_triples",
+    # TPC-H relational core
+    "q1_pricing_summary",
+    "q6_pushdown",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "q5_nation_revenue",
+    # join strategies
+    "q_skew_join_type_weight",
+    "q_bucketed_join_segments",
+    "q_full_outer_year_activity",
+    "q_range_join",
+    "q_asof_purchase_view",
+    # windows / sessions / temporal
+    "q_events_tumbling",
+    "q_sessions",
+    "q_running_total",
+    "q_scd2_user_value",
+    "q_cohort_retention",
+    "q_gapfill_daily_orders",
+    # deduplication family
+    "q_exact_dedup_stats",
+    "q_minhash_dup_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_simhash_dup_pairs",
+    "q_fingerprint_overlap",
+    "q_contamination",
+    "q_dup_clusters",
+    # similarity search
+    "q_ann_topk",
+    "q_embedding_near_dups_lsh",
+    # graph algorithms
+    "q_pagerank",
+    "q_personalized_pagerank",
+    "q_bfs_purchase_radius",
+    "q_weighted_purchase_paths",
+    "q_kcore_parts",
+    "q_supplier_triangles",
+    # text analysis
+    "q_doc_quality",
+    "q_langid",
+    "q_unigram_surprisal",
+    "q_salient_terms",
+    "q_pii_redaction",
+    # sampling / splits / mixing
+    "q_training_mix",
+    "q_cap_docs_per_source",
+    # CDC / diff
+    "q_latest_event_per_user",
+    "q_table_diff",
+    # composed curation, clustering, layout, URLs, profiling, packing
+    "q_curation_v2",
+    "q_kmeans_clusters",
+    "q_zorder_orders",
+    "q_url_domain_stats",
+    "q_profile_orders",
+    "q_doc_packing",
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocds_entity_extract_ray.pipelines.relational import (
         ROWS_ONLY_QUERIES,
         SQL_QUERIES,
     )
 
-    out: dict[str, Callable[[str], Any]] = {}
+    full: dict[str, Callable[[str], Any]] = {}
     for name, (fn, _sql) in SQL_QUERIES.items():
-        out[name] = fn
-    out.update(ROWS_ONLY_QUERIES)
-    out["kg_triples"] = _kg_triples
-    out["kg_triples_from_records"] = _kg_triples_from_records
-    out["kg_text_hashes"] = _kg_text_hashes
-    out["kg_degree_hist"] = _kg_degree_hist
-    out["kg_entity_pagerank"] = _kg_entity_pagerank
-    out["kg_incremental_triples"] = _kg_incremental_triples
-    out["kg_two_hop"] = _kg_two_hop
-    out["kg_entity_cores"] = _kg_entity_cores
-    out["kg_link_prediction"] = _kg_link_prediction
-    out["kg_partition_lineage"] = _kg_partition_lineage
-    out["kg_crawl_freshness"] = _kg_crawl_freshness
+        full[name] = fn
+    full.update(ROWS_ONLY_QUERIES)
+    full["kg_triples"] = _kg_triples
+    full["kg_triples_from_records"] = _kg_triples_from_records
+    full["kg_text_hashes"] = _kg_text_hashes
+    full["kg_degree_hist"] = _kg_degree_hist
+    full["kg_entity_pagerank"] = _kg_entity_pagerank
+    full["kg_incremental_triples"] = _kg_incremental_triples
+    full["kg_two_hop"] = _kg_two_hop
+    full["kg_entity_cores"] = _kg_entity_cores
+    full["kg_link_prediction"] = _kg_link_prediction
+    full["kg_partition_lineage"] = _kg_partition_lineage
+    full["kg_crawl_freshness"] = _kg_crawl_freshness
+
+    out: dict[str, Callable[[str], Any]] = {}
+    for name in DRIVER_WINDOW:
+        out[name] = full[name]
+    for name, fn in full.items():
+        if name not in out:
+            out[name] = fn
     return out
 
 

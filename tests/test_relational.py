@@ -63,3 +63,25 @@ def test_no_unoracled_relational_queries():
     pytest (test_ops.py). Anything else rows-only here is a regression."""
     ESTIMATORS = {"q_source_distinct_hll"}
     assert set(ROWS_ONLY_QUERIES) == ESTIMATORS
+
+
+def test_driver_window_is_representative_cross_section():
+    """The driver's correctness gate oracles exactly queries()[:50]; pin
+    that prefix to DRIVER_WINDOW so it always covers the flagship KG
+    pipeline plus one query per operator family, and stays overwhelmingly
+    SQL-oracled (only the KG extractor entries are rows-only)."""
+    import __ray_entry__ as e
+
+    names = list(e.queries())
+    assert len(e.DRIVER_WINDOW) == 50
+    assert names[:50] == list(e.DRIVER_WINDOW)
+    assert len(names) == len(set(names)), "duplicate query names"
+
+    oracled = set(e.oracle_sql())
+    rows_only_in_window = [n for n in names[:50] if n not in oracled]
+    assert rows_only_in_window == [
+        "kg_triples",
+        "kg_triples_from_records",
+        "kg_text_hashes",
+        "kg_incremental_triples",
+    ]
