@@ -52,6 +52,9 @@ from ..stages.triples_stage import materialize_triples
 _STATES = "states"
 _ENTITIES_RAW = "entities_raw"
 _META = "meta.json"
+_JOURNAL = "journal"
+_STAGING = "_staging"
+_RETIRED = "_retired"
 
 
 def _norm(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -150,6 +153,10 @@ def kg_init(
     raw_dir = os.path.join(store_dir, _ENTITIES_RAW)
     shutil.rmtree(states_dir, ignore_errors=True)
     shutil.rmtree(raw_dir, ignore_errors=True)
+    # a fresh store invalidates any prior update journal/staging
+    shutil.rmtree(os.path.join(store_dir, _JOURNAL), ignore_errors=True)
+    shutil.rmtree(os.path.join(store_dir, _STAGING), ignore_errors=True)
+    shutil.rmtree(os.path.join(store_dir, _RETIRED), ignore_errors=True)
     states.write_parquet(states_dir, partition_cols=["bucket"], mode="overwrite")
     entities = _render_states(states).materialize()
     entities.write_parquet(raw_dir, partition_cols=["bucket"], mode="overwrite")
@@ -164,6 +171,66 @@ def kg_init(
     }
 
 
+def _delta_id(delta_path: str, config: dict) -> str:
+    """Content-addressed id of one delta application: the delta input's
+    file fingerprint (names + sizes + mtime_ns) plus the output-shaping
+    config. Re-running kg_update with the same delta yields the same id,
+    so the journal can detect an already-applied delta instead of merging
+    its ADDITIVE accumulators a second time (which would double-count)."""
+    import hashlib
+
+    from ..state.manifest import input_fingerprint
+
+    fp = input_fingerprint(delta_path, config)
+    blob = json.dumps(fp, sort_keys=True, default=str).encode("utf-8")
+    return hashlib.sha256(blob).hexdigest()[:32]
+
+
+def _swap_staged(store_dir: str, delta_id: str, touched: list[int]) -> None:
+    """Move the staged recomputed partitions into place, retiring the old
+    ones. Resumable: every step is a directory rename keyed on existence,
+    so a crash at any point is repaired by calling this again (staged dir
+    present -> redo that bucket; absent -> that bucket already swapped)."""
+    staging = os.path.join(store_dir, _STAGING, delta_id)
+    retired = os.path.join(store_dir, _RETIRED, delta_id)
+    for sub in (_STATES, _ENTITIES_RAW):
+        for b in touched:
+            staged = os.path.join(staging, sub, f"bucket={b}")
+            if not os.path.isdir(staged):
+                continue  # already swapped by a previous (crashed) attempt
+            live = os.path.join(store_dir, sub, f"bucket={b}")
+            if os.path.isdir(live):
+                dst = os.path.join(retired, sub, f"bucket={b}")
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(live, dst)
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(staged, live)
+
+
+def _cleanup_scratch(store_dir: str, delta_id: str) -> None:
+    """Remove this delta's staging/retired trees, pruning the shared
+    parent dirs when they end up empty."""
+    for root in (_STAGING, _RETIRED):
+        shutil.rmtree(os.path.join(store_dir, root, delta_id), ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(store_dir, root))
+        except OSError:
+            pass  # non-empty (another delta's scratch) or already gone
+
+
+def _journal_path(store_dir: str, delta_id: str) -> str:
+    return os.path.join(store_dir, _JOURNAL, f"{delta_id}.json")
+
+
+def _write_journal(store_dir: str, delta_id: str, entry: dict) -> None:
+    path = _journal_path(store_dir, delta_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, path)  # atomic: the journal is never half-written
+
+
 def kg_update(
     delta_path: str,
     store_dir: str,
@@ -176,9 +243,43 @@ def kg_update(
     source: str = "pages",
 ) -> dict:
     """Merge one delta shard into the store, rewriting only the touched
-    bucket partitions."""
+    bucket partitions.
+
+    Crash-safe and exactly-once: the recomputed partitions are written to
+    a staging directory first, a journal entry (keyed on the delta's
+    content fingerprint) records the application, and only then are the
+    live partitions swapped out via per-bucket renames. A crash anywhere
+    is repaired by re-running the same update — before the journal entry
+    the live store is untouched (recompute from scratch); after it the
+    swap resumes from the staged partitions; once marked applied, a rerun
+    is a detected no-op (returning the recorded report) rather than a
+    second merge of the delta's additive accumulators."""
     with open(os.path.join(store_dir, _META)) as fh:
         num_buckets = int(json.load(fh)["num_buckets"])
+
+    delta_id = _delta_id(
+        delta_path,
+        {
+            "num_buckets": num_buckets,
+            "source": source,
+            "classifier_list": classifier_list,
+            "product_index_keys": sorted(product_index) if product_index else None,
+        },
+    )
+    jpath = _journal_path(store_dir, delta_id)
+    staging = os.path.join(store_dir, _STAGING, delta_id)
+    retired = os.path.join(store_dir, _RETIRED, delta_id)
+    states_dir = os.path.join(store_dir, _STATES)
+
+    if os.path.exists(jpath):
+        with open(jpath) as fh:
+            entry = json.load(fh)
+        if entry["phase"] == "staged":
+            # crashed mid-swap: finish it from the staged partitions
+            _swap_staged(store_dir, delta_id, entry["report"]["touched_buckets"])
+            _write_journal(store_dir, delta_id, {**entry, "phase": "applied"})
+        _cleanup_scratch(store_dir, delta_id)
+        return {**entry["report"], "already_applied": True}
 
     delta = _merged_states(
         _read_input(delta_path, source),
@@ -191,8 +292,6 @@ def kg_update(
     ).materialize()
 
     touched = sorted(int(b) for b in delta.unique("bucket"))
-    states_dir = os.path.join(store_dir, _STATES)
-    raw_dir = os.path.join(store_dir, _ENTITIES_RAW)
     old_parts = [
         (b, os.path.join(states_dir, f"bucket={b}"))
         for b in touched
@@ -209,8 +308,13 @@ def kg_update(
             for f in sorted(os.listdir(d))
             if f.endswith(".parquet")
         ]
-        old = _norm(ray.data.read_parquet(part_files))
-        combined = old.union(delta)
+        if part_files:
+            old = _norm(ray.data.read_parquet(part_files))
+            combined = old.union(delta)
+        else:
+            # touched buckets exist but are empty partitions (a previous
+            # update retired their contents) — nothing old to merge
+            combined = delta
     else:
         combined = delta
 
@@ -222,19 +326,35 @@ def kg_update(
     merged = _norm(merged).materialize()
     rendered = _render_states(merged).materialize()
 
-    # atomic-enough partition swap: remove the touched partitions, then
-    # append the recomputed ones (a crash between the two is repaired by
-    # re-running the same update — the delta merge is idempotent)
-    for b in touched:
-        shutil.rmtree(os.path.join(states_dir, f"bucket={b}"), ignore_errors=True)
-        shutil.rmtree(os.path.join(raw_dir, f"bucket={b}"), ignore_errors=True)
-    merged.write_parquet(states_dir, partition_cols=["bucket"])
-    rendered.write_parquet(raw_dir, partition_cols=["bucket"])
-    return {
+    report = {
         "delta_state_rows": delta.count(),
         "touched_buckets": touched,
         "merged_state_rows": merged.count(),
     }
+
+    # stage -> journal -> swap -> mark applied
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write_parquet(
+        os.path.join(staging, _STATES), partition_cols=["bucket"], mode="overwrite"
+    )
+    rendered.write_parquet(
+        os.path.join(staging, _ENTITIES_RAW), partition_cols=["bucket"], mode="overwrite"
+    )
+    # a touched bucket whose recompute produced zero rows must still swap
+    # to an EMPTY partition (its old contents are retired), so ensure a
+    # staged dir exists for every touched bucket in both sub-stores
+    for sub in (_STATES, _ENTITIES_RAW):
+        for b in touched:
+            os.makedirs(os.path.join(staging, sub, f"bucket={b}"), exist_ok=True)
+    _write_journal(
+        store_dir, delta_id, {"phase": "staged", "report": report}
+    )
+    _swap_staged(store_dir, delta_id, touched)
+    _write_journal(
+        store_dir, delta_id, {"phase": "applied", "report": report}
+    )
+    _cleanup_scratch(store_dir, delta_id)
+    return report
 
 
 def kg_export(store_dir: str, out_dir: str, *, triple_parts: int = 32) -> dict:

@@ -391,7 +391,66 @@ def test_incremental_update_is_idempotent(ray_session, pages_dir, tmp_path):
         .sort_by([("key", "ascending")])
     )
     assert rep1["touched_buckets"] == rep2["touched_buckets"]
+    assert rep2["already_applied"] is True
     assert rows1.column("key").to_pylist() == rows2.column("key").to_pylist()
+    # VALUE equality, not just keys: a re-applied delta must not merge its
+    # additive accumulators a second time (the journal detects it)
+    assert rows1.column("state").to_pylist() == rows2.column("state").to_pylist()
+
+
+def test_incremental_update_crash_recovery(ray_session, pages_dir, tmp_path, monkeypatch):
+    """A crash after the journal's 'staged' entry but mid-partition-swap
+    must be repaired by re-running the same update: the rerun resumes the
+    swap from the staged partitions and the store ends up byte-identical
+    to an uninterrupted update."""
+    import os
+    import shutil
+
+    from ocds_entity_extract_ray.pipelines import kg_incremental as ki
+
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+    files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    a_dir, b_dir = str(tmp_path / "ca"), str(tmp_path / "cb")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(pages_dir, f), (a_dir if i % 2 else b_dir))
+
+    def states_table(store):
+        return (
+            pads.dataset(store + "/states", format="parquet", partitioning="hive")
+            .to_table()
+            .sort_by([("key", "ascending")])
+        )
+
+    # reference: uninterrupted update
+    ok_store = str(tmp_path / "store_ok")
+    ki.kg_init(a_dir, ok_store, clist, pidx, num_buckets=8)
+    ki.kg_update(b_dir, ok_store, clist, pidx)
+    want = states_table(ok_store)
+
+    # crashing update: swap only the first touched bucket, then die
+    store = str(tmp_path / "store_crash")
+    ki.kg_init(a_dir, store, clist, pidx, num_buckets=8)
+    real_swap = ki._swap_staged
+
+    def partial_swap(store_dir, delta_id, touched):
+        real_swap(store_dir, delta_id, touched[:1])
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(ki, "_swap_staged", partial_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ki.kg_update(b_dir, store, clist, pidx)
+    monkeypatch.setattr(ki, "_swap_staged", real_swap)
+
+    rep = ki.kg_update(b_dir, store, clist, pidx)  # recovery rerun
+    assert rep["already_applied"] is True
+    got = states_table(store)
+    assert got.column("key").to_pylist() == want.column("key").to_pylist()
+    assert got.column("state").to_pylist() == want.column("state").to_pylist()
+    # staging/retired scratch is cleaned up after recovery
+    assert not os.path.exists(os.path.join(store, "_staging"))
+    assert not os.path.exists(os.path.join(store, "_retired"))
 
 
 def test_kg_two_hop_matches_bruteforce(ray_session):
