@@ -235,8 +235,10 @@ def run_bench() -> dict:
 
     # incremental materialization: measure a delta ingest against the
     # bootstrap over the same store (the O(delta + touched-state), not
-    # O(corpus), claim with a number attached). Run at ~1/8 of the bench
+    # O(corpus), claim with a number attached). Run at 1/4 of the bench
     # corpus so the extra wall-time stays modest.
+    import pyarrow.parquet as pq
+
     from ocds_entity_extract_ray.pipelines.kg_incremental import kg_init, kg_update
 
     inc_docs = max(2_000, n_docs // 4)
@@ -253,20 +255,48 @@ def run_bench() -> dict:
     for d in (init_dir, delta_dir):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
+    init_docs = delta_docs = 0
     for i, f in enumerate(shard_files):
-        # every 16th shard is the "new crawl" delta (~6%)
-        dst = delta_dir if i % 16 == 0 else init_dir
+        # every 16th shard is the "new crawl" delta (~6%); doc counts come
+        # from the parquet footers (the last shard is usually short, so
+        # inc_docs arithmetic would misreport them)
+        rows = pq.ParquetFile(os.path.join(inc_corpus, f)).metadata.num_rows
+        if i % 16 == 0:
+            dst, delta_docs = delta_dir, delta_docs + rows
+        else:
+            dst, init_docs = init_dir, init_docs + rows
         os.symlink(os.path.join(inc_corpus, f), os.path.join(dst, f))
     store = "/tmp/ocds_ray_inc_store"
     shutil.rmtree(store, ignore_errors=True)
+    # buckets scale with the corpus, not the CPU count: locality (an
+    # update touches only the delta's buckets) only materializes when
+    # buckets >> delta key count — at 100 TB this would be ~1M buckets
+    inc_buckets = 1024
     t_i = time.monotonic()
-    init_rep = kg_init(init_dir, store, clist, product_index(), num_buckets=max(64, NUM_CPUS * 4))
+    init_rep = kg_init(init_dir, store, clist, product_index(), num_buckets=inc_buckets)
     init_secs = time.monotonic() - t_i
     t_u = time.monotonic()
     upd_rep = kg_update(delta_dir, store, clist, product_index())
     upd_secs = time.monotonic() - t_u
     queries["kg_incremental_init"] = round(init_secs, 3)
     queries["kg_incremental_update"] = round(upd_secs, 3)
+
+    # localized delta: a SMALL crawl shard (few distinct entities) should
+    # touch few buckets and update in time proportional to those buckets,
+    # not the store — the bucket-locality claim with a number attached
+    local_dir = "/tmp/ocds_ray_inc_delta_local"
+    shutil.rmtree(local_dir, ignore_errors=True)
+    # start beyond the inc corpus: the local delta is genuinely NEW docs
+    generate_pages(local_dir, 16, shard_rows=16, start=inc_docs)
+    local_docs = sum(
+        pq.ParquetFile(os.path.join(local_dir, f)).metadata.num_rows
+        for f in os.listdir(local_dir)
+        if f.endswith(".parquet")
+    )
+    t_l = time.monotonic()
+    local_rep = kg_update(local_dir, store, clist, product_index())
+    local_secs = time.monotonic() - t_l
+    queries["kg_incremental_update_local"] = round(local_secs, 3)
 
     result = {
         "metric": "kg_pipeline_secs (pages->entities->triples) + per-query secs",
@@ -285,15 +315,22 @@ def run_bench() -> dict:
         # north-rule's "per-stage docs/sec and triples/sec")
         "stages": report.get("stages"),
         "incremental": {
-            "init_docs": inc_docs - inc_docs // 16,
-            "delta_docs": inc_docs // 16,
+            "init_docs": init_docs,
+            "delta_docs": delta_docs,
             "init_secs": round(init_secs, 3),
             "update_secs": round(upd_secs, 3),
             "update_speedup_vs_rebuild": round(init_secs / upd_secs, 2)
             if upd_secs
             else None,
             "touched_buckets": len(upd_rep.get("touched_buckets", [])),
+            "num_buckets": inc_buckets,
             "entities_after": upd_rep.get("merged_state_rows"),
+            "local_delta_docs": local_docs,
+            "local_update_secs": round(local_secs, 3),
+            "local_touched_buckets": len(local_rep.get("touched_buckets", [])),
+            "local_update_speedup_vs_rebuild": round(init_secs / local_secs, 2)
+            if local_secs
+            else None,
         },
     }
     ray.shutdown()

@@ -45,25 +45,28 @@ def _state_files(state_dir: str) -> list[str]:
     )
 
 
-def ingest_dedup(
+def ingest_dedup_two_phase(
     delta: ray.data.Dataset,
     state_dir: str,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 32,
-    commit: bool = True,
-) -> ray.data.Dataset:
-    """Return the rows of ``delta`` whose text content was never seen in
-    any prior ingest; duplicates WITHIN the delta keep exactly one row —
-    the one with the smallest ``id_col`` (deterministic under any
-    partitioning, not "first seen"). When ``commit``, the survivors'
-    hashes are appended to the state as one new file (idempotent:
-    rewritten whole on retry).
+):
+    """Two-phase variant of :func:`ingest_dedup` for exactly-once
+    pipelines: returns ``(survivors, commit)`` where ``commit()`` appends
+    the survivors' hashes to the state log and returns the written path.
 
-    Shape: hash map-side (vectorized md5), ONE bucketed shuffle
-    co-locating delta hashes with state hashes, per-bucket anti +
-    intra-delta dedup. Output is row-identical to the input minus dupes.
+    Contract: persist the survivor rows downstream FIRST, then call
+    ``commit()``. A crash before the commit leaves the state untouched, so
+    retrying the whole ingest recomputes the same survivor set (the
+    caller's downstream write must tolerate being re-done). A crash after
+    the commit means the downstream write already succeeded — the retry
+    sees the committed hashes and yields zero survivors, which the caller
+    must treat as "this ingest already completed", not as an empty batch
+    to overwrite its output with. Committing BEFORE the downstream write
+    (what the one-phase ``commit=True`` form does) risks silently losing
+    the batch if the process dies between the two.
     """
     from .agg import bucketed_map_groups
 
@@ -101,7 +104,11 @@ def ingest_dedup(
         unioned, "_h", anti, num_buckets=num_buckets
     ).materialize()
 
-    if commit:
+    committed: list[str] = []
+
+    def commit_state() -> str:
+        if committed:
+            return committed[0]  # in-process idempotence
         os.makedirs(state_dir, exist_ok=True)
         n = len(files)
         out_path = os.path.join(state_dir, f"hashes_{n:06d}.parquet")
@@ -116,8 +123,51 @@ def ingest_dedup(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pq.write_table(pa.Table.from_pandas(hdf, preserve_index=False), out_path)
+        tmp = out_path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(hdf, preserve_index=False), tmp)
+        os.replace(tmp, out_path)  # the log never holds a half-written file
+        committed.append(out_path)
+        return out_path
 
-    return survivors.map_batches(
+    out = survivors.map_batches(
         lambda b: b.drop(columns=["_h"]), batch_format="pandas"
     )
+    return out, commit_state
+
+
+def ingest_dedup(
+    delta: ray.data.Dataset,
+    state_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    commit: bool = True,
+) -> ray.data.Dataset:
+    """Return the rows of ``delta`` whose text content was never seen in
+    any prior ingest; duplicates WITHIN the delta keep exactly one row —
+    the one with the smallest ``id_col`` (deterministic under any
+    partitioning, not "first seen"). When ``commit``, the survivors'
+    hashes are appended to the state as one new file.
+
+    NOTE: the one-phase form commits the hashes as part of this call,
+    i.e. BEFORE the caller has persisted the survivor rows anywhere — a
+    crash between this call and the caller's downstream write loses the
+    batch on retry (the retry sees the hashes as already ingested). Use
+    :func:`ingest_dedup_two_phase` and call its ``commit()`` after the
+    downstream write when exactly-once delivery matters.
+
+    Shape: hash map-side (vectorized md5), ONE bucketed shuffle
+    co-locating delta hashes with state hashes, per-bucket anti +
+    intra-delta dedup. Output is row-identical to the input minus dupes.
+    """
+    out, commit_state = ingest_dedup_two_phase(
+        delta,
+        state_dir,
+        text_col=text_col,
+        id_col=id_col,
+        num_buckets=num_buckets,
+    )
+    if commit:
+        commit_state()
+    return out

@@ -12,7 +12,13 @@ built from split_part/lower/replace reproduces every field byte-for-byte
 re-ordering — those are lossy or engine-specific, the wrong place for an
 exact oracle.
 
-Contract: absolute URLs only (``scheme://...``); anything else raises.
+Contract: absolute URLs only (``scheme://...``); anything else raises
+with a message naming the offending URL. Userinfo (``user:pass@host``) is
+stripped at the last '@' of the authority, bracketed IPv6 hosts are kept
+whole (``[::1]``), and an empty port (``host:/``) means the scheme
+default — all three occur in real crawl frontiers. The synthetic corpus
+behind the SQL twins contains none of them, so the DuckDB parse chain
+models only the plain host[:port] subset.
 """
 
 from __future__ import annotations
@@ -63,11 +69,33 @@ def parse_urls(s: pd.Series) -> pd.DataFrame:
     hostport = ext[0]
     pathq = ext[1].fillna("")
 
-    host_raw, port_raw = _split2(hostport, ":")
-    host = host_raw.str.lower()
+    # strip userinfo: everything up to the LAST '@' in the authority
+    # (WHATWG; 'user:pass@h.com' — the userinfo may itself contain ':')
+    auth = hostport.str.extract(r"^(?:.*@)?(.*)$", expand=True)[0]
+
+    # IPv6 hosts are bracketed and may contain ':' — split host:port on
+    # the bracket for those rows, on the first ':' otherwise
+    is_v6 = auth.str.startswith("[").fillna(False)
+    v6 = auth.str.extract(r"^(\[[^\]]*\])(?::(.*))?$", expand=True)
+    plain_host, plain_port = _split2(auth, ":")
+    if is_v6.any() and v6.loc[is_v6, 0].isna().any():
+        bad = s[is_v6 & v6[0].isna()].iloc[0]
+        raise ValueError(f"parse_urls: malformed IPv6 authority in URL: {bad!r}")
+    host = pd.Series(
+        np.where(is_v6, v6[0], plain_host), index=s.index
+    ).str.lower()
+
     default_port = scheme.map(_DEFAULT_PORTS).fillna(0).astype("int64")
+    port_str = pd.Series(
+        np.where(is_v6, v6[1], plain_port), index=s.index
+    ).fillna("")
+    explicit = port_str != ""  # 'http://h.com:/' has an EMPTY port -> default
+    bad_port = explicit & ~port_str.str.fullmatch(r"\d+").fillna(False)
+    if bad_port.any():
+        bad = s[bad_port].iloc[0]
+        raise ValueError(f"parse_urls: non-numeric port in URL: {bad!r}")
     port = pd.Series(
-        np.where(port_raw.isna(), default_port, port_raw.fillna("0")),
+        np.where(explicit, port_str.where(explicit, "0"), default_port.astype(str)),
         index=s.index,
     ).astype("int64")
 

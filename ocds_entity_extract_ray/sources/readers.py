@@ -47,16 +47,19 @@ def read_records(path: str) -> ray.data.Dataset:
 
 
 def generate_pages(
-    out_dir: str, n: int, *, shard_rows: int = 2000, overwrite: bool = False
+    out_dir: str, n: int, *, shard_rows: int = 2000, overwrite: bool = False,
+    start: int = 0,
 ) -> str:
     """Generate the deterministic synthetic pages corpus in parallel Ray
     tasks (each shard is a pure function of its index range — seeded, no
     global RNG) and write partitioned Parquet. Idempotent: reuses an
-    existing corpus of the right size."""
+    existing corpus of the right size. ``start`` offsets the doc index
+    range (docs ``start..start+n``) so a delta corpus can be disjoint
+    from a base corpus."""
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == f"{n}:v3":
+            if fh.read().strip() == f"{n}:{start}:v3":
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -65,8 +68,8 @@ def generate_pages(
     def gen(batch: pa.Table) -> pa.Table:
         out = []
         for shard in batch["id"].to_pylist():
-            lo = shard * shard_rows
-            hi = min(n, lo + shard_rows)
+            lo = start + shard * shard_rows
+            hi = min(start + n, lo + shard_rows)
             out.append(pages_batch(lo, hi))
         return pa.concat_tables(out) if out else PAGES_SCHEMA.empty_table()
 
@@ -78,7 +81,7 @@ def generate_pages(
         .write_parquet(out_dir, max_rows_per_file=shard_rows, mode="overwrite")
     )
     with open(marker, "w") as fh:
-        fh.write(f"{n}:v3")
+        fh.write(f"{n}:{start}:v3")
     return out_dir
 
 

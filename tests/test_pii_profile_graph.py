@@ -525,6 +525,45 @@ def test_ingest_dedup_across_batches(ray_session, tmp_path):
     assert len(out3) == 0
 
 
+def test_ingest_dedup_two_phase_commit(ray_session, tmp_path):
+    """Deferred commit: survivors are visible before the state changes;
+    a crash before commit() leaves the state untouched (retry recomputes
+    the same survivors); after commit() the state is durable and a second
+    commit() call is a no-op returning the same path."""
+    import os
+
+    from ocds_entity_extract_ray.ops.ingest import (
+        ingest_dedup,
+        ingest_dedup_two_phase,
+    )
+
+    state = str(tmp_path / "state2p")
+    b1 = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+
+    surv, commit = ingest_dedup_two_phase(
+        ray.data.from_pandas(b1), state, num_buckets=4
+    )
+    assert set(surv.to_pandas()["doc_id"]) == {1, 2}
+    assert not os.path.isdir(state)  # nothing committed yet
+
+    # "crash" before commit: the retry sees the same (empty) state and
+    # recomputes the identical survivor set
+    surv_retry, commit_retry = ingest_dedup_two_phase(
+        ray.data.from_pandas(b1), state, num_buckets=4
+    )
+    assert set(surv_retry.to_pandas()["doc_id"]) == {1, 2}
+
+    path = commit_retry()
+    assert os.path.isfile(path)
+    assert commit_retry() == path  # idempotent re-commit
+
+    # after the commit the batch is a detected replay: zero survivors
+    out = ingest_dedup(
+        ray.data.from_pandas(b1), state, num_buckets=4, commit=False
+    ).to_pandas()
+    assert len(out) == 0
+
+
 def test_k_core_planted_graph(ray_session):
     """K4-clique (1..4) + chain 4-5-6 + pendant 7-1, k=2.
 
