@@ -188,17 +188,37 @@ def _kg_entity_pagerank(sf_dir: str):
             {"node": [_h(x) for x in ids], "entity": ids.to_numpy()}
         ).astype({"node": "int64"})
 
+    from ocds_entity_extract_ray.ops.agg import bucketed_map_groups, topk_rows
+    from ocds_entity_extract_ray.ops.joins import hash_join
+
+    empty_out = pd.DataFrame(
+        {"entity": pd.Series(dtype="object"), "rank": pd.Series(dtype="int64")}
+    )
     ranks = pagerank(
         triples.map_batches(to_edges, batch_format="pandas"), iters=10
-    ).to_pandas()
-    names = (
-        triples.map_batches(to_names, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates("node")
+    ).materialize()
+    if ranks.count() == 0:  # zero role triples: schema-less blocks crash joins
+        return empty_out
+    # node->entity is entity-cardinality: dedup and label DISTRIBUTEDLY
+    # (one bucket shuffle + a hash join), never collected to the driver —
+    # only the pruned top-k candidates (<= 100 per block) land there
+    names = bucketed_map_groups(
+        triples.map_batches(to_names, batch_format="pandas"),
+        "node",
+        lambda b: b.drop_duplicates("node"),
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "entity": pd.Series(dtype="object")}
+        ),
     )
-    out = ranks.merge(names, on="node")[["entity", "rank"]]
-    out = out.sort_values(["rank", "entity"], ascending=[False, True]).head(100)
-    return out.reset_index(drop=True)
+    # coalesce before the acero join: sparse bucketed stages emit
+    # schema-less empty blocks that crash Dataset.join
+    named = hash_join(
+        ranks.repartition(4), names.repartition(4), "inner", on=("node",)
+    ).map_batches(lambda b: b[["entity", "rank"]], batch_format="pandas")
+    return topk_rows(
+        named, 100, by=["rank", "entity"], ascending=[False, True], empty=empty_out
+    )
 
 
 def _kg_incremental_triples(sf_dir: str):
@@ -345,17 +365,46 @@ def _kg_membership_edges(sf_dir: str):
     return edges, names
 
 
-def _names_frame(names) -> "Any":
-    """names Dataset -> deduped pandas (node, entity), surviving the
-    all-empty case (zero role triples -> column-less to_pandas)."""
+def _names_dataset(names) -> "Any":
+    """names Dataset -> node-deduped names Dataset (one bucket shuffle);
+    stays DISTRIBUTED — entity cardinality never lands on the driver."""
     import pandas as pd
 
+    from ocds_entity_extract_ray.ops.agg import bucketed_map_groups
+
+    return bucketed_map_groups(
+        names,
+        "node",
+        lambda b: b.drop_duplicates("node"),
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "entity": pd.Series(dtype="object")}
+        ),
+    )
+
+
+def _lookup_names(names, nodes) -> "Any":
+    """Labels for a SMALL driver-side node set: broadcast the ids, filter
+    the names Dataset distributedly, collect only the matches (<= |nodes|
+    rows) — the full name table never lands on the driver."""
+    import pandas as pd
+    import ray
+
     from ocds_entity_extract_ray.ops.agg import to_pandas_safe
+
+    wanted_ref = ray.put(frozenset(int(x) for x in nodes))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(wanted_ref)
+        return b[b["node"].isin(wanted)]
 
     empty = pd.DataFrame(
         {"node": pd.Series(dtype="int64"), "entity": pd.Series(dtype="object")}
     )
-    return to_pandas_safe(names, empty).drop_duplicates("node")
+    matches = to_pandas_safe(
+        names.map_batches(pick, batch_format="pandas"), empty
+    )
+    return matches.drop_duplicates("node")
 
 
 def _kg_entity_cores(sf_dir: str):
@@ -368,16 +417,24 @@ def _kg_entity_cores(sf_dir: str):
 
     from ocds_entity_extract_ray.ops.agg import to_pandas_safe
     from ocds_entity_extract_ray.ops.graph import k_core
+    from ocds_entity_extract_ray.ops.joins import hash_join
 
-    edges, names = _kg_membership_edges(sf_dir)
-    core = to_pandas_safe(
-        k_core(edges, 2, rounds=4, num_buckets=16),
-        pd.DataFrame(
-            {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
-        ),
+    empty_out = pd.DataFrame(
+        {"entity": pd.Series(dtype="object"), "deg": pd.Series(dtype="int64")}
     )
-    nm = _names_frame(names)
-    out = core.merge(nm, on="node")[["entity", "deg"]]
+    edges, names = _kg_membership_edges(sf_dir)
+    core = k_core(edges, 2, rounds=4, num_buckets=16).materialize()
+    if core.count() == 0:  # empty core: schema-less blocks crash joins
+        return empty_out
+    # label the core nodes with a distributed hash join (core and names
+    # are both entity-cardinality; only the JOINED result — the query's
+    # actual output — is collected). repartition first: sparse bucketed
+    # stages emit schema-less empty blocks that crash Dataset.join.
+    labeled = hash_join(
+        core.repartition(4), _names_dataset(names).repartition(4),
+        "inner", on=("node",),
+    ).map_batches(lambda b: b[["entity", "deg"]], batch_format="pandas")
+    out = to_pandas_safe(labeled, empty_out)
     return out.sort_values(["deg", "entity"], ascending=[False, True]).reset_index(
         drop=True
     )
@@ -403,7 +460,10 @@ def _kg_link_prediction(sf_dir: str):
         edges, min_cn=2, num_buckets=16, max_center_degree=64
     )
     top = top_jaccard_pairs(scored, 100)
-    nm = _names_frame(names)
+    # label the <=100 pairs by broadcasting their <=200 node ids and
+    # filtering the names Dataset distributedly — never collect the full
+    # (entity-cardinality) name table to the driver
+    nm = _lookup_names(names, list(top["a"]) + list(top["b"]))
     top = top.merge(nm.rename(columns={"node": "a", "entity": "entity_a"}), on="a")
     top = top.merge(nm.rename(columns={"node": "b", "entity": "entity_b"}), on="b")
     out = top[["entity_a", "entity_b", "cn", "jaccard"]]

@@ -180,6 +180,33 @@ def upsert_latest(
     )
 
 
+def topk_rows(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    by: list[str],
+    ascending: list[bool],
+    empty: pd.DataFrame | None = None,
+) -> pd.DataFrame:
+    """Distributed top-k rows under a multi-column sort key: each batch
+    keeps only its local k (a combiner — at most k × num_blocks candidate
+    rows ever reach the driver, never the whole dataset), the driver
+    finalizes. Ties beyond position k are broken by the full ``by`` list,
+    so include a unique column for a deterministic result. Input rows must
+    be key-distinct if duplicates shouldn't crowd out candidates."""
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    cand = ds.map_batches(prune, batch_format="pandas")
+    out = to_pandas_safe(cand, empty) if empty is not None else cand.to_pandas()
+    return (
+        out.sort_values(by, ascending=ascending, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def to_pandas_safe(ds: ray.data.Dataset, empty: pd.DataFrame) -> pd.DataFrame:
     """``ds.to_pandas()`` that survives the all-empty case: a dataset whose
     blocks were all bypassed (or that has zero blocks) concatenates to a

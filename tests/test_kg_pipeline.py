@@ -453,6 +453,85 @@ def test_incremental_update_crash_recovery(ray_session, pages_dir, tmp_path, mon
     assert not os.path.exists(os.path.join(store, "_retired"))
 
 
+def test_topk_rows_matches_pandas(ray_session):
+    """topk_rows (per-block prune -> driver finalize) must equal a plain
+    pandas sort/head under the same multi-key order, ties included."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ocds_entity_extract_ray.ops.agg import topk_rows
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "score": rng.integers(0, 20, 500),  # dense ties
+            "name": [f"e{i:03d}" for i in rng.permutation(500)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = topk_rows(ds, 25, by=["score", "name"], ascending=[False, True])
+    want = (
+        df.sort_values(["score", "name"], ascending=[False, True], kind="mergesort")
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_kg_entity_pagerank_distributed_tail_parity(ray_session):
+    """The distributed label tail (bucketed name dedup + hash join +
+    top-k combiner) must reproduce the driver-side merge it replaced:
+    recompute ranks/names with a plain pandas collect over the same
+    corpus and compare frames exactly."""
+    import pandas as pd
+    import ray
+
+    import __ray_entry__ as e
+    from ocds_entity_extract_ray.extraction.triples import ROLE_PREDICATES
+    from ocds_entity_extract_ray.ops.graph import pagerank
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+
+    got = e._kg_entity_pagerank("/root/testdata/sf0.001")
+
+    # brute force, driver-side (fine at 200 docs in a test)
+    import hashlib
+
+    pages_dir = e._corpus(200)
+    clist, pidx = e._kg_inputs()
+    triples = materialize_triples(
+        build_entities(
+            read_pages(pages_dir, columns=["url", "html"]), clist, pidx, num_buckets=64
+        )
+    ).to_pandas()
+    preds = sorted(set(ROLE_PREDICATES.values()))
+    m = triples[triples["pred"].isin(preds)]
+
+    def _h(s):
+        return (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            >> 1
+        )
+
+    edges = pd.DataFrame(
+        {"src": [_h(x) for x in m["subj"]], "dst": [_h(x) for x in m["obj"]]}
+    ).astype("int64")
+    ranks = pagerank(ray.data.from_pandas(edges), iters=10).to_pandas()
+    ids = pd.concat([m["subj"], m["obj"]], ignore_index=True).drop_duplicates()
+    names = pd.DataFrame(
+        {"node": [_h(x) for x in ids], "entity": ids.to_numpy()}
+    ).astype({"node": "int64"}).drop_duplicates("node")
+    want = (
+        ranks.merge(names, on="node")[["entity", "rank"]]
+        .sort_values(["rank", "entity"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_kg_two_hop_matches_bruteforce(ray_session):
     """The distributed two-hop pattern must equal the pandas self-join
     over the same materialized triple set."""
