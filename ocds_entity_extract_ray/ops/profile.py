@@ -10,13 +10,17 @@ merge of the block partials compares NATIVELY (stringifying early would
 sort "10" < "9"). The collected frame is O(blocks x columns), never
 data-sized.
 
-Pass 2 (one shuffle): exact distincts. Each column is projected to
+Pass 2 (one shuffle): distincts. Each column is projected to
 ``(col_name, value-as-string)`` rows (injective per column for the
-supported dtypes, so distinct counts are preserved), the union is
-bucket-deduplicated on the value, and per-column counts are summed — the
-shuffle carries each distinct value once per appearance, nothing lands on
-the driver but the k-row result. For approximate profiling at higher
-scale, swap this pass for ops.sketches.hll_distinct per column.
+supported dtypes, so distinct counts are preserved). Below the HLL
+threshold the union is bucket-deduplicated on the value and per-column
+counts summed — the shuffle carries each distinct value once per
+appearance, nothing lands on the driver but the k-row result. ABOVE the
+threshold (or with ``distinct_mode="hll"``) the exact exchange is
+replaced by the grouped HyperLogLog sketch: fixed-size register partials
+per (column, block), a tiny max-merge shuffle, ~1.6% relative error —
+the only shape that survives 100 TB, where the exact pass is a
+full-corpus re-exchange per profiled column.
 
 Supported dtypes: integers, strings, datetimes. Floats are rejected —
 their VARCHAR rendering is not portable across engines, which would break
@@ -49,13 +53,32 @@ def _class_of(s: pd.Series) -> str:
     )
 
 
+HLL_DEFAULT_THRESHOLD = 10_000_000
+
+
 def profile_table(
-    ds: ray.data.Dataset, columns: list[str], *, num_buckets: int = 32
+    ds: ray.data.Dataset,
+    columns: list[str],
+    *,
+    num_buckets: int = 32,
+    distinct_mode: str = "auto",
+    hll_threshold: int = HLL_DEFAULT_THRESHOLD,
 ) -> pd.DataFrame:
     """Profile ``columns`` of ``ds``: returns a tidy k-row frame
     ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)``
     with min/max rendered as strings AFTER native-dtype comparison,
-    ordered by col_name."""
+    ordered by col_name.
+
+    ``distinct_mode`` picks pass 2: ``"exact"`` ships every (col, value)
+    through one dedup shuffle; ``"hll"`` replaces it with the grouped
+    HyperLogLog sketch (ops/sketches.py — fixed 2^12 B per (col, block)
+    partial, NO value shuffle, ~1.6% relative error); ``"auto"``
+    (default) uses the row count pass 1 already produced and switches to
+    HLL above ``hll_threshold`` rows — at 100 TB the exact pass is a
+    full-corpus re-exchange per profiled column, which is never the
+    right default."""
+    if distinct_mode not in ("auto", "exact", "hll"):
+        raise ValueError(f"profile_table: unknown distinct_mode {distinct_mode!r}")
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -97,20 +120,38 @@ def profile_table(
         out = pd.concat(frames, ignore_index=True)
         return out.astype({"col_name": str, "value": str})
 
-    empty_kv = pd.DataFrame({"col_name": pd.Series(dtype=str), "value": pd.Series(dtype=str)})
-    distinct_kv = bucketed_map_groups(
-        ds.map_batches(project, batch_format="pandas"),
-        "value",
-        lambda b: b.drop_duplicates(["col_name", "value"]),
-        num_buckets=num_buckets,
-        empty_result=empty_kv,
+    total_rows = (
+        int(stats.loc[stats["col_name"] == columns[0], "n_rows"].sum())
+        if "col_name" in stats.columns
+        else 0
     )
-    dcounts = grouped_agg(
-        distinct_kv,
-        ["col_name"],
-        {"n_distinct": ("value", "count")},
-        final="driver",
+    use_hll = distinct_mode == "hll" or (
+        distinct_mode == "auto" and total_rows > hll_threshold
     )
+
+    kv = ds.map_batches(project, batch_format="pandas")
+    if use_hll:
+        from .sketches import approx_count_distinct_by
+
+        dcounts = approx_count_distinct_by(kv, "col_name", "value")
+        dcounts = dcounts.rename(columns={"approx_distinct": "n_distinct"})
+    else:
+        empty_kv = pd.DataFrame(
+            {"col_name": pd.Series(dtype=str), "value": pd.Series(dtype=str)}
+        )
+        distinct_kv = bucketed_map_groups(
+            kv,
+            "value",
+            lambda b: b.drop_duplicates(["col_name", "value"]),
+            num_buckets=num_buckets,
+            empty_result=empty_kv,
+        )
+        dcounts = grouped_agg(
+            distinct_kv,
+            ["col_name"],
+            {"n_distinct": ("value", "count")},
+            final="driver",
+        )
 
     out_rows = []
     for col in columns:

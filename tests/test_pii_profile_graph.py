@@ -173,6 +173,46 @@ def test_profile_table_exact(ray_session):
     assert int(out["n_rows"].iloc[0]) == 5
 
 
+def test_profile_table_hll_mode(ray_session):
+    """The HLL distinct path (the 100 TB default): same schema as the
+    exact profile, n_distinct within the sketch's error bound, and the
+    auto threshold actually switches — hll_threshold=0 must yield the
+    HLL estimates, the default threshold the exact counts."""
+    import numpy as np
+
+    from ocds_entity_extract_ray.ops.profile import profile_table
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 1500, 5000),
+            "s": [f"dom{v}.example" for v in rng.integers(0, 800, 5000)],
+        }
+    ).astype({"k": "int64"})
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    exact = profile_table(ds, ["k", "s"], num_buckets=4).set_index("col_name")
+    hll = profile_table(
+        ds, ["k", "s"], num_buckets=4, distinct_mode="hll"
+    ).set_index("col_name")
+    assert list(exact.columns) == list(hll.columns)
+    for c in ("k", "s"):
+        true = exact.loc[c, "n_distinct"]
+        est = hll.loc[c, "n_distinct"]
+        assert abs(est - true) / true < 0.05, (c, est, true)
+        # the non-distinct stats are identical regardless of mode
+        for stat in ("n_rows", "n_nulls", "min_value", "max_value"):
+            assert exact.loc[c, stat] == hll.loc[c, stat]
+
+    auto_hll = profile_table(ds, ["k", "s"], num_buckets=4, hll_threshold=0)
+    pd.testing.assert_frame_equal(auto_hll.set_index("col_name"), hll)
+    auto_exact = profile_table(ds, ["k", "s"], num_buckets=4)  # default: 10M
+    pd.testing.assert_frame_equal(auto_exact.set_index("col_name"), exact)
+
+    with pytest.raises(ValueError, match="unknown distinct_mode"):
+        profile_table(ds, ["k"], distinct_mode="bogus")
+
+
 def test_profile_table_rejects_floats(ray_session):
     from ocds_entity_extract_ray.ops.profile import profile_table
 
