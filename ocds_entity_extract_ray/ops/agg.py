@@ -43,9 +43,13 @@ def grouped_agg(
     num_buckets: int = 64,
     pre: "callable | None" = None,
     empty_result: pd.DataFrame | None = None,
+    batch_format: str = "pandas",
 ):
     """specs: {out_col: (in_col, 'sum'|'min'|'max'|'count')}.
-    ``pre`` optionally filters/derives columns per batch (pandas in/out).
+    ``pre`` optionally filters/derives columns per batch (pandas in/out —
+    or pa.Table in/out with batch_format='pyarrow', where the partial
+    groupby runs as a zero-copy Arrow kernel: no Arrow->pandas->Arrow
+    round-trip per block on the hot path).
     final='driver' returns a pandas DataFrame (for modest cardinality);
     final='bucketed' returns a Dataset (distributed combine)."""
 
@@ -59,7 +63,35 @@ def grouped_agg(
             **{out: (col, _AGG_HOW[how]) for out, (col, how) in specs.items()}
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    def partial_arrow(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if pre is not None:
+            batch = pre(batch)
+        aggs = []
+        for _out, (col, how) in specs.items():
+            if how == "count":
+                # match the pandas path's `size`: count ALL rows
+                aggs.append((col, "count", pc.CountOptions(mode="all")))
+            else:
+                aggs.append((col, how))
+        res = batch.group_by(keys).aggregate(aggs)
+        # aggregate() emits keys + results (result columns in request
+        # order); key position flipped across pyarrow versions, so detect
+        # it before renaming positionally to the caller's output names
+        if res.column_names[: len(keys)] == keys:
+            res = res.rename_columns(keys + list(specs))
+        else:
+            res = res.rename_columns(list(specs) + keys)
+        return res.select(keys + list(specs))
+
+    if batch_format == "pyarrow":
+        partials = ds.map_batches(
+            partial_arrow, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        partials = ds.map_batches(partial, batch_format="pandas")
     recombine = {out: (out, _RECOMBINE[how]) for out, (_c, how) in specs.items()}
 
     if final == "driver":

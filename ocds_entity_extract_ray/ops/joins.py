@@ -20,18 +20,21 @@ import pyarrow as pa
 import ray
 import ray.data
 
-def default_join_partitions(min_parts: int = 8) -> int:
-    """Join/shuffle parallelism scaled to the cluster (CPU count / 4,
+def default_join_partitions(min_parts: int = 4) -> int:
+    """Join/shuffle parallelism scaled to the cluster (CPU count / 8,
     floor ``min_parts``) instead of a per-box constant — the number that
-    must grow with cluster width at 100 TB. /4 rather than /2: each
-    partition is a HashShuffleAggregator actor whose startup is on the
-    query's critical path, and measured q3/q4/q5 wall-time on this box is
-    flat between 8 and 16 partitions."""
+    must grow with cluster width at 100 TB (a 256-node/32-core cluster
+    gets 1024 partitions). /8 rather than /4: each partition is a
+    HashShuffleAggregator actor whose STARTUP is on the query's critical
+    path; measured on this box (32 CPUs, sf0.1) the q5 join runs 1.4-1.9 s
+    at 4 partitions, ~2 s at 8, 2.6 s at 16, 4 s at 32 — aggregator spawn
+    and coordination dominate until per-partition data is large, so fewer,
+    fuller partitions win at every scale that fits."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", min_parts))
     except Exception:
         cpus = min_parts
-    return max(min_parts, cpus // 4)
+    return max(min_parts, cpus // 8)
 
 
 def hash_join(
@@ -81,18 +84,44 @@ def broadcast_hash_join(
     right_on: list[str] | str | None = None,
     how: str = "inner",
     suffixes: tuple = ("", "_r"),
+    batch_format: str = "pandas",
 ) -> ray.data.Dataset:
     """Join a big Dataset against a small in-memory table without shuffling
     the big side. ``small`` is put in the object store once; every task
-    reads it from the local object store (zero re-ship per batch)."""
-    small_df = small.to_pandas() if isinstance(small, pa.Table) else small
-    ref = ray.put(small_df)
+    reads it from the local object store (zero re-ship per batch).
+
+    ``batch_format="pyarrow"`` keeps the big side's blocks as zero-copy
+    Arrow and joins with the in-process Arrow kernel (no Arrow->pandas
+    round-trip per block); the pandas path remains the default for callers
+    whose surrounding stages are pandas anyway."""
     left_keys = [left_on] if isinstance(left_on, str) else list(left_on)
     right_keys = (
         left_keys
         if right_on is None
         else ([right_on] if isinstance(right_on, str) else list(right_on))
     )
+
+    if batch_format == "pyarrow":
+        small_tbl = (
+            small if isinstance(small, pa.Table) else pa.Table.from_pandas(small)
+        )
+        ref_a = ray.put(small_tbl)
+        join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
+
+        def merge_arrow(batch: pa.Table) -> pa.Table:
+            rhs = _fetch(ref_a)
+            return batch.join(
+                rhs,
+                keys=left_keys,
+                right_keys=right_keys,
+                join_type=join_type,
+                right_suffix=suffixes[1],
+            )
+
+        return ds.map_batches(merge_arrow, batch_format="pyarrow", zero_copy_batch=True)
+
+    small_df = small.to_pandas() if isinstance(small, pa.Table) else small
+    ref = ray.put(small_df)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
         rhs = _fetch(ref)

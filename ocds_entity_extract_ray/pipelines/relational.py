@@ -73,6 +73,24 @@ def _cents(col) -> np.ndarray:
     return np.rint(np.asarray(col, dtype=np.float64) * 100).astype(np.int64)
 
 
+def _cents_arrow(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    """Arrow twin of :func:`_cents`: exact-2-decimal column -> int64 cents
+    (pc.round's default half_to_even == np.rint; boundary-free here, the
+    float is within 1e-10 of an integer/100)."""
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _int_rev_arrow(price, disc):
+    """Arrow twin of :func:`_int_rev` (same per-row integer quantization)."""
+    import pyarrow.compute as pc
+
+    return pc.multiply(
+        _cents_arrow(price), pc.subtract(pa.scalar(100, pa.int64()), _cents_arrow(disc))
+    )
+
+
 def _int_rev(price, disc) -> np.ndarray:
     """PER-ROW integer-quantized revenue: price_cents x (100 - disc_pct),
     scale 1e4 of currency units. Summation-order independent, so revenue
@@ -108,14 +126,30 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ],
     )
 
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-02")].copy()
-        pc, dp, tp = _cents(b["l_extendedprice"]), _cents(b["l_discount"]), _cents(b["l_tax"])
-        b["l_quantity"] = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
-        b["l_extendedprice"] = pc  # base price in cents
-        b["disc_price"] = pc * (100 - dp)
-        b["charge"] = pc * (100 - dp) * (100 + tp)
-        return b
+    def derive(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow kernel: no Arrow->pandas round-trip per block
+        import pyarrow.compute as pc
+
+        t = t.filter(
+            pc.less_equal(
+                t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+            )
+        )
+        price = _cents_arrow(t["l_extendedprice"])
+        dp = _cents_arrow(t["l_discount"])
+        tp = _cents_arrow(t["l_tax"])
+        hundred = pa.scalar(100, pa.int64())
+        disc_price = pc.multiply(price, pc.subtract(hundred, dp))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "l_extendedprice": price,  # base price in cents
+                "disc_price": disc_price,
+                "charge": pc.multiply(disc_price, pc.add(hundred, tp)),
+            }
+        )
 
     out = grouped_agg(
         ds,
@@ -128,6 +162,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             "count_order": ("l_quantity", "count"),
         },
         pre=derive,
+        batch_format="pyarrow",
     )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
         out[c] = out[c].astype("int64")
@@ -154,26 +189,43 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
     cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING"))
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def f_orders(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["o_orderdate"] < pd.Timestamp("1998-01-01")]
+    def f_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.less(
+                t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+            )
+        )
 
     orders_b = broadcast_hash_join(
-        orders.map_batches(f_orders, batch_format="pandas"),
+        orders.map_batches(f_orders, batch_format="pyarrow", zero_copy_batch=True),
         cust.select(["c_custkey"]),
         left_on="o_custkey",
         right_on="c_custkey",
-    )
+        batch_format="pyarrow",
+    ).select_columns(["o_orderkey", "o_orderdate"])
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
 
-    def f_li(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"] > pd.Timestamp("1998-01-01")].copy()
-        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
-        return b[["l_orderkey", "revenue"]]
+    def f_li(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    li_f = li.map_batches(f_li, batch_format="pandas")
+        t = t.filter(
+            pc.greater(
+                t["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+            )
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue": _int_rev_arrow(t["l_extendedprice"], t["l_discount"]),
+            }
+        )
+
+    li_f = li.map_batches(f_li, batch_format="pyarrow", zero_copy_batch=True)
     joined = hash_join(li_f, orders_b, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     # high-cardinality groupby: map-side partials -> bucketed combine ->
     # per-bucket top-10 -> tiny driver merge (scales: shuffle carries one
@@ -229,32 +281,64 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def f_orders(b: pd.DataFrame) -> pd.DataFrame:
-        return b[
-            (b["o_orderdate"] >= pd.Timestamp("1996-01-01"))
-            & (b["o_orderdate"] < pd.Timestamp("1998-01-01"))
-        ][["o_orderkey", "o_custkey"]]
+    def f_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(
+                t["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+            ),
+            pc.less(
+                t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+            ),
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
 
     orders_c = broadcast_hash_join(
-        orders.map_batches(f_orders, batch_format="pandas"),
+        orders.map_batches(f_orders, batch_format="pyarrow", zero_copy_batch=True),
         cust,
         left_on="o_custkey",
         right_on="c_custkey",
-    )
+        batch_format="pyarrow",
+    ).select_columns(["o_orderkey", "c_nationkey"])
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
-    li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    def f_li(t: pa.Table) -> pa.Table:
+        # derive the int64 revenue BEFORE the joins: the shuffle then
+        # carries 3 int columns instead of 2 floats + 2 keys
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "revenue": _int_rev_arrow(t["l_extendedprice"], t["l_discount"]),
+            }
+        )
+
+    li_s = broadcast_hash_join(
+        li.map_batches(f_li, batch_format="pyarrow", zero_copy_batch=True),
+        sup,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        batch_format="pyarrow",
+    ).select_columns(["l_orderkey", "s_nationkey", "revenue"])
     joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def f_same_nation(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["s_nationkey"] == b["c_nationkey"]].copy()
-        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
-        return b[["s_nationkey", "revenue"]]
+    def f_same_nation(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"])).select(
+            ["s_nationkey", "revenue"]
+        )
 
     per_nation = grouped_agg(
-        joined, ["s_nationkey"], {"revenue": ("revenue", "sum")}, pre=f_same_nation
+        joined,
+        ["s_nationkey"],
+        {"revenue": ("revenue", "sum")},
+        pre=f_same_nation,
+        batch_format="pyarrow",
     )
     out = per_nation.merge(nr, left_on="s_nationkey", right_on="n_nationkey")[
         ["n_name", "revenue"]
@@ -287,20 +371,31 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
     )
 
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        m = (
-            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
-            & (b["l_shipdate"] < pd.Timestamp("1997-01-01"))
-            & (b["l_discount"] >= 0.03)
-            & (b["l_discount"] <= 0.07)
-            & (b["l_quantity"] < 24)
-        )
-        b = b[m]
-        return pd.DataFrame({"revenue": _cents(b["l_extendedprice"]) * _cents(b["l_discount"])})
+    def f(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow kernel; each block collapses to ONE partial sum
+        import pyarrow.compute as pc
 
-    parts = ds.map_batches(
-        lambda b: pd.DataFrame({"revenue": [f(b)["revenue"].sum()]}), batch_format="pandas"
-    ).to_pandas()
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        m = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], 0.03),
+                    pc.less_equal(t["l_discount"], 0.07),
+                ),
+            ),
+            pc.less(t["l_quantity"], 24),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(_cents_arrow(t["l_extendedprice"]), _cents_arrow(t["l_discount"]))
+        s = pc.sum(rev).as_py()
+        return pa.table({"revenue": pa.array([int(s or 0)], pa.int64())})
+
+    parts = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return pd.DataFrame({"revenue": [int(parts["revenue"].sum())]})
 
 
@@ -321,12 +416,14 @@ def q6_pushdown(sf_dir: str) -> pd.DataFrame:
     )
     ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_extendedprice"], filter=f6)
 
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"revenue": _cents(b["l_extendedprice"]) * _cents(b["l_discount"])})
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    parts = ds.map_batches(
-        lambda b: pd.DataFrame({"revenue": [f(b)["revenue"].sum()]}), batch_format="pandas"
-    ).to_pandas()
+        rev = pc.multiply(_cents_arrow(t["l_extendedprice"]), _cents_arrow(t["l_discount"]))
+        s = pc.sum(rev).as_py()
+        return pa.table({"revenue": pa.array([int(s or 0)], pa.int64())})
+
+    parts = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return pd.DataFrame({"revenue": [int(parts["revenue"].sum())]})
 
 
@@ -1182,25 +1279,42 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
     sup = _small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     cust = _small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders_c = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    orders_c = broadcast_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", batch_format="pyarrow"
+    ).select_columns(["o_orderkey", "c_nationkey"])
     li = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
-    li_s = broadcast_hash_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
-    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def pre(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["ship_year"] = b["l_shipdate"].dt.year.astype("int64")
-        b["volume"] = _int_rev(b["l_extendedprice"], b["l_discount"])
-        return b[["s_nationkey", "c_nationkey", "ship_year", "volume"]]
+    def f_li(t: pa.Table) -> pa.Table:
+        # derive year + int64 volume BEFORE the joins: the shuffle carries
+        # 4 int columns instead of floats + a timestamp + keys
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "ship_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "volume": _int_rev_arrow(t["l_extendedprice"], t["l_discount"]),
+            }
+        )
+
+    li_s = broadcast_hash_join(
+        li.map_batches(f_li, batch_format="pyarrow", zero_copy_batch=True),
+        sup,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        batch_format="pyarrow",
+    ).select_columns(["l_orderkey", "s_nationkey", "ship_year", "volume"])
+    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     out = grouped_agg(
         joined,
         ["s_nationkey", "c_nationkey", "ship_year"],
         {"volume": ("volume", "sum"), "n_items": ("volume", "count")},
-        pre=pre,
+        batch_format="pyarrow",
     )
     out["volume"] = out["volume"].astype("int64")
     out["n_items"] = out["n_items"].astype("int64")
@@ -1228,12 +1342,18 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
     )
 
-    def pre_li(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_returnflag"] == "R"].copy()
-        b["revenue"] = _int_rev(b["l_extendedprice"], b["l_discount"])
-        return b[["l_orderkey", "revenue"]]
+    def pre_li(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    li_r = li.map_batches(pre_li, batch_format="pandas")
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue": _int_rev_arrow(t["l_extendedprice"], t["l_discount"]),
+            }
+        )
+
+    li_r = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True)
     joined = hash_join(li_r, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     # customer-cardinality groupby: bucketed combine + per-bucket top-20 ->
     # the driver merges 20 rows per bucket, never one row per customer
