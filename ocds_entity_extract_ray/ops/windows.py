@@ -46,6 +46,149 @@ def tumbling_window_agg(
     return out
 
 
+def tumbling_window_late(
+    events: ray.data.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    arrival_col: str = "arrival_seq",
+    id_col: str = "event_id",
+    freq: str = "h",
+    lateness: pd.Timedelta = pd.Timedelta(days=14),
+    num_ranges: int = 64,
+) -> pd.DataFrame:
+    """Tumbling windows with an allowed-lateness watermark (DROP
+    semantics): an event is LATE iff its event time is more than
+    ``lateness`` behind the stream's watermark at its arrival, where the
+    watermark is the running max event time over ``(arrival_col, id_col)``
+    order — the standard streaming rule, evaluated deterministically over
+    a batch log. Late events are excluded from the window aggregates but
+    COUNTED per window (``n_late``), so the output shows both what a
+    drop-policy stream would emit and what it discarded.
+
+    Values are quantized to int64 cents PER ROW (``sum_value_cents``), so
+    the aggregates are summation-order independent and hash-exact against
+    the SQL twin.
+
+    Distributed shape (the two-pass prefix scan from ops/scan.py, for a
+    running MAX instead of a sum): pass 1 computes one (range, max_ts) row
+    per contiguous arrival range — the driver holds num_ranges rows,
+    builds the exclusive prefix max, and ships the tiny dict in the stage
+    closure; pass 2 co-locates each range via one bucket shuffle, sorts it,
+    and combines the in-range running max with the range's prefix. The
+    watermark — inherently a sequential scan — thus costs O(num_ranges)
+    driver work and one shuffle of (arrival, id, key, ts, cents) rows."""
+    import numpy as np
+
+    late_us = np.int64(int(lateness / pd.Timedelta(microseconds=1)))
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "arr": b[arrival_col].to_numpy().astype(np.uint64),
+                "eid": b[id_col].to_numpy().astype("int64"),
+                "key": b[key_col].astype(str),
+                # normalize to ns first: datetime64[us].astype(int64) is µs
+                "ts_us": b[ts_col]
+                .astype("datetime64[ns]")
+                .astype("int64")
+                .to_numpy()
+                // 1000,
+                "win": b[ts_col].dt.floor(freq).astype("datetime64[us]"),
+                "cents": np.rint(b[value_col].to_numpy() * 100).astype("int64"),
+            }
+        )
+
+    proj_ds = events.map_batches(proj, batch_format="pandas").materialize()
+    empty = pd.DataFrame(
+        {
+            "key": pd.Series(dtype="object"),
+            "window_start": pd.Series(dtype="datetime64[us]"),
+            "n_events": pd.Series(dtype="int64"),
+            "sum_value_cents": pd.Series(dtype="int64"),
+            "n_late": pd.Series(dtype="int64"),
+        }
+    )
+    if proj_ds.count() == 0:
+        return empty
+
+    span = grouped_agg(
+        proj_ds.map_batches(lambda b: b.assign(_one=1), batch_format="pandas"),
+        ["_one"],
+        {"lo": ("arr", "min"), "hi": ("arr", "max")},
+    )
+    lo, hi = int(span["lo"][0]), int(span["hi"][0])
+    width = max(1, (hi - lo + num_ranges) // num_ranges)
+
+    def add_range(b: pd.DataFrame) -> pd.DataFrame:
+        r = (b["arr"].to_numpy().astype(object) - lo) // width  # uint64-safe
+        return b.assign(_range=np.asarray(r, dtype="int64"))
+
+    ranged = proj_ds.map_batches(add_range, batch_format="pandas")
+
+    # pass 1: per-range max event time -> driver exclusive prefix max
+    mx = grouped_agg(ranged, ["_range"], {"mx": ("ts_us", "max")})
+    mx = mx.sort_values("_range").reset_index(drop=True)
+    prefix = dict(
+        zip(
+            mx["_range"].astype(int),
+            mx["mx"].astype("int64").cummax().shift(1, fill_value=np.int64(-(2**62))),
+        )
+    )
+
+    # pass 2: per-range running max + lateness flag, pre-shrunk to window
+    # partials inside the same pass
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r, g in bucket.groupby("_range", sort=False):
+            b = g.sort_values(["arr", "eid"], kind="mergesort")
+            wm = np.maximum.accumulate(b["ts_us"].to_numpy())
+            wm = np.maximum(wm, np.int64(prefix[int(r)]))
+            late = b["ts_us"].to_numpy() < wm - late_us
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": b["key"].to_numpy(),
+                        "window_start": b["win"].to_numpy(),
+                        "on_time": (~late).astype("int64"),
+                        "cents_on": b["cents"].to_numpy() * (~late),
+                        "is_late": late.astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    flagged = bucketed_map_groups(
+        ranged,
+        "_range",
+        per_bucket,
+        num_buckets=min(num_ranges, 32),
+        empty_result=pd.DataFrame(
+            {
+                "key": pd.Series(dtype="object"),
+                "window_start": pd.Series(dtype="datetime64[us]"),
+                "on_time": pd.Series(dtype="int64"),
+                "cents_on": pd.Series(dtype="int64"),
+                "is_late": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+    out = grouped_agg(
+        flagged,
+        ["key", "window_start"],
+        {
+            "n_events": ("on_time", "sum"),
+            "sum_value_cents": ("cents_on", "sum"),
+            "n_late": ("is_late", "sum"),
+        },
+    )
+    for c in ("n_events", "sum_value_cents", "n_late"):
+        out[c] = out[c].astype("int64")
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out.sort_values(["key", "window_start"]).reset_index(drop=True)
+
+
 def window_over(
     ds: ray.data.Dataset,
     *,

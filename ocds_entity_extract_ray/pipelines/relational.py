@@ -651,6 +651,60 @@ ORDER BY event_type, window_start
 """
 
 
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Allowed-lateness tumbling windows (DROP semantics) over the events
+    log. The stream's arrival order is modeled deterministically as
+    md5-low64(event_id) — a many-source interleave — so the watermark
+    (running max event time over arrival order) actually runs ahead of
+    slow events and the 14-day lateness rule splits the corpus into
+    on-time and dropped-but-counted late rows. Hash-exact twin: integer
+    cent sums + the identical md5 arrival order in SQL."""
+    from ..ops.textstats import _h64
+    from ..ops.windows import tumbling_window_late
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "ts", "value"]
+    )
+
+    def with_arrival(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["arrival_seq"] = np.array(
+            [_h64(str(i).encode()) for i in b["event_id"]], dtype=np.uint64
+        )
+        return b
+
+    out = tumbling_window_late(
+        events.map_batches(with_arrival, batch_format="pandas"),
+        key_col="event_type",
+        freq="h",
+        lateness=pd.Timedelta(days=14),
+    )
+    return out.rename(columns={"key": "event_type"})
+
+
+Q_LATE_EVENTS_SQL = """
+WITH wm AS (
+  SELECT event_type, ts, value,
+         MAX(ts) OVER (
+           ORDER BY md5_number_lower(event_id::VARCHAR), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS watermark
+  FROM events
+), flagged AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         CASE WHEN ts < watermark - INTERVAL 14 DAY THEN 1 ELSE 0 END AS is_late,
+         ROUND(value * 100, 0)::BIGINT AS cents
+  FROM wm
+)
+SELECT event_type, window_start,
+       SUM(1 - is_late)::BIGINT AS n_events,
+       SUM(CASE WHEN is_late = 0 THEN cents ELSE 0 END)::BIGINT AS sum_value_cents,
+       SUM(is_late)::BIGINT AS n_late
+FROM flagged GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
 def q_sessions(sf_dir: str) -> pd.DataFrame:
     events = _read(sf_dir, "events", columns=["user_id", "ts"])
     out = sessionize(events, gap_minutes=30).to_pandas()
@@ -1111,6 +1165,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "q_anti_customers_without_urgent": (q_anti_customers_without_urgent, Q_ANTI_SQL),
     "q_avg_acctbal_by_segment": (q_avg_acctbal_by_segment, Q_AVG_SQL),
     "q_events_tumbling": (q_events_tumbling, Q_TUMBLING_SQL),
+    "q_late_events": (q_late_events, Q_LATE_EVENTS_SQL),
     "q_sessions": (q_sessions, Q_SESSIONS_SQL),
     "q_event_hist": (q_event_hist, Q_EVENT_HIST_SQL),
     "q_lang_hist": (q_lang_hist, Q_LANG_HIST_SQL),

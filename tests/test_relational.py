@@ -65,6 +65,18 @@ def test_no_unoracled_relational_queries():
     assert set(ROWS_ONLY_QUERIES) == ESTIMATORS
 
 
+def test_late_events_rule_is_non_vacuous(ray_session):
+    """The allowed-lateness watermark must actually split the corpus: a
+    drop rule that never fires (monotone arrival) or always fires would
+    pass the SQL twin trivially. Both sides populated at sf0.001."""
+    fn, _sql = SQL_QUERIES["q_late_events"]
+    out = fn(SF_DIR)
+    assert int(out["n_late"].sum()) > 0
+    assert int(out["n_events"].sum()) > 0
+    # drop semantics: on-time sums exclude the late rows' value
+    assert (out.loc[out["n_events"] == 0, "sum_value_cents"] == 0).all()
+
+
 def test_driver_window_is_representative_cross_section():
     """The driver's correctness gate oracles exactly queries()[:50]; pin
     that prefix to DRIVER_WINDOW so it always covers the flagship KG
