@@ -35,6 +35,8 @@ def sniff(payload: bytes) -> str | None:
         return "rawv"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -276,8 +278,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch BMP/PPM/PNG decode by magic; raises NotImplementedError for
-    codecs this container genuinely cannot decode (JPEG etc. need PIL)."""
+    """Dispatch BMP/PPM/PNG/JPEG decode by magic; raises
+    NotImplementedError for codecs this container genuinely cannot decode
+    (progressive JPEG, WebP, AVIF etc.)."""
     kind = sniff(payload or b"")
     if kind == "bmp":
         return decode_bmp(payload)
@@ -285,7 +288,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"compressed image codec ({kind or 'unknown'}) requires PIL/"
-        "torchvision — not in this container (BMP/PPM/PNG decode natively)"
+        f"compressed image codec ({kind or 'unknown'}) not supported — "
+        "BMP/PPM/PNG/baseline-JPEG decode natively in this build"
     )

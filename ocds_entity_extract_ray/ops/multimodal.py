@@ -7,8 +7,11 @@ Two decode modes per stage:
 - ``decode="real"``: REAL decode kernels (BMP / PPM / PNG images — PNG
   via stdlib zlib incl. all five row filters, PCM16 WAV audio, RAWV frame
   streams — pure numpy+struct+zlib, see ops/codecs.py).
-  ``NotImplementedError`` remains only for codecs that genuinely need
-  external libraries (JPEG/MP3/H.264 — PIL/libav are not in this
+  Baseline sequential JPEG decodes/encodes natively too (ops/jpeg.py —
+  pure numpy Huffman+DCT, tables read from the stream, 4:4:4/4:2:2/4:2:0,
+  restart intervals). ``NotImplementedError`` remains only for codecs
+  that genuinely need external libraries (progressive JPEG, WebP,
+  MP3/H.264 — PIL/libav are not in this
   container) and is raised at the dispatch point where those would plug
   in.
 
@@ -116,17 +119,19 @@ class ImageResizer:
         if self.decode == "real":
             from . import codecs
 
+            from .jpeg import encode_jpeg
+
             kind = codecs.sniff(payload)
             encoders = {
                 "bmp": codecs.encode_bmp,
                 "ppm": codecs.encode_ppm,
                 "png": codecs.encode_png,
+                "jpeg": lambda rgb: encode_jpeg(rgb, quality=85),
             }
             if kind not in encoders:
                 raise NotImplementedError(
-                    f"compressed image codec ({kind or 'unknown'}) requires "
-                    "PIL — not in this container; plug in here "
-                    "(BMP/PPM/PNG resize natively)"
+                    f"compressed image codec ({kind or 'unknown'}) not "
+                    "supported — BMP/PPM/PNG/baseline-JPEG resize natively"
                 )
             rgb = codecs.decode_image(payload)
             return encoders[kind](

@@ -759,8 +759,10 @@ def test_multimodal_real_audio_and_video_paths(ray_session):
 
 
 def test_multimodal_real_rejects_compressed(ray_session):
-    """Unknown containers (i.e. compressed codecs) still raise at the
-    declared seam — the NotImplementedError now covers ONLY those."""
+    """Codecs this build genuinely cannot decode still raise at the
+    declared seam: progressive JPEG (SOF2) raises NotImplementedError,
+    truncated baseline JPEG raises ValueError, MP3/H.264-ish payloads
+    raise NotImplementedError on the audio/video seams."""
     from ocds_entity_extract_ray.ops.multimodal import (
         AudioTranscriber,
         FrameSampler,
@@ -768,15 +770,91 @@ def test_multimodal_real_rejects_compressed(ray_session):
         ImageResizer,
     )
 
-    blob = b"\xff\xd8\xff\xe0 not decodable here"  # JPEG-ish magic
+    truncated = b"\xff\xd8\xff\xe0 not decodable here"  # JPEG magic, garbage body
+    with pytest.raises(ValueError):
+        ImageFeaturizer(decode="real")._decode(truncated)
+    progressive = b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        ImageFeaturizer(decode="real")._decode(progressive)
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "
     with pytest.raises(NotImplementedError):
-        ImageFeaturizer(decode="real")._decode(blob)
+        ImageResizer(decode="real")._resize(webp, "{}")
     with pytest.raises(NotImplementedError):
-        ImageResizer(decode="real")._resize(blob, "{}")
+        AudioTranscriber(decode="real")._transcribe(b"\xff\xfb mp3-ish")
     with pytest.raises(NotImplementedError):
-        AudioTranscriber(decode="real")._transcribe(blob)
-    with pytest.raises(NotImplementedError):
-        FrameSampler(decode="real")._frames(blob)
+        FrameSampler(decode="real")._frames(b"\x00\x00\x00\x01 h264-ish")
+
+
+def test_jpeg_round_trip_all_modes():
+    """Baseline JPEG encode->decode round-trips within quantization error
+    across subsampling, quality, restart intervals, and grayscale; the
+    decoder reads quant/Huffman tables FROM THE STREAM (different
+    qualities produce different tables, all decoded)."""
+    from ocds_entity_extract_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 // (w - 1)).astype(np.uint8),
+            (yy * 255 // (h - 1)).astype(np.uint8),
+            ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    for ss, tol in (("444", 9), ("420", 14)):
+        for q in (95, 60):
+            for ri in (0, 3):
+                dec = decode_jpeg(
+                    encode_jpeg(img, quality=q, subsample=ss, restart_interval=ri)
+                )
+                assert dec.shape == img.shape
+                err = np.abs(dec.astype(int) - img.astype(int))
+                assert err.max() <= tol, (ss, q, ri, err.max())
+
+    gray = (xx * 255 // (w - 1)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert d.shape == (h, w, 3)
+    assert np.abs(d[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+    assert (d[:, :, 0] == d[:, :, 1]).all() and (d[:, :, 0] == d[:, :, 2]).all()
+
+    # odd dims exercise MCU padding + crop
+    odd = img[:45, :53]
+    d = decode_jpeg(encode_jpeg(odd, quality=85, subsample="420"))
+    assert d.shape == odd.shape
+
+    # noise stresses the entropy coder (every run/size symbol class)
+    rng = np.random.RandomState(7)
+    noisy = rng.randint(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(noisy, quality=95))
+    assert np.abs(d.astype(int) - noisy.astype(int)).mean() < 8
+
+
+def test_multimodal_real_jpeg_path(ray_session):
+    """decode='real' featurize + resize now cover baseline JPEG payloads
+    end to end (VERDICT r03 missing #1): features are histogram densities
+    over the DECODED pixels, resize re-encodes as baseline JPEG at the
+    target dims."""
+    import json
+
+    from ocds_entity_extract_ray.ops.jpeg import decode_jpeg, encode_jpeg
+    from ocds_entity_extract_ray.ops.multimodal import ImageFeaturizer, ImageResizer
+
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = np.stack(
+        [(xx * 6).astype(np.uint8), (yy * 7).astype(np.uint8), (xx + yy).astype(np.uint8)],
+        axis=-1,
+    )
+    payload = encode_jpeg(img, quality=90, subsample="420")
+
+    feat = ImageFeaturizer(dim=8, decode="real")._decode(payload)
+    assert feat.shape == (8,) and abs(float(feat.sum()) - 1.0) < 1e-6
+
+    resized = ImageResizer(target_w=16, target_h=8, decode="real")._resize(
+        payload, json.dumps({"w": 40, "h": 32})
+    )
+    out = decode_jpeg(resized)
+    assert out.shape == (8, 16, 3)
 
 
 # --- scale-stress: SCALE.md's caps as executable evidence ---------------------
