@@ -4,8 +4,11 @@ text.
 
 State layout (``state_dir``): one parquet file of int64 content hashes
 per ingest batch (``hashes_<n>.parquet``, schema ``{h: int64}``) — an
-append-only log, so a failed ingest can be retried idempotently (its
-file is rewritten whole) and the state reader just globs the directory.
+append-only log whose slots are claimed atomically at commit time
+(write-tmp + link), so concurrent or deferred commits can never clobber
+each other; a failed ingest retried from scratch simply recomputes
+against the log as committed so far. The state reader just globs the
+directory.
 At 100 TB the state is hash-sized (8 B per unique doc), column-pruned at
 the read, and the membership check is a distributed bucketed anti-join —
 the delta never broadcasts and the state never lands on the driver.
@@ -80,13 +83,28 @@ def ingest_dedup_two_phase(
 
     files = _state_files(state_dir)
     if files:
-        state = ray.data.read_parquet(files).map_batches(
-            lambda b: pd.DataFrame({"_h": b["h"].astype("int64")}).assign(
-                _seen=np.int64(1)
-            ),
-            batch_format="pandas",
-        )
-        unioned = hashed.union(state)
+        # pad state rows to the DELTA's exact schema (typed placeholder
+        # values from a 1-row probe, discarded after the _seen filter):
+        # a bucket containing only state rows must still carry the delta
+        # columns, or the per-bucket dedup sort crashes / mixes schemas
+        probe = hashed.limit(1).to_pandas()
+        if len(probe) == 0:
+            unioned = hashed  # empty delta: nothing to dedup
+        else:
+            proto = probe.iloc[0].to_dict()
+
+            def pad_state(b: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame(
+                    {c: [v] * len(b) for c, v in proto.items()}
+                ).astype(probe.dtypes.to_dict())
+                out["_h"] = b["h"].astype("int64").to_numpy()
+                out["_seen"] = np.int64(1)
+                return out
+
+            state = ray.data.read_parquet(files).map_batches(
+                pad_state, batch_format="pandas"
+            )
+            unioned = hashed.union(state)
     else:
         unioned = hashed
 
@@ -110,12 +128,10 @@ def ingest_dedup_two_phase(
         if committed:
             return committed[0]  # in-process idempotence
         os.makedirs(state_dir, exist_ok=True)
-        n = len(files)
-        out_path = os.path.join(state_dir, f"hashes_{n:06d}.parquet")
-        # one file per ingest keeps the state log append-only and the
-        # retry idempotent (rewritten whole). NOTE: hash-sized on the
-        # driver for the single-file guarantee — at true web scale write
-        # a per-ingest DIRECTORY of shards instead (same glob reader).
+        # one file per ingest keeps the state log append-only. NOTE:
+        # hash-sized on the driver for the single-file guarantee — at true
+        # web scale write a per-ingest DIRECTORY of shards instead (same
+        # glob reader).
         hdf = survivors.map_batches(
             lambda b: pd.DataFrame({"h": b["_h"].astype("int64")}),
             batch_format="pandas",
@@ -123,9 +139,21 @@ def ingest_dedup_two_phase(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tmp = out_path + ".tmp"
+        tmp = os.path.join(state_dir, f".tmp_hashes_{os.getpid()}.parquet")
         pq.write_table(pa.Table.from_pandas(hdf, preserve_index=False), tmp)
-        os.replace(tmp, out_path)  # the log never holds a half-written file
+        # claim the next free log slot AT COMMIT TIME with an atomic
+        # create (os.link fails on an existing target): an ingest that
+        # committed while this one's commit was deferred can never be
+        # clobbered, the loser just takes the next slot
+        n = len(_state_files(state_dir))
+        while True:
+            out_path = os.path.join(state_dir, f"hashes_{n:06d}.parquet")
+            try:
+                os.link(tmp, out_path)
+                break
+            except FileExistsError:
+                n += 1
+        os.unlink(tmp)
         committed.append(out_path)
         return out_path
 

@@ -93,7 +93,11 @@ def broadcast_hash_join(
     ``batch_format="pyarrow"`` keeps the big side's blocks as zero-copy
     Arrow and joins with the in-process Arrow kernel (no Arrow->pandas
     round-trip per block); the pandas path remains the default for callers
-    whose surrounding stages are pandas anyway."""
+    whose surrounding stages are pandas anyway. SCHEMA CAVEAT: the Arrow
+    kernel COALESCES the right key columns away (pandas merge keeps both)
+    and only applies ``suffixes[1]`` to right-side collisions — callers
+    switching an existing site to pyarrow must not rely on the right key
+    column downstream (the converted call sites select_columns anyway)."""
     left_keys = [left_on] if isinstance(left_on, str) else list(left_on)
     right_keys = (
         left_keys
@@ -106,7 +110,18 @@ def broadcast_hash_join(
             small if isinstance(small, pa.Table) else pa.Table.from_pandas(small)
         )
         ref_a = ray.put(small_tbl)
-        join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
+        arrow_how = {
+            "inner": "inner",
+            "left": "left outer",
+            "right": "right outer",
+            "outer": "full outer",
+        }
+        if how not in arrow_how:
+            raise ValueError(
+                f"broadcast_hash_join: unsupported how={how!r} for the "
+                "pyarrow path (inner/left/right/outer)"
+            )
+        join_type = arrow_how[how]
 
         def merge_arrow(batch: pa.Table) -> pa.Table:
             rhs = _fetch(ref_a)

@@ -424,6 +424,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 allows any number of 0xFF FILL bytes before a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -494,6 +499,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or scan_data is None:
         raise ValueError("jpeg: missing SOF/SOS")
     fh, fw, comps = frame
+
+    if len(scan_comps) != len(comps):
+        # spec-legal non-interleaved multi-scan baseline: one SOS per
+        # component — decoding only the first scan would return silently
+        # wrong (color-shifted) pixels, so refuse loudly instead
+        raise NotImplementedError(
+            "jpeg: multi-scan (non-interleaved) baseline stream — only "
+            "single-scan interleaved baseline is supported"
+        )
+    for _cid, hs, vs, _tq in comps:
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise NotImplementedError(
+                f"jpeg: sampling factors {hs}x{vs} outside the supported "
+                "{1,2} set (4:4:4 / 4:2:2 / 4:2:0)"
+            )
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -586,7 +606,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         planes[cid] = plane[:fh, :fw]
 
     if len(comps) == 1:
-        y = np.clip(planes[comps[0][0]], 0, 255).astype(np.uint8)
+        # round like the color path (truncation would bias -1 LSB)
+        y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     if len(comps) != 3:
         raise NotImplementedError(f"jpeg: {len(comps)}-component scan")

@@ -95,8 +95,7 @@ def parse_urls(s: pd.Series) -> pd.DataFrame:
         bad = s[bad_port].iloc[0]
         raise ValueError(f"parse_urls: non-numeric port in URL: {bad!r}")
     port = pd.Series(
-        np.where(explicit, port_str.where(explicit, "0"), default_port.astype(str)),
-        index=s.index,
+        np.where(explicit, port_str, default_port.astype(str)), index=s.index
     ).astype("int64")
 
     path, query_raw = _split2(pathq, "?")

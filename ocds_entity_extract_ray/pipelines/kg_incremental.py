@@ -263,7 +263,10 @@ def kg_update(
             "num_buckets": num_buckets,
             "source": source,
             "classifier_list": classifier_list,
-            "product_index_keys": sorted(product_index) if product_index else None,
+            # full index, not just keys: changed product ATTRIBUTES must
+            # also change the id (config_digest contract: different
+            # config -> recompute, never already_applied)
+            "product_index": product_index,
         },
     )
     jpath = _journal_path(store_dir, delta_id)

@@ -830,6 +830,83 @@ def test_jpeg_round_trip_all_modes():
     assert np.abs(d.astype(int) - noisy.astype(int)).mean() < 8
 
 
+def test_jpeg_marker_edge_cases():
+    """T.81 edge cases from review: 0xFF fill bytes before markers are
+    legal and must be skipped; non-interleaved multi-scan baseline must
+    refuse loudly (decoding one scan would silently color-shift)."""
+    import struct
+
+    from ocds_entity_extract_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [(xx * 8).astype(np.uint8), (yy * 10).astype(np.uint8), ((xx + yy) * 4).astype(np.uint8)],
+        axis=-1,
+    )
+    data = encode_jpeg(img, quality=90)
+
+    i = data.find(b"\xff\xc0")
+    filled = data[:i] + b"\xff" + data[i:]  # fill byte before SOF0
+    d = decode_jpeg(filled)
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
+
+    j = data.find(b"\xff\xda")
+    (seglen,) = struct.unpack(">H", data[j + 2 : j + 4])
+    one_comp_sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    fake = data[:j] + one_comp_sos + data[j + 2 + seglen :]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(fake)
+
+
+def test_ingest_two_phase_interleaved_commits(ray_session, tmp_path):
+    """A deferred commit() must not clobber a state file committed by an
+    ingest that ran in between — the log slot is claimed atomically at
+    commit time, so the loser takes the next slot and BOTH hash sets
+    survive (review finding: plan-time slot naming silently overwrote)."""
+    import os
+
+    from ocds_entity_extract_ray.ops.ingest import (
+        ingest_dedup,
+        ingest_dedup_two_phase,
+    )
+
+    state = str(tmp_path / "state_ileave")
+    a = pd.DataFrame({"doc_id": [1], "text": ["alpha"]})
+    b = pd.DataFrame({"doc_id": [2], "text": ["beta"]})
+
+    _surv_a, commit_a = ingest_dedup_two_phase(ray.data.from_pandas(a), state)
+    ingest_dedup(ray.data.from_pandas(b), state)  # B runs fully meanwhile
+    path_a = commit_a()  # A's deferred commit
+    assert len([f for f in os.listdir(state) if f.endswith(".parquet")]) == 2
+    assert os.path.basename(path_a) != "hashes_000000.parquet"
+    # both hash sets live: replaying either batch yields nothing
+    for df in (a, b):
+        out = ingest_dedup(
+            ray.data.from_pandas(df), state, commit=False
+        ).to_pandas()
+        assert len(out) == 0
+
+
+def test_kg_delta_id_tracks_product_values():
+    """The update journal's delta id must change when product ATTRIBUTES
+    change, not just the key set (review finding: keys-only digest made a
+    catalog update a silent no-op)."""
+    import os
+    import tempfile
+
+    from ocds_entity_extract_ray.pipelines.kg_incremental import _delta_id
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "x.parquet"), "wb") as fh:
+            fh.write(b"stub")
+        base = {"num_buckets": 8, "source": "pages"}
+        id1 = _delta_id(d, {**base, "product_index": {"p1": {"name": "old"}}})
+        id2 = _delta_id(d, {**base, "product_index": {"p1": {"name": "new"}}})
+        id3 = _delta_id(d, {**base, "product_index": {"p1": {"name": "old"}}})
+        assert id1 != id2
+        assert id1 == id3
+
+
 def test_multimodal_real_jpeg_path(ray_session):
     """decode='real' featurize + resize now cover baseline JPEG payloads
     end to end (VERDICT r03 missing #1): features are histogram densities
