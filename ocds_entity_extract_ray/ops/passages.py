@@ -1,0 +1,241 @@
+"""Cross-document duplicated-passage removal — the RefinedWeb / Lee et
+al. ("Deduplicating Training Data Makes Language Models Better") exact
+substring-dedup shape, discretized to fixed word windows so it has an
+exact SQL twin: split each document into consecutive
+``words_per_passage``-word chunks (split on single spaces; the tail
+chunk, shorter than the window, never participates), drop EVERY
+occurrence of any full chunk whose exact text appears more than once in
+the corpus (within- or cross-document), and reassemble the surviving
+chunks in order.
+
+Scale shape (the reason this is not "shuffle all text twice"):
+
+1. chunking is doc-local (``map_batches``);
+2. the duplicate-detection shuffle carries ONLY the 8-byte md5-low64 of
+   each full chunk (``ops.textstats`` hash, bit-identical to DuckDB's
+   ``md5_number_lower``) — a wordcount-shaped pre-aggregated groupby;
+3. the duplicated-hash set is then applied back ADAPTIVELY:
+   - if it fits (``<= broadcast_max_dups``) it is broadcast via
+     ``ray.put`` and documents are cleaned in place — zero text ever
+     shuffles;
+   - otherwise documents explode to (doc_id, j, passage-hash) rows,
+     anti-join the dup set on a bucketed merge, and reassemble with one
+     text shuffle grouped by doc_id.
+   Both branches produce identical output (forced-branch tested).
+
+Hash collisions conflate two different passages into one "duplicate"
+group (~2^-64 per pair); the SQL twin groups by the same hash so the
+oracle agrees exactly either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .agg import bucketed_map_groups
+from .joins import _fetch
+from .textstats import _h64
+
+
+def _chunk_doc(text: str, w: int) -> tuple[list[str], int]:
+    """All chunks of ``text`` (split on ' ') plus the count of FULL ones.
+    The tail partial chunk (if any) is the last list element."""
+    ws = text.split(" ")
+    n_full = len(ws) // w
+    chunks = [" ".join(ws[j * w : (j + 1) * w]) for j in range(n_full)]
+    if len(ws) % w:
+        chunks.append(" ".join(ws[n_full * w :]))
+    return chunks, n_full
+
+
+def _dup_hashes(docs: ray.data.Dataset, text_col: str, w: int) -> ray.data.Dataset:
+    """Dataset of one ``hash`` column: md5-low64 of every full chunk that
+    occurs more than once corpus-wide. Pre-aggregated per batch, then one
+    slim (hash, n) groupby."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[int, int] = {}
+        for text in batch[text_col]:
+            chunks, n_full = _chunk_doc(text, w)
+            for c in chunks[:n_full]:
+                h = _h64(c.encode())
+                counts[h] = counts.get(h, 0) + 1
+        return pd.DataFrame(
+            {
+                "hash": pd.Series(list(counts.keys()), dtype=np.uint64),
+                "n": pd.Series(list(counts.values()), dtype=np.int64),
+            }
+        )
+
+    def dup_only(block: pd.DataFrame) -> pd.DataFrame:
+        tot = block.groupby("hash", sort=False, as_index=False)["n"].sum()
+        return tot.loc[tot["n"] > 1, ["hash"]]
+
+    empty = pd.DataFrame({"hash": pd.Series([], dtype=np.uint64)})
+    return bucketed_map_groups(
+        docs.map_batches(partial, batch_format="pandas"),
+        "hash",
+        dup_only,
+        num_buckets=64,
+        empty_result=empty,
+    )
+
+
+def dedup_passages(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_passage: int = 16,
+    broadcast_max_dups: int = 5_000_000,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Return one row per document: ``(id_col, n_passages, n_dropped,
+    cleaned_text)``. ``n_passages`` counts all chunks including the tail
+    partial; ``n_dropped`` counts removed full chunks; ``cleaned_text``
+    is the surviving chunks joined by ' ' in original order, or NULL when
+    nothing survives (matching SQL's all-NULL STRING_AGG)."""
+    w = words_per_passage
+    if w < 1:
+        raise ValueError("words_per_passage must be >= 1")
+    dup_ds = _dup_hashes(docs, text_col, w)
+
+    def clean_with(dup_lookup) -> ray.data.Dataset:
+        def clean(batch: pd.DataFrame) -> pd.DataFrame:
+            dup = _fetch(dup_lookup) if dup_lookup is not None else frozenset()
+            ids, n_pass, n_drop, cleaned = [], [], [], []
+            for did, text in zip(batch[id_col], batch[text_col]):
+                chunks, n_full = _chunk_doc(text, w)
+                kept = [
+                    c
+                    for j, c in enumerate(chunks)
+                    if j >= n_full or _h64(c.encode()) not in dup
+                ]
+                ids.append(did)
+                n_pass.append(len(chunks))
+                n_drop.append(len(chunks) - len(kept))
+                cleaned.append(" ".join(kept) if kept else None)
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=batch[id_col].dtype),
+                    "n_passages": pd.Series(n_pass, dtype=np.int64),
+                    "n_dropped": pd.Series(n_drop, dtype=np.int64),
+                    "cleaned_text": pd.Series(cleaned, dtype=object),
+                }
+            )
+
+        return docs.map_batches(clean, batch_format="pandas")
+
+    # adaptive application: count the dup set before deciding to collect it
+    dup_mat = dup_ds.materialize()
+    n_dups = dup_mat.count()
+    if n_dups <= broadcast_max_dups:
+        dup_set = (
+            frozenset(dup_mat.to_pandas()["hash"].astype(np.uint64).tolist())
+            if n_dups
+            else frozenset()
+        )
+        return clean_with(ray.put(dup_set) if n_dups else None)
+
+    # distributed branch: explode to hashed chunks, mark via bucketed
+    # merge against the dup set, reassemble with one text shuffle by doc.
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_j, rows_h, rows_c, rows_full = [], [], [], [], []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            chunks, n_full = _chunk_doc(text, w)
+            for j, c in enumerate(chunks):
+                rows_id.append(did)
+                rows_j.append(j)
+                rows_h.append(_h64(c.encode()) if j < n_full else 0)
+                rows_c.append(c)
+                rows_full.append(j < n_full)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(rows_id, dtype=batch[id_col].dtype),
+                "_j": pd.Series(rows_j, dtype=np.int64),
+                "_h": pd.Series(rows_h, dtype=np.uint64),
+                "_chunk": pd.Series(rows_c, dtype=object),
+                "_full": pd.Series(rows_full, dtype=bool),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pandas")
+    dup_marked = dup_mat.map_batches(
+        lambda b: pd.DataFrame({"_h": b["hash"].astype(np.uint64), "_dup": True}),
+        batch_format="pandas",
+    )
+
+    def mark_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        chunks_part = block[block["_dup"].isna()].drop(columns=["_dup"])
+        dups_part = block.loc[block["_dup"].notna(), ["_h"]].drop_duplicates()
+        out = chunks_part.merge(dups_part.assign(_dup=True), on="_h", how="left")
+        out["_drop"] = out["_full"] & out["_dup"].notna()
+        return out.drop(columns=["_dup"])
+
+    chunk_rows = exploded.map_batches(
+        lambda b: b.assign(_dup=pd.Series([None] * len(b), dtype=object)),
+        batch_format="pandas",
+    )
+    dup_rows = dup_marked.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: pd.Series([0] * len(b), dtype=np.int64),
+                "_j": pd.Series([0] * len(b), dtype=np.int64),
+                "_h": b["_h"],
+                "_chunk": pd.Series([""] * len(b), dtype=object),
+                "_full": pd.Series([False] * len(b), dtype=bool),
+                "_dup": pd.Series([True] * len(b), dtype=object),
+            }
+        ),
+        batch_format="pandas",
+    )
+    empty_mark = pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype=np.int64),
+            "_j": pd.Series([], dtype=np.int64),
+            "_h": pd.Series([], dtype=np.uint64),
+            "_chunk": pd.Series([], dtype=object),
+            "_full": pd.Series([], dtype=bool),
+            "_drop": pd.Series([], dtype=bool),
+        }
+    )
+    marked = bucketed_map_groups(
+        chunk_rows.union(dup_rows),
+        "_h",
+        mark_bucket,
+        num_buckets=num_buckets,
+        empty_result=empty_mark,
+    )
+
+    def reassemble(block: pd.DataFrame) -> pd.DataFrame:
+        out_id, n_pass, n_drop, cleaned = [], [], [], []
+        for did, g in block.groupby(id_col, sort=False):
+            g = g.sort_values("_j", kind="mergesort")
+            kept = g.loc[~g["_drop"], "_chunk"].tolist()
+            out_id.append(did)
+            n_pass.append(len(g))
+            n_drop.append(int(g["_drop"].sum()))
+            cleaned.append(" ".join(kept) if kept else None)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype=block[id_col].dtype),
+                "n_passages": pd.Series(n_pass, dtype=np.int64),
+                "n_dropped": pd.Series(n_drop, dtype=np.int64),
+                "cleaned_text": pd.Series(cleaned, dtype=object),
+            }
+        )
+
+    empty_out = pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype=np.int64),
+            "n_passages": pd.Series([], dtype=np.int64),
+            "n_dropped": pd.Series([], dtype=np.int64),
+            "cleaned_text": pd.Series([], dtype=object),
+        }
+    )
+    return bucketed_map_groups(
+        marked, id_col, reassemble, num_buckets=num_buckets, empty_result=empty_out
+    )

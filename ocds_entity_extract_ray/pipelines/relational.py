@@ -6192,3 +6192,130 @@ def q_source_distinct_hll(sf_dir: str) -> pd.DataFrame:
 
 
 ROWS_ONLY_QUERIES["q_source_distinct_hll"] = q_source_distinct_hll
+
+
+def q_passage_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-document duplicated-passage removal (RefinedWeb / Lee et al.
+    exact substring dedup, discretized to 16-word windows): every full
+    chunk whose text occurs more than once corpus-wide is removed from
+    EVERY document, and the cleansed text is reassembled in order. The
+    only full-corpus shuffle carries 8-byte chunk hashes; text never
+    shuffles on the (default) broadcast branch. Exact twin: DuckDB
+    md5_number_lower == ops.textstats._h64 on both sides."""
+    from ..ops.passages import dedup_passages
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_passages(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_PASSAGE_DEDUP_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+spine AS (
+  SELECT doc_id, ws, unnest(range(((array_length(ws) + 15) // 16)::BIGINT)) AS j
+  FROM docs),
+chunks AS (
+  SELECT doc_id, j,
+         array_to_string(ws[(j * 16 + 1)::INT : (j * 16 + 16)::INT], ' ') AS chunk,
+         (array_length(ws) >= (j + 1) * 16) AS is_full
+  FROM spine),
+dup AS (
+  SELECT md5_number_lower(chunk) AS h
+  FROM chunks WHERE is_full
+  GROUP BY h HAVING COUNT(*) > 1),
+marked AS (
+  SELECT c.doc_id, c.j, c.chunk,
+         (c.is_full AND d.h IS NOT NULL) AS dropped
+  FROM chunks c
+  LEFT JOIN dup d ON c.is_full AND md5_number_lower(c.chunk) = d.h)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_passages,
+       SUM(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       STRING_AGG(CASE WHEN NOT dropped THEN chunk END, ' ' ORDER BY j) AS cleaned_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+SQL_QUERIES["q_passage_dedup"] = (q_passage_dedup, Q_PASSAGE_DEDUP_SQL)
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al.): fixed-point k-means clusters, then prune
+    vectors cosine-similar to a lower-id vector in the same final
+    cluster. All-integer arithmetic (squared-threshold cross-multiply,
+    tau^2 = 1/5 calibrated to the synthetic embedding geometry) makes an
+    ITERATIVE-clustering + similarity pipeline hash-exact vs an unrolled
+    DuckDB twin — same discipline as q_kmeans_clusters/q_pagerank."""
+    from ..ops.kmeans import label_init_centroids
+    from ..ops.semdedup import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings")
+    init = label_init_centroids(emb)
+    out = semantic_dedup(emb, init, iters=2, tau2_num=1, tau2_den=5).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+Q_SEMANTIC_DEDUP_SQL = """
+WITH dims AS (SELECT i FROM range(1, 65) t(i)),
+q AS (
+  SELECT e.vec_id, e.label, d.i AS d,
+         (FLOOR(list_extract(e.embedding, d.i)::DOUBLE * 1000000.0) + 1000000)::BIGINT AS v
+  FROM embeddings e, dims d),
+c0 AS (
+  SELECT label::BIGINT AS cid, d, (SUM(v) // COUNT(*))::BIGINT AS cv
+  FROM q GROUP BY label, d),
+d1 AS (
+  SELECT q.vec_id, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS dist
+  FROM q JOIN c0 c USING (d) GROUP BY q.vec_id, c.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT a.cid, q.d, (SUM(q.v) // COUNT(*))::BIGINT AS cv
+  FROM q JOIN a1 a USING (vec_id) GROUP BY a.cid, q.d),
+d2 AS (
+  SELECT q.vec_id, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS dist
+  FROM q JOIN c1 c USING (d) GROUP BY q.vec_id, c.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1),
+c2 AS (
+  SELECT a.cid, q.d, (SUM(q.v) // COUNT(*))::BIGINT AS cv
+  FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d),
+d3 AS (
+  SELECT q.vec_id, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS dist
+  FROM q JOIN c2 c USING (d) GROUP BY q.vec_id, c.cid),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d3) WHERE rn = 1),
+qv AS (
+  SELECT e.vec_id, d.i AS d,
+         FLOOR(list_extract(e.embedding, d.i)::DOUBLE * 1000.0)::BIGINT AS v
+  FROM embeddings e, dims d),
+nrm AS (SELECT vec_id, SUM(v * v)::BIGINT AS nn FROM qv GROUP BY vec_id),
+pairs AS (
+  SELECT ai.vec_id AS i, aj.vec_id AS j, SUM(x.v * y.v)::BIGINT AS dot
+  FROM a3 ai JOIN a3 aj ON ai.cid = aj.cid AND ai.vec_id < aj.vec_id
+  JOIN qv x ON x.vec_id = ai.vec_id
+  JOIN qv y ON y.vec_id = aj.vec_id AND y.d = x.d
+  GROUP BY ai.vec_id, aj.vec_id),
+drops AS (
+  SELECT DISTINCT p.j AS vec_id
+  FROM pairs p
+  JOIN nrm nx ON nx.vec_id = p.i
+  JOIN nrm ny ON ny.vec_id = p.j
+  WHERE p.dot > 0 AND 5 * p.dot * p.dot > 1 * nx.nn * ny.nn)
+SELECT a3.vec_id, a3.cid AS cluster, (dr.vec_id IS NULL) AS kept
+FROM a3 LEFT JOIN drops dr ON a3.vec_id = dr.vec_id
+ORDER BY a3.vec_id
+"""
+
+SQL_QUERIES["q_semantic_dedup"] = (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL)

@@ -1,0 +1,170 @@
+"""Planted-fixture coverage for the two round-4 corpus-cleaning ops:
+cross-document duplicated-passage removal (ops/passages.py) and
+SemDeDup-style semantic dedup (ops/semdedup.py). The SQL-oracle parity
+for both is covered by the sweep (q_passage_dedup / q_semantic_dedup);
+these tests pin the planted semantics and the forced-branch parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from ocds_entity_extract_ray.ops.passages import dedup_passages
+from ocds_entity_extract_ray.ops.semdedup import semantic_dedup
+
+P = "alpha beta gamma delta"  # the planted shared 4-word passage
+
+
+@pytest.fixture(scope="module")
+def passage_corpus(ray_session):
+    rows = [
+        # P + unique full chunk + partial tail
+        {"doc_id": 1, "text": P + " one two three four tail"},
+        # P + a different unique full chunk, no tail
+        {"doc_id": 2, "text": P + " five six seven eight"},
+        # 3 words: ONLY a partial tail — never dropped even though the
+        # text is a prefix of the duplicated passage
+        {"doc_id": 3, "text": "alpha beta gamma"},
+        # within-document duplicate: both occurrences of P drop,
+        # nothing survives -> NULL cleaned_text
+        {"doc_id": 4, "text": P + " " + P},
+        # fully unique doc
+        {"doc_id": 5, "text": "u1 u2 u3 u4 u5"},
+    ]
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+EXPECTED = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4, 5],
+        "n_passages": [3, 2, 1, 2, 2],
+        "n_dropped": [1, 1, 0, 2, 0],
+        "cleaned_text": [
+            "one two three four tail",
+            "five six seven eight",
+            "alpha beta gamma",
+            None,
+            "u1 u2 u3 u4 u5",
+        ],
+    }
+)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_passages"] = out["n_passages"].astype(np.int64)
+    out["n_dropped"] = out["n_dropped"].astype(np.int64)
+    out["cleaned_text"] = out["cleaned_text"].where(out["cleaned_text"].notna(), None)
+    return out
+
+
+def test_passage_dedup_planted(passage_corpus):
+    got = _normalize(dedup_passages(passage_corpus, words_per_passage=4).to_pandas())
+    pd.testing.assert_frame_equal(got, EXPECTED)
+
+
+def test_passage_dedup_distributed_branch_parity(passage_corpus):
+    """broadcast_max_dups=0 forces the explode/anti-join/reassemble branch;
+    output must be identical to the broadcast branch."""
+    got = _normalize(
+        dedup_passages(
+            passage_corpus, words_per_passage=4, broadcast_max_dups=0, num_buckets=4
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, EXPECTED)
+
+
+def test_passage_dedup_no_dups_is_identity(ray_session):
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [7, 8], "text": ["a b c d e", "f g h i"]})
+    )
+    got = _normalize(dedup_passages(docs, words_per_passage=4).to_pandas())
+    assert list(got["n_dropped"]) == [0, 0]
+    assert list(got["cleaned_text"]) == ["a b c d e", "f g h i"]
+
+
+def test_passage_dedup_rejects_bad_window(passage_corpus):
+    with pytest.raises(ValueError, match="words_per_passage"):
+        dedup_passages(passage_corpus, words_per_passage=0)
+
+
+def _vec(theta: float, d: int = 8, r: float = 0.9) -> np.ndarray:
+    v = np.zeros(d, dtype=np.float64)
+    v[0] = r * np.cos(theta)
+    v[1] = r * np.sin(theta)
+    return v
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(ray_session):
+    """Cluster 0: three vectors in a 2D fan at 0/40/80 degrees — with
+    tau^2 = 1/5 (tau ~ 0.447, ~63.4deg) the 40deg neighbors are similar
+    but the 80deg pair is not. Cluster 1: two far-away vectors."""
+    deg = np.pi / 180.0
+    rows = [
+        {"vec_id": 0, "label": 0, "embedding": _vec(0.0)},
+        {"vec_id": 1, "label": 0, "embedding": _vec(40 * deg)},
+        {"vec_id": 2, "label": 0, "embedding": _vec(80 * deg)},
+        {"vec_id": 10, "label": 1, "embedding": _vec(200 * deg)},
+        {"vec_id": 11, "label": 1, "embedding": _vec(210 * deg)},
+    ]
+    df = pd.DataFrame(rows)
+    df["label"] = df["label"].astype(np.int64)
+    df["vec_id"] = df["vec_id"].astype(np.int64)
+    return ray.data.from_pandas(df)
+
+
+def _init_centroids(ds):
+    from ocds_entity_extract_ray.ops.kmeans import label_init_centroids
+
+    return label_init_centroids(ds)
+
+
+def test_semantic_dedup_non_transitive_drop_rule(planted_embeddings):
+    """vec1 is dropped by vec0 (cos40 > tau); vec2 is dropped by vec1
+    (cos40 > tau) even though vec1 itself was dropped — the rule is
+    'similar to ANY lower id', not 'similar to a survivor' — while
+    cos(vec0, vec2) = cos80 < tau alone would have kept vec2."""
+    init = _init_centroids(planted_embeddings)
+    out = (
+        semantic_dedup(planted_embeddings, init, iters=2, tau2_num=1, tau2_den=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["vec_id"]) == [0, 1, 2, 10, 11]
+    # both planted clusters survive the 2 Lloyd iterations intact
+    assert out["cluster"].iloc[0] == out["cluster"].iloc[1] == out["cluster"].iloc[2]
+    assert out["cluster"].iloc[3] == out["cluster"].iloc[4]
+    assert out["cluster"].iloc[0] != out["cluster"].iloc[3]
+    # 210deg is 10deg from 200deg -> similar -> 11 dropped by 10
+    assert list(out["kept"]) == [True, False, False, True, False]
+
+
+def test_semantic_dedup_strict_threshold_keeps_all(planted_embeddings):
+    """tau^2 = 1999/2000 (tau ~ 0.99975) — nothing in the fan or the far
+    cluster is that parallel, so every vector survives."""
+    init = _init_centroids(planted_embeddings)
+    out = semantic_dedup(
+        planted_embeddings, init, iters=2, tau2_num=1999, tau2_den=2000
+    ).to_pandas()
+    assert bool(out["kept"].all())
+
+
+def test_semantic_dedup_cluster_cap_raises(planted_embeddings):
+    init = _init_centroids(planted_embeddings)
+    with pytest.raises(Exception, match="max_cluster_size"):
+        semantic_dedup(
+            planted_embeddings, init, iters=1, max_cluster_size=2
+        ).to_pandas()
+
+
+def test_semantic_dedup_validates_threshold(planted_embeddings):
+    init = _init_centroids(planted_embeddings)
+    with pytest.raises(ValueError, match="int64 headroom"):
+        semantic_dedup(planted_embeddings, init, tau2_num=1, tau2_den=5000)
+    with pytest.raises(ValueError, match="int64 headroom"):
+        semantic_dedup(planted_embeddings, init, tau2_num=0, tau2_den=5)
