@@ -76,6 +76,134 @@ def detect_lang(text: str) -> str:
     return best if scores[best] > 0 else "und"
 
 
+# --- Vectorized batch kernels ------------------------------------------------
+#
+# The per-doc functions above are the semantic reference (and the public
+# scalar API); the batch kernels below compute the SAME values with
+# pyarrow.compute string kernels + numpy segment sums — no Python-level
+# per-row loop — and are what the Dataset stages use. Regex subset note:
+# the kernels run on RE2 (pyarrow) while the scalar reference uses
+# Python `re`; the patterns here only use explicit character classes
+# (`[a-zA-ZÀ-ɏ]`, the punctuation set) plus ASCII `\d`/`\s`, so the two
+# engines agree on all ASCII + latin-extended text (pinned by the
+# old-vs-new parity tests); Python-`re`'s wider unicode `\d`/`\s` is the
+# documented divergence outside that subset (same discipline as ops/pii).
+# One more pinned divergence: Arrow lowercases with SIMPLE case mapping
+# while Python uses full mapping — U+0130 'İ' (-> 'i' vs 'i'+combining
+# dot) is the only affected code point inside the subset range.
+
+_WORD_SPLIT_RE2 = "[^a-zA-ZÀ-ɏ]+"
+_PUNCT_RE2 = "[.,;:!?¡¿\"'()\\[\\]{}«»]"
+_ALL_STOPWORDS = sorted(set().union(*_STOPWORDS.values()))
+_LANGS = sorted(lang for lang, sw in _STOPWORDS.items() if sw)
+
+
+def _texts_to_arrow(texts) -> "pa.Array":
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(pd.Series(texts), from_pandas=True)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    return pc.cast(arr, pa.large_string())
+
+
+def _word_segments(arr) -> tuple:
+    """Split into lowercased word runs: returns (lower_flat_words,
+    word_lengths, row_index, n_rows). Splitting the ORIGINAL text (not a
+    lowercased copy) mirrors `_WORD_RE.findall(t)` + per-word lower —
+    lowercasing first could move word boundaries for exotic code points.
+    Empty segments (split artifacts at boundaries) carry length 0 and are
+    masked out by callers via `word_lengths > 0`."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern_regex(arr, _WORD_SPLIT_RE2)
+    flat = pc.list_flatten(parts)
+    ll = pc.list_value_length(parts).to_numpy().astype(np.int64)
+    row_idx = np.repeat(np.arange(len(ll), dtype=np.int64), ll)
+    lower = pc.utf8_lower(flat)
+    # lengths AFTER lowercasing — the scalar reference measures the
+    # lowercased word, and lower() can change the code-point count
+    # (e.g. 'İ' -> 'i' + combining dot)
+    wlen = pc.utf8_length(lower).to_numpy().astype(np.int64)
+    return lower, wlen, row_idx, len(ll)
+
+
+def quality_stats_batch(texts) -> dict[str, np.ndarray]:
+    """Vectorized `quality_stats` over a column; returns column arrays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = _texts_to_arrow(texts)
+    lower, wlen, row_idx, n = _word_segments(arr)
+    nonempty = wlen > 0
+    n_words = np.bincount(row_idx[nonempty], minlength=n).astype(np.int64)
+    # word lengths fit far below 2^53: the float-weight bincount is exact
+    sum_wlen = np.bincount(row_idx, weights=wlen, minlength=n)
+    stop = pc.is_in(lower, value_set=pa.array(_ALL_STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.bincount(row_idx[stop], minlength=n).astype(np.int64)
+    n_chars = pc.utf8_length(arr).to_numpy().astype(np.int64)
+    n_tokens = (
+        pc.count_substring_regex(arr, r"\S+").to_numpy().astype(np.int64)
+    )
+    n_punct = (
+        pc.count_substring_regex(arr, _PUNCT_RE2).to_numpy().astype(np.int64)
+    )
+    safe_words = np.maximum(n_words, 1)
+    safe_chars = np.maximum(n_chars, 1)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_words": n_words,
+        "stopword_ratio": np.where(n_words > 0, n_stop / safe_words, 0.0),
+        "punct_ratio": np.where(n_chars > 0, n_punct / safe_chars, 0.0),
+        "mean_word_len": np.where(n_words > 0, sum_wlen / safe_words, 0.0),
+    }
+
+
+def detect_lang_batch(texts) -> np.ndarray:
+    """Vectorized `detect_lang` over a column (object array of codes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = _texts_to_arrow(texts)
+    lower, wlen, row_idx, n = _word_segments(arr)
+    scores = np.zeros((n, len(_LANGS)), dtype=np.int64)
+    for j, lang in enumerate(_LANGS):
+        hit = pc.is_in(
+            lower, value_set=pa.array(sorted(_STOPWORDS[lang]))
+        ).to_numpy(zero_copy_only=False)
+        scores[:, j] = np.bincount(row_idx[hit], minlength=n)
+    # argmax returns the FIRST max — _LANGS is sorted, matching the
+    # scalar `max(sorted(scores), key=scores.get)` tie rule
+    best_j = scores.argmax(axis=1)
+    best_score = scores[np.arange(n), best_j]
+    langs = np.array(_LANGS, dtype=object)
+    return np.where(best_score > 0, langs[best_j], "und")
+
+
+def token_count_batch(texts) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    arr = _texts_to_arrow(texts)
+    return pc.count_substring_regex(arr, r"\S+").to_numpy().astype(np.int64)
+
+
+def bpe_ish_token_count_batch(texts) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    arr = _texts_to_arrow(texts)
+    pat = r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]"
+    return pc.count_substring_regex(arr, pat).to_numpy().astype(np.int64)
+
+
 def _h64(data: bytes) -> int:
     """64-bit feature hash: low half of md5 in little-endian byte order —
     bit-identical to DuckDB's ``md5_number_lower(x)``, which is what lets
@@ -170,22 +298,27 @@ def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
 
 
 def add_text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].map(quality_stats)
+    import pyarrow as pa
+
+    def stats(batch: pa.Table) -> pa.Table:
+        cols = quality_stats_batch(batch.column(text_col))
         for f in ("n_chars", "n_tokens", "n_words"):
-            batch[f] = s.map(lambda d, f=f: d[f]).astype("int64")
+            batch = batch.append_column(f, pa.array(cols[f], type=pa.int64()))
         for f in ("stopword_ratio", "punct_ratio", "mean_word_len"):
-            batch[f] = s.map(lambda d, f=f: d[f])
+            batch = batch.append_column(f, pa.array(cols[f], type=pa.float64()))
         return batch
 
-    return ds.map_batches(stats, batch_format="pandas")
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 def add_langid(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    return ds.map_batches(
-        lambda b: b.assign(lang_pred=b[text_col].map(detect_lang)),
-        batch_format="pandas",
-    )
+    import pyarrow as pa
+
+    def lang(batch: pa.Table) -> pa.Table:
+        pred = detect_lang_batch(batch.column(text_col))
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+    return ds.map_batches(lang, batch_format="pyarrow")
 
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:

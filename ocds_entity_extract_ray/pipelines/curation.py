@@ -27,7 +27,7 @@ import ray.data
 from ..ops.dedup import exact_dedup, minhash_lsh_pairs
 from ..ops.graph import connected_components
 from ..ops.scan import pack_documents
-from ..ops.textstats import detect_lang, quality_stats
+from ..ops.textstats import detect_lang_batch, quality_stats_batch
 
 
 def near_dup_loser_ids(comp: ray.data.Dataset) -> frozenset:
@@ -100,14 +100,13 @@ def curate_documents(
     docs that survive all filters, assigned to training sequences."""
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        mask = np.empty(len(b), dtype=bool)
-        for i, t in enumerate(b[text_col]):
-            qs = quality_stats(t)
-            mask[i] = (
-                qs["n_words"] >= min_words
-                and qs["stopword_ratio"] >= min_stopword_ratio
-                and detect_lang(t) != "und"
-            )
+        qs = quality_stats_batch(b[text_col])
+        lang = detect_lang_batch(b[text_col])
+        mask = (
+            (qs["n_words"] >= min_words)
+            & (qs["stopword_ratio"] >= min_stopword_ratio)
+            & (lang != "und")
+        )
         return b[mask]
 
     kept = docs.map_batches(keep, batch_format="pandas")

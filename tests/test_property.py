@@ -350,3 +350,55 @@ def test_connected_components_matches_bruteforce(seed):
             broadcast_max_edges=max_edges,
         ).to_pandas()
         assert dict(zip(got["node"].astype(int), got["cluster_id"].astype(int))) == want
+
+
+# --- round-4 vectorized text kernels -----------------------------------------
+
+_TEXT_SUBSET = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "S"),
+        max_codepoint=0x024F,  # ASCII + latin extended: the pinned RE2 subset
+        include_characters=" \t\n\r",  # the whitespace both engines agree on
+        # U+0130 'İ' is the one code point in range where Python's FULL
+        # lowercase ('i' + combining dot) differs from Arrow's simple
+        # mapping ('i') — excluded from the pinned subset (documented)
+        exclude_characters="İ",
+    ),
+    max_size=300,
+)
+
+
+@given(st.lists(_TEXT_SUBSET, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_quality_stats_batch_matches_scalar(texts):
+    """The vectorized (pyarrow/RE2 + numpy) batch kernels must agree
+    EXACTLY — including float ratios — with the per-doc reference
+    implementations on the pinned ASCII + latin-extended subset."""
+    import numpy as np
+
+    from ocds_entity_extract_ray.ops.textstats import (
+        bpe_ish_token_count,
+        bpe_ish_token_count_batch,
+        detect_lang,
+        detect_lang_batch,
+        quality_stats,
+        quality_stats_batch,
+        token_count,
+        token_count_batch,
+    )
+
+    qb = quality_stats_batch(texts)
+    lb = detect_lang_batch(texts)
+    tb = token_count_batch(texts)
+    bb = bpe_ish_token_count_batch(texts)
+    assert len(lb) == len(texts)
+    for i, t in enumerate(texts):
+        ref = quality_stats(t)
+        for k, v in ref.items():
+            assert qb[k][i] == v, (k, t)
+        assert lb[i] == detect_lang(t), t
+        assert tb[i] == token_count(t), t
+        assert bb[i] == bpe_ish_token_count(t), t
+    if not texts:
+        assert all(np.asarray(v).shape == (0,) for v in qb.values())
