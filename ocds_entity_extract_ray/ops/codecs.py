@@ -278,9 +278,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch BMP/PPM/PNG/JPEG decode by magic; raises
-    NotImplementedError for codecs this container genuinely cannot decode
-    (progressive JPEG, WebP, AVIF etc.)."""
+    """Dispatch BMP/PPM/PNG/JPEG (baseline + progressive) decode by
+    magic; raises NotImplementedError for codecs this container genuinely
+    cannot decode (WebP, AVIF, arithmetic-coded JPEG etc.)."""
     kind = sniff(payload or b"")
     if kind == "bmp":
         return decode_bmp(payload)

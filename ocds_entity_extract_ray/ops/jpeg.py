@@ -1,19 +1,26 @@
-"""Baseline sequential JPEG (ITU-T T.81) encode/decode in pure
-numpy/stdlib — the compressed-image kernel behind ops/codecs.decode_image,
-closing the biggest real-data multimodal gap (crawl images are
-overwhelmingly JPEG; reference seam: ops/multimodal.ImageFeaturizer).
+"""JPEG (ITU-T T.81) encode/decode in pure numpy/stdlib — the
+compressed-image kernel behind ops/codecs.decode_image, closing the
+biggest real-data multimodal gap (crawl images are overwhelmingly JPEG;
+reference seam: ops/multimodal.ImageFeaturizer).
 
 Scope (documented contract):
-  - DECODE: baseline sequential DCT, Huffman entropy coding, 8-bit,
-    grayscale or YCbCr with sampling factors in {1, 2} (4:4:4, 4:2:2,
-    4:2:0), restart intervals. Quant + Huffman tables are read FROM THE
-    STREAM, so externally produced baseline files decode without any
-    table assumptions. Progressive (SOF2), arithmetic coding, 12-bit, and
-    hierarchical modes raise NotImplementedError by marker.
-  - ENCODE: baseline sequential, standard Annex-K quant (quality-scaled
-    the libjpeg way) + Huffman tables, 4:4:4 or 4:2:0, used to synthesize
-    deterministic test/benchmark payloads (no image libs in the
-    container).
+  - DECODE: baseline sequential (SOF0/1) AND progressive (SOF2 —
+    spectral selection, successive approximation, EOB runs, DC/AC
+    refinement, interleaved and non-interleaved scans) DCT with Huffman
+    entropy coding, 8-bit, grayscale or YCbCr with sampling factors in
+    {1, 2} (4:4:4, 4:2:2, 4:2:0), restart intervals. Quant + Huffman
+    tables are read FROM THE STREAM, so externally produced files decode
+    without any table assumptions. Arithmetic coding, 12-bit, lossless
+    and hierarchical modes raise NotImplementedError by marker; so does
+    non-interleaved multi-scan BASELINE (rare; refusing beats silently
+    color-shifted output).
+  - ENCODE: baseline sequential or progressive (``progressive=True`` —
+    a libjpeg-style scan script; fixed 9/10-bit AC table so the encoder
+    stays one-pass), standard Annex-K quant (quality-scaled the libjpeg
+    way), 4:4:4 or 4:2:0, used to synthesize deterministic
+    test/benchmark payloads (no image libs in the container). Both modes
+    code IDENTICAL quantized coefficients, which is what lets the tests
+    assert progressive decode == baseline decode bit-for-bit.
 
 Performance shape: the DCT/IDCT, quantization, color transforms and
 upsampling are vectorized over all blocks (einsum); only the entropy
@@ -208,12 +215,24 @@ def _encode_plane_blocks(
     return quantized.reshape(-1, 64)[:, ZIGZAG]
 
 
+# Fixed Huffman table for progressive AC scans: all 256 (run, size)
+# symbols at 9-10 bits. Progressive needs the EOBn codes (r<<4 for
+# 1 <= r <= 14) that the Annex-K sequential tables don't contain;
+# a per-scan optimized table would compress better, but a fixed legal
+# table keeps the encoder one-pass (the decoder reads whatever tables
+# the stream carries, so this is an encoder-size tradeoff only).
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = list(range(256))
+
+
 def encode_jpeg(
     rgb: np.ndarray, *, quality: int = 85, subsample: str = "444",
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
-    baseline sequential JFIF JPEG. ``subsample``: '444' or '420'."""
+    baseline sequential (or, with ``progressive=True``, progressive
+    spectral-selection + successive-approximation) JFIF JPEG.
+    ``subsample``: '444' or '420'."""
     if subsample not in ("444", "420"):
         raise ValueError(f"encode_jpeg: subsample must be 444/420, got {subsample}")
     gray = rgb.ndim == 2
@@ -261,6 +280,12 @@ def encode_jpeg(
         )
         comp_blocks.append(_encode_plane_blocks(_blocks(padded - 128.0), quant))
         comp_bw.append(pw // 8)
+
+    if progressive:
+        return _encode_progressive(
+            h, w, gray, comp_blocks, comp_bw, samps,
+            (qy, qc), mcux, mcuy, restart_interval,
+        )
 
     dc_tabs = [
         _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -361,6 +386,265 @@ def encode_jpeg(
     return bytes(out)
 
 
+# --- progressive encoder -------------------------------------------------------
+
+
+class _ScanWriter:
+    """Per-scan bit writer with restart-marker segmentation. ``boundary``
+    must be called before each data unit with a callback that flushes any
+    buffered entropy state (EOB runs / correction bits) into the stream."""
+
+    def __init__(self, restart_interval: int) -> None:
+        self.bw = _BitWriter()
+        self.data = bytearray()
+        self.ri = restart_interval
+        self.units = 0
+        self.rst = 0
+
+    def boundary(self, flush_state) -> bool:
+        if self.ri and self.units and self.units % self.ri == 0:
+            flush_state()
+            self.bw.flush()
+            self.data += self.bw.out
+            self.bw.out = bytearray()
+            self.data += bytes([0xFF, 0xD0 + (self.rst & 7)])
+            self.rst += 1
+            return True
+        return False
+
+    def finish(self, flush_state) -> bytes:
+        flush_state()
+        self.bw.flush()
+        self.data += self.bw.out
+        return bytes(self.data)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shifted toward zero (T.81 G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _encode_progressive(
+    h: int,
+    w: int,
+    gray: bool,
+    comp_blocks: list,
+    comp_bw: list,
+    samps: list,
+    quants: tuple,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+) -> bytes:
+    """Emit the scan script: interleaved DC first (Al=1), per-component
+    spectral AC-first scans at Al>0, then DC + AC refinement scans —
+    exercising every progressive decode path (spectral selection,
+    successive approximation, EOB runs, ZRL-in-refinement). The coded
+    coefficients are IDENTICAL to the baseline encoder's, so decode
+    output is bit-equal to the baseline stream's decode."""
+    ncomp = len(samps)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_prog = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    dc_tab_of = [0] + [1] * (ncomp - 1)
+
+    def comp_nblocks(ci: int) -> tuple[int, int]:
+        hs, vs = samps[ci]
+        csx = -(-w * hs // hmax)
+        csy = -(-h * vs // vmax)
+        return -(-csx // 8), -(-csy // 8)
+
+    scans: list[tuple[bytes, bytes]] = []  # (SOS header payload, entropy data)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        out = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            # DC table per component family; AC always the shared table 0
+            out += bytes([ci + 1, (dc_tab_of[ci] << 4) | 0])
+        out += bytes([ss, se, (ah << 4) | al])
+        return bytes(out)
+
+    # --- DC scans (interleaved over all components, MCU order) ---
+    def dc_first_scan(al: int) -> None:
+        sw = _ScanWriter(restart_interval)
+        pred = [0] * ncomp
+
+        def reset() -> None:
+            pred[:] = [0] * ncomp
+
+        for my in range(mcuy):
+            for mx in range(mcux):
+                sw.boundary(reset)
+                for ci, (hs, vs) in enumerate(samps):
+                    tab = dc_codes[dc_tab_of[ci]]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            idx = (my * vs + by) * comp_bw[ci] + mx * hs + bx
+                            v = int(comp_blocks[ci][idx][0]) >> al
+                            s, bits = _magnitude(v - pred[ci])
+                            pred[ci] = v
+                            code, ln = tab[s]
+                            sw.bw.write(code, ln)
+                            if s:
+                                sw.bw.write(bits, s)
+                sw.units += 1
+        scans.append((sos_header(list(range(ncomp)), 0, 0, 0, al), sw.finish(lambda: None)))
+
+    def dc_refine_scan(al: int) -> None:
+        sw = _ScanWriter(restart_interval)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                sw.boundary(lambda: None)
+                for ci, (hs, vs) in enumerate(samps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            idx = (my * vs + by) * comp_bw[ci] + mx * hs + bx
+                            sw.bw.write((int(comp_blocks[ci][idx][0]) >> al) & 1, 1)
+                sw.units += 1
+        scans.append((sos_header(list(range(ncomp)), 0, 0, al + 1, al), sw.finish(lambda: None)))
+
+    # --- AC scans (single component, its own block raster) ---
+    def emit_eobrun(sw: _ScanWriter, st: dict) -> None:
+        if st["eobrun"] > 0:
+            nbits = st["eobrun"].bit_length() - 1
+            code, ln = ac_prog[nbits << 4]
+            sw.bw.write(code, ln)
+            if nbits:
+                sw.bw.write(st["eobrun"] - (1 << nbits), nbits)
+            st["eobrun"] = 0
+        for b in st["be"]:
+            sw.bw.write(b, 1)
+        st["be"] = []
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> None:
+        sw = _ScanWriter(restart_interval)
+        st = {"eobrun": 0, "be": []}
+        nbx, nby = comp_nblocks(ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                sw.boundary(lambda: emit_eobrun(sw, st))
+                zz = comp_blocks[ci][by * comp_bw[ci] + bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    t = _pt_ac(int(zz[k]), al)
+                    if t == 0:
+                        run += 1
+                        continue
+                    emit_eobrun(sw, st)
+                    while run > 15:
+                        code, ln = ac_prog[0xF0]
+                        sw.bw.write(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(t)
+                    code, ln = ac_prog[(run << 4) | s]
+                    sw.bw.write(code, ln)
+                    sw.bw.write(bits, s)
+                    run = 0
+                if run:
+                    st["eobrun"] += 1
+                    if st["eobrun"] == 0x7FFF:
+                        emit_eobrun(sw, st)
+                sw.units += 1
+        scans.append((sos_header([ci], ss, se, 0, al), sw.finish(lambda: emit_eobrun(sw, st))))
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> None:
+        # the public libjpeg jcphuff.c encode_mcu_AC_refine structure
+        sw = _ScanWriter(restart_interval)
+        st = {"eobrun": 0, "be": []}
+        nbx, nby = comp_nblocks(ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                sw.boundary(lambda: emit_eobrun(sw, st))
+                zz = comp_blocks[ci][by * comp_bw[ci] + bx]
+                absv = [0] * (se + 1)
+                eob = ss - 1
+                for k in range(ss, se + 1):
+                    a = abs(int(zz[k])) >> al
+                    absv[k] = a
+                    if a == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    a = absv[k]
+                    if a == 0:
+                        r += 1
+                        continue
+                    # ZRLs that cannot fold into the trailing EOB
+                    while r > 15 and k <= eob:
+                        emit_eobrun(sw, st)
+                        code, ln = ac_prog[0xF0]
+                        sw.bw.write(code, ln)
+                        r -= 16
+                        for b in br:
+                            sw.bw.write(b, 1)
+                        br = []
+                    if a > 1:  # previously nonzero: correction bit only
+                        br.append(a & 1)
+                        continue
+                    emit_eobrun(sw, st)
+                    code, ln = ac_prog[(r << 4) | 1]
+                    sw.bw.write(code, ln)
+                    sw.bw.write(0 if int(zz[k]) < 0 else 1, 1)
+                    for b in br:
+                        sw.bw.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    st["eobrun"] += 1
+                    st["be"].extend(br)
+                    if st["eobrun"] == 0x7FFF:
+                        emit_eobrun(sw, st)
+                sw.units += 1
+        scans.append((sos_header([ci], ss, se, al + 1, al), sw.finish(lambda: emit_eobrun(sw, st))))
+
+    if gray:
+        dc_first_scan(1)
+        ac_first_scan(0, 1, 63, 1)
+        dc_refine_scan(0)
+        ac_refine_scan(0, 1, 63, 0)
+    else:
+        dc_first_scan(1)
+        ac_first_scan(0, 1, 5, 2)
+        ac_first_scan(1, 1, 63, 1)
+        ac_first_scan(2, 1, 63, 1)
+        ac_first_scan(0, 6, 63, 2)
+        ac_refine_scan(0, 1, 63, 1)
+        dc_refine_scan(0)
+        ac_refine_scan(1, 1, 63, 0)
+        ac_refine_scan(2, 1, 63, 0)
+        ac_refine_scan(0, 1, 63, 0)
+
+    # --- container ---
+    qy, qc = quants
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    tables = ((0, qy), (1, qc)) if not gray else ((0, qy),)
+    for tid, q in tables:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in q[ZIGZAG])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (hs, vs) in enumerate(samps):
+        out += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    hts = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_PROG_BITS, _AC_PROG_VALS)]
+    if not gray:
+        hts.insert(1, (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    for tc_th, bits, vals in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits[1:17]) + bytes(vals)
+    for header, data in scans:
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(header)) + header
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -------------------------------------------------------------------
 
 
@@ -405,10 +689,131 @@ def _extend(bits: int, s: int) -> int:
     return bits
 
 
+def _destuff_segments(scan_data: bytes) -> list[bytes]:
+    """Split entropy-coded data on restart markers; destuff 0xFF00."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    n = len(scan_data)
+    while i < n:
+        b = scan_data[i]
+        if b == 0xFF and i + 1 < n:
+            nxt = scan_data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_unit(
+    reader: "_BitReader",
+    zz: np.ndarray,
+    *,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tab,
+    ac_tab,
+    pred: list,
+    ci: int,
+    eobrun: list,
+) -> None:
+    """Decode ONE data unit (8x8 block, zigzag coeff vector ``zz`` mutated
+    in place) for any scan kind: sequential full-band (ss=0, se=63),
+    progressive DC first/refine (ss=se=0), progressive AC first/refine
+    (ss>=1). Algorithms follow T.81 G.1.2 / the public libjpeg
+    jdphuff.c structure. ``pred[ci]`` carries the DC predictor;
+    ``eobrun[0]`` the progressive end-of-band run."""
+    if ss == 0:
+        if ah == 0:  # DC first (or the DC part of a sequential scan)
+            s = reader.read_huff(dc_tab)
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            pred[ci] += diff
+            zz[0] = pred[ci] << al
+        else:  # DC refinement: one bit
+            if reader.read_bit():
+                zz[0] |= 1 << al
+        if se == 0:
+            return
+    k = max(ss, 1)
+    if ah == 0:  # AC first (sequential scans land here with al=0)
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= se:
+            rs = reader.read_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                # EOBn: run of 2^r + appended bits blocks (r=0 == plain
+                # EOB, which is also the only form baseline emits)
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC run past band end")
+            zz[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3)
+    p1 = 1 << al
+    m1 = -1 << al
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.read_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("jpeg: invalid refinement magnitude")
+                s = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun[0] = 1 << r
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                break
+            # advance over r zero-history coeffs, refining nonzero ones
+            while k <= se:
+                coef = int(zz[k])
+                if coef != 0:
+                    if reader.read_bit() and (coef & p1) == 0:
+                        zz[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = s
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            coef = int(zz[k])
+            if coef != 0:
+                if reader.read_bit() and (coef & p1) == 0:
+                    zz[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w, 3) uint8 RGB (grayscale
-    replicates to 3 channels). Raises NotImplementedError for progressive
-    / arithmetic / hierarchical streams, ValueError for malformed data."""
+    """Decode a baseline sequential OR progressive JPEG to (h, w, 3)
+    uint8 RGB (grayscale replicates to 3 channels). Raises
+    NotImplementedError for arithmetic-coded / hierarchical / 12-bit
+    streams, ValueError for malformed data."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -417,8 +822,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
-    scan_comps = None
-    scan_data = None
+    progressive = False
+    scans: list[dict] = []
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -460,7 +865,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
@@ -469,10 +874,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, sf >> 4, sf & 0xF, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: non-baseline frame (marker 0xFF{marker:02X} — "
-                "progressive/arithmetic/hierarchical)"
+                "lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -480,6 +886,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             # entropy-coded data runs from here to the next real marker
             dstart = pos + seglen
             dpos = dstart
@@ -489,25 +896,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ):
                     break
                 dpos += 1
-            scan_data = payload[dstart:dpos]
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "segments": _destuff_segments(payload[dstart:dpos]),
+                    "ri": restart_interval,
+                    # DHT may redefine tables between scans: snapshot refs
+                    "dc": dict(huff_dc),
+                    "ac": dict(huff_ac),
+                }
+            )
             pos = dpos
             continue
         pos += seglen
-        if frame is not None and scan_data is not None:
-            break
 
-    if frame is None or scan_data is None:
+    if frame is None or not scans:
         raise ValueError("jpeg: missing SOF/SOS")
     fh, fw, comps = frame
 
-    if len(scan_comps) != len(comps):
-        # spec-legal non-interleaved multi-scan baseline: one SOS per
-        # component — decoding only the first scan would return silently
-        # wrong (color-shifted) pixels, so refuse loudly instead
-        raise NotImplementedError(
-            "jpeg: multi-scan (non-interleaved) baseline stream — only "
-            "single-scan interleaved baseline is supported"
-        )
+    if not progressive:
+        if len(scans) != 1 or len(scans[0]["comps"]) != len(comps):
+            # spec-legal non-interleaved multi-scan baseline: one SOS per
+            # component — decoding only the first scan would return silently
+            # wrong (color-shifted) pixels, so refuse loudly instead
+            raise NotImplementedError(
+                "jpeg: multi-scan (non-interleaved) baseline stream — only "
+                "single-scan interleaved baseline is supported"
+            )
+        # sequential scans decode as the full 0..63 band, no approximation
+        scans[0]["ss"], scans[0]["se"] = 0, 63
+        scans[0]["ah"] = scans[0]["al"] = 0
     for _cid, hs, vs, _tq in comps:
         if hs not in (1, 2) or vs not in (1, 2):
             raise NotImplementedError(
@@ -520,77 +942,70 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
 
-    # split on restart markers; destuff each segment
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    n = len(scan_data)
-    while i < n:
-        b = scan_data[i]
-        if b == 0xFF and i + 1 < n:
-            nxt = scan_data[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
     by_id = {c[0]: c for c in comps}
-    order = [by_id[sc[0]] for sc in scan_comps]
-    dc_of = {sc[0]: sc[1] for sc in scan_comps}
-    ac_of = {sc[0]: sc[2] for sc in scan_comps}
-
     comp_coeffs = {
         c[0]: np.zeros((mcuy * c[2] * mcux * c[1], 64), dtype=np.int64) for c in comps
     }
     comp_bw = {c[0]: mcux * c[1] for c in comps}
 
-    seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter))
-    pred = {c[0]: 0 for c in comps}
-    mcus_in_seg = 0
+    for scan in scans:
+        order = [by_id[sc[0]] for sc in scan["comps"]]
+        dc_of = {sc[0]: sc[1] for sc in scan["comps"]}
+        ac_of = {sc[0]: sc[2] for sc in scan["comps"]}
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        ri = scan["ri"]
+        seg_iter = iter(scan["segments"])
+        reader = _BitReader(next(seg_iter))
+        pred = [0] * len(order)
+        eobrun = [0]
+        units_in_seg = 0
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcus_in_seg == restart_interval:
-                reader = _BitReader(next(seg_iter))
-                pred = {c[0]: 0 for c in comps}
-                mcus_in_seg = 0
-            for cid, hs, vs, _tq in order:
-                dc_tab = huff_dc[dc_of[cid]]
-                ac_tab = huff_ac[ac_of[cid]]
-                for byy in range(vs):
-                    for bxx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = reader.read_huff(dc_tab)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_huff(ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC run past block end")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        row = my * vs + byy
-                        col = mx * hs + bxx
-                        comp_coeffs[cid][row * comp_bw[cid] + col] = zz
-            mcus_in_seg += 1
+        def _restart():
+            nonlocal reader, pred, eobrun, units_in_seg
+            reader = _BitReader(next(seg_iter))
+            pred = [0] * len(order)
+            eobrun = [0]
+            units_in_seg = 0
+
+        if len(order) > 1:  # interleaved: MCU traversal
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and units_in_seg == ri:
+                        _restart()
+                    for ci, (cid, hs, vs, _tq) in enumerate(order):
+                        dc_tab = scan["dc"].get(dc_of[cid])
+                        ac_tab = scan["ac"].get(ac_of[cid])
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                row = my * vs + byy
+                                col = mx * hs + bxx
+                                _decode_unit(
+                                    reader,
+                                    comp_coeffs[cid][row * comp_bw[cid] + col],
+                                    ss=ss, se=se, ah=ah, al=al,
+                                    dc_tab=dc_tab, ac_tab=ac_tab,
+                                    pred=pred, ci=ci, eobrun=eobrun,
+                                )
+                    units_in_seg += 1
+        else:  # non-interleaved: the component's own block raster
+            cid, hs, vs, _tq = order[0]
+            csx = -(-fw * hs // hmax)
+            csy = -(-fh * vs // vmax)
+            nbx, nby = -(-csx // 8), -(-csy // 8)
+            dc_tab = scan["dc"].get(dc_of[cid])
+            ac_tab = scan["ac"].get(ac_of[cid])
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ri and units_in_seg == ri:
+                        _restart()
+                    _decode_unit(
+                        reader,
+                        comp_coeffs[cid][by * comp_bw[cid] + bx],
+                        ss=ss, se=se, ah=ah, al=al,
+                        dc_tab=dc_tab, ac_tab=ac_tab,
+                        pred=pred, ci=0, eobrun=eobrun,
+                    )
+                    units_in_seg += 1
 
     # dequantize + IDCT, vectorized over all blocks per component
     planes = {}

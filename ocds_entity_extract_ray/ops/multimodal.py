@@ -7,12 +7,13 @@ Two decode modes per stage:
 - ``decode="real"``: REAL decode kernels (BMP / PPM / PNG images — PNG
   via stdlib zlib incl. all five row filters, PCM16 WAV audio, RAWV frame
   streams — pure numpy+struct+zlib, see ops/codecs.py).
-  Baseline sequential JPEG decodes/encodes natively too (ops/jpeg.py —
-  pure numpy Huffman+DCT, tables read from the stream, 4:4:4/4:2:2/4:2:0,
-  restart intervals). ``NotImplementedError`` remains only for codecs
-  that genuinely need external libraries (progressive JPEG, WebP,
-  MP3/H.264 — PIL/libav are not in this
-  container) and is raised at the dispatch point where those would plug
+  JPEG decodes/encodes natively too (ops/jpeg.py — pure numpy
+  Huffman+DCT, tables read from the stream, 4:4:4/4:2:2/4:2:0, restart
+  intervals; baseline sequential AND progressive
+  spectral-selection/successive-approximation streams decode, and the
+  encoder emits either mode). ``NotImplementedError`` remains only for
+  codecs that genuinely need external libraries (WebP, arithmetic-coded
+  JPEG, MP3/H.264 — PIL/libav are not in this container) and is raised at the dispatch point where those would plug
   in.
 
 The Ray side — actor-pool stage, batch sizing for large binaries, output

@@ -760,7 +760,7 @@ def test_multimodal_real_audio_and_video_paths(ray_session):
 
 def test_multimodal_real_rejects_compressed(ray_session):
     """Codecs this build genuinely cannot decode still raise at the
-    declared seam: progressive JPEG (SOF2) raises NotImplementedError,
+    declared seam: arithmetic-coded JPEG raises NotImplementedError,
     truncated baseline JPEG raises ValueError, MP3/H.264-ish payloads
     raise NotImplementedError on the audio/video seams."""
     from ocds_entity_extract_ray.ops.multimodal import (
@@ -773,9 +773,11 @@ def test_multimodal_real_rejects_compressed(ray_session):
     truncated = b"\xff\xd8\xff\xe0 not decodable here"  # JPEG magic, garbage body
     with pytest.raises(ValueError):
         ImageFeaturizer(decode="real")._decode(truncated)
-    progressive = b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="progressive"):
-        ImageFeaturizer(decode="real")._decode(progressive)
+    # arithmetic-coded frame (SOF10) still refuses; progressive (SOF2) is
+    # now a supported decode path (test_jpeg_progressive_* below)
+    arith = b"\xff\xd8\xff\xca" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        ImageFeaturizer(decode="real")._decode(arith)
     webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "
     with pytest.raises(NotImplementedError):
         ImageResizer(decode="real")._resize(webp, "{}")
@@ -828,6 +830,64 @@ def test_jpeg_round_trip_all_modes():
     noisy = rng.randint(0, 256, size=(40, 40, 3), dtype=np.uint8)
     d = decode_jpeg(encode_jpeg(noisy, quality=95))
     assert np.abs(d.astype(int) - noisy.astype(int)).mean() < 8
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Progressive encode -> decode must be BIT-EQUAL to baseline encode
+    -> decode of the same image (both code identical quantized
+    coefficients; the scan script exercises spectral selection,
+    successive approximation DC+AC refinement, EOB runs and restart
+    markers). Covers 444/420, grayscale, odd dims, quality extremes."""
+    from ocds_entity_extract_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((48, 64, 3), "444", 85, 0),
+        ((45, 53, 3), "420", 60, 0),
+        ((33, 29, 3), "420", 50, 3),  # restart markers inside every scan
+        ((40, 40, 3), "444", 95, 5),
+        ((9, 25), "444", 90, 2),  # grayscale script
+        ((24, 24, 3), "444", 5, 0),  # brutal quantization: sparse coeffs
+    ]
+    for shape, ss, q, ri in cases:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        kw = dict(quality=q, subsample=ss if len(shape) == 3 else "444", restart_interval=ri)
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        assert np.array_equal(base, prog), (shape, ss, q, ri)
+
+
+def test_jpeg_progressive_eob_run_paths():
+    """A constant image folds every AC band into one long EOB run (the
+    EOBn, n>0 symbol + appended-bits path on both encode and decode); a
+    single busy block interrupts the run mid-scan."""
+    from ocds_entity_extract_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((128, 128, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, progressive=True)), decode_jpeg(encode_jpeg(img))
+    )
+    img2 = img.copy()
+    img2[64:72, 64:72] = np.arange(64, dtype=np.uint8).reshape(8, 8)[..., None]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img2, progressive=True, subsample="420")),
+        decode_jpeg(encode_jpeg(img2, subsample="420")),
+    )
+
+
+def test_jpeg_progressive_featurize_path(ray_session):
+    """decode='real' multimodal featurize accepts progressive payloads."""
+    import pandas as pd
+
+    from ocds_entity_extract_ray.ops.jpeg import encode_jpeg
+    from ocds_entity_extract_ray.ops.multimodal import ImageFeaturizer
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    fz = ImageFeaturizer(decode="real")
+    feats = fz._decode(encode_jpeg(img, progressive=True))
+    assert feats.shape == (fz.dim,)
+    assert abs(float(feats.sum()) - 1.0) < 1e-5  # density histogram
 
 
 def test_jpeg_marker_edge_cases():
