@@ -33,7 +33,12 @@ OFFSET = 1_000_000  # embeddings are unit-ish; assert covers the contract
 
 
 def _quantize(col) -> np.ndarray:
-    m = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+    """Accepts a column of vectors OR an already-stacked (n, d) float64
+    matrix (so callers that need the raw floats too convert only once)."""
+    if isinstance(col, np.ndarray) and col.ndim == 2:
+        m = col
+    else:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in col])
     if np.abs(m).max() > 1.0:
         raise ValueError(
             "kmeans_int expects components in [-1, 1] (unit-normalized "

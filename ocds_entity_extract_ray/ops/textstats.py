@@ -81,27 +81,41 @@ def detect_lang(text: str) -> str:
 # The per-doc functions above are the semantic reference (and the public
 # scalar API); the batch kernels below compute the SAME values with
 # pyarrow.compute string kernels + numpy segment sums — no Python-level
-# per-row loop — and are what the Dataset stages use. Regex subset note:
-# the kernels run on RE2 (pyarrow) while the scalar reference uses
-# Python `re`; the patterns here only use explicit character classes
-# (`[a-zA-ZÀ-ɏ]`, the punctuation set) plus ASCII `\d`/`\s`, so the two
-# engines agree on all ASCII + latin-extended text (pinned by the
-# old-vs-new parity tests); Python-`re`'s wider unicode `\d`/`\s` is the
-# documented divergence outside that subset (same discipline as ops/pii).
-# One more pinned divergence: Arrow lowercases with SIMPLE case mapping
-# while Python uses full mapping — U+0130 'İ' (-> 'i' vs 'i'+combining
-# dot) is the only affected code point inside the subset range.
+# per-row loop — and are what the Dataset stages use. Engine parity: the
+# kernels run on RE2 (pyarrow) while the scalar reference uses Python
+# `re`, so every pattern here uses EXPLICIT character classes — the word
+# class `[a-zA-ZÀ-ɏ]`, the punctuation set, `0-9`, and the complete
+# Python-`\s` whitespace set spelled out (`_WS_CHARS` — RE2's ASCII `\s`
+# would silently disagree on NBSP/NEL, which are pervasive in
+# HTML-derived crawl text). Remaining pinned divergences, both exercised
+# by the hypothesis parity test's alphabet bounds:
+#  - Python `\d` (unicode digits) vs the explicit `0-9` in the BPE-ish
+#    pattern: no non-ASCII Nd code point exists <= U+024F, so the two
+#    agree on all ASCII + latin-extended text;
+#  - Arrow lowercases with SIMPLE case mapping while Python uses full
+#    mapping — U+0130 'İ' (-> 'i' vs 'i'+combining dot) is the only
+#    affected code point inside that range.
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# the complete Python-re `\s` set (unicode whitespace; asserted below
+# against the live `re` module so a unicode-table update cannot
+# silently desynchronize the two engines)
+_WS_CHARS = "\u0009\u000a\u000b\u000c\u000d\u001c\u001d\u001e\u001f \u0085\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+assert all(__import__("re").match(r"\s", c) for c in _WS_CHARS) and len(_WS_CHARS) == 29
 _WORD_SPLIT_RE2 = "[^a-zA-ZÀ-ɏ]+"
 _PUNCT_RE2 = "[.,;:!?¡¿\"'()\\[\\]{}«»]"
+_TOKEN_RE2 = f"[^{_WS_CHARS}]+"
+_BPE_RE2 = f"[A-Za-zÀ-ɏ]+|[0-9]+|[^{_WS_CHARS}A-Za-zÀ-ɏ0-9]"
 _ALL_STOPWORDS = sorted(set().union(*_STOPWORDS.values()))
 _LANGS = sorted(lang for lang, sw in _STOPWORDS.items() if sw)
+# value_set arrays built once per process, not per batch
+_ALL_STOP_ARR = pa.array(_ALL_STOPWORDS)
+_LANG_STOP_ARRS = [pa.array(sorted(_STOPWORDS[lang])) for lang in _LANGS]
 
 
 def _texts_to_arrow(texts) -> "pa.Array":
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     if isinstance(texts, pa.ChunkedArray):
         arr = texts.combine_chunks()
     elif isinstance(texts, pa.Array):
@@ -120,8 +134,6 @@ def _word_segments(arr) -> tuple:
     lowercasing first could move word boundaries for exotic code points.
     Empty segments (split artifacts at boundaries) carry length 0 and are
     masked out by callers via `word_lengths > 0`."""
-    import pyarrow.compute as pc
-
     parts = pc.split_pattern_regex(arr, _WORD_SPLIT_RE2)
     flat = pc.list_flatten(parts)
     ll = pc.list_value_length(parts).to_numpy().astype(np.int64)
@@ -134,28 +146,16 @@ def _word_segments(arr) -> tuple:
     return lower, wlen, row_idx, len(ll)
 
 
-def quality_stats_batch(texts) -> dict[str, np.ndarray]:
-    """Vectorized `quality_stats` over a column; returns column arrays."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    arr = _texts_to_arrow(texts)
-    lower, wlen, row_idx, n = _word_segments(arr)
+def _quality_from_segments(arr, lower, wlen, row_idx, n) -> dict[str, np.ndarray]:
     nonempty = wlen > 0
     n_words = np.bincount(row_idx[nonempty], minlength=n).astype(np.int64)
     # word lengths fit far below 2^53: the float-weight bincount is exact
     sum_wlen = np.bincount(row_idx, weights=wlen, minlength=n)
-    stop = pc.is_in(lower, value_set=pa.array(_ALL_STOPWORDS)).to_numpy(
-        zero_copy_only=False
-    )
+    stop = pc.is_in(lower, value_set=_ALL_STOP_ARR).to_numpy(zero_copy_only=False)
     n_stop = np.bincount(row_idx[stop], minlength=n).astype(np.int64)
     n_chars = pc.utf8_length(arr).to_numpy().astype(np.int64)
-    n_tokens = (
-        pc.count_substring_regex(arr, r"\S+").to_numpy().astype(np.int64)
-    )
-    n_punct = (
-        pc.count_substring_regex(arr, _PUNCT_RE2).to_numpy().astype(np.int64)
-    )
+    n_tokens = pc.count_substring_regex(arr, _TOKEN_RE2).to_numpy().astype(np.int64)
+    n_punct = pc.count_substring_regex(arr, _PUNCT_RE2).to_numpy().astype(np.int64)
     safe_words = np.maximum(n_words, 1)
     safe_chars = np.maximum(n_chars, 1)
     return {
@@ -168,18 +168,10 @@ def quality_stats_batch(texts) -> dict[str, np.ndarray]:
     }
 
 
-def detect_lang_batch(texts) -> np.ndarray:
-    """Vectorized `detect_lang` over a column (object array of codes)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    arr = _texts_to_arrow(texts)
-    lower, wlen, row_idx, n = _word_segments(arr)
+def _lang_from_segments(lower, row_idx, n) -> np.ndarray:
     scores = np.zeros((n, len(_LANGS)), dtype=np.int64)
-    for j, lang in enumerate(_LANGS):
-        hit = pc.is_in(
-            lower, value_set=pa.array(sorted(_STOPWORDS[lang]))
-        ).to_numpy(zero_copy_only=False)
+    for j, vs in enumerate(_LANG_STOP_ARRS):
+        hit = pc.is_in(lower, value_set=vs).to_numpy(zero_copy_only=False)
         scores[:, j] = np.bincount(row_idx[hit], minlength=n)
     # argmax returns the FIRST max — _LANGS is sorted, matching the
     # scalar `max(sorted(scores), key=scores.get)` tie rule
@@ -189,19 +181,38 @@ def detect_lang_batch(texts) -> np.ndarray:
     return np.where(best_score > 0, langs[best_j], "und")
 
 
-def token_count_batch(texts) -> np.ndarray:
-    import pyarrow.compute as pc
-
+def quality_stats_batch(texts) -> dict[str, np.ndarray]:
+    """Vectorized `quality_stats` over a column; returns column arrays."""
     arr = _texts_to_arrow(texts)
-    return pc.count_substring_regex(arr, r"\S+").to_numpy().astype(np.int64)
+    return _quality_from_segments(arr, *_word_segments(arr))
+
+
+def detect_lang_batch(texts) -> np.ndarray:
+    """Vectorized `detect_lang` over a column (object array of codes)."""
+    arr = _texts_to_arrow(texts)
+    lower, _wlen, row_idx, n = _word_segments(arr)
+    return _lang_from_segments(lower, row_idx, n)
+
+
+def quality_and_lang_batch(texts) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """Both kernels from ONE segmentation pass — the shape for filter
+    stages (e.g. curation's quality+language keep) that need both."""
+    arr = _texts_to_arrow(texts)
+    lower, wlen, row_idx, n = _word_segments(arr)
+    return (
+        _quality_from_segments(arr, lower, wlen, row_idx, n),
+        _lang_from_segments(lower, row_idx, n),
+    )
+
+
+def token_count_batch(texts) -> np.ndarray:
+    arr = _texts_to_arrow(texts)
+    return pc.count_substring_regex(arr, _TOKEN_RE2).to_numpy().astype(np.int64)
 
 
 def bpe_ish_token_count_batch(texts) -> np.ndarray:
-    import pyarrow.compute as pc
-
     arr = _texts_to_arrow(texts)
-    pat = r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]"
-    return pc.count_substring_regex(arr, pat).to_numpy().astype(np.int64)
+    return pc.count_substring_regex(arr, _BPE_RE2).to_numpy().astype(np.int64)
 
 
 def _h64(data: bytes) -> int:

@@ -27,7 +27,7 @@ import ray.data
 from ..ops.dedup import exact_dedup, minhash_lsh_pairs
 from ..ops.graph import connected_components
 from ..ops.scan import pack_documents
-from ..ops.textstats import detect_lang_batch, quality_stats_batch
+from ..ops.textstats import quality_and_lang_batch
 
 
 def near_dup_loser_ids(comp: ray.data.Dataset) -> frozenset:
@@ -100,8 +100,8 @@ def curate_documents(
     docs that survive all filters, assigned to training sequences."""
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        qs = quality_stats_batch(b[text_col])
-        lang = detect_lang_batch(b[text_col])
+        # one segmentation pass feeds both the quality stats and langid
+        qs, lang = quality_and_lang_batch(b[text_col])
         mask = (
             (qs["n_words"] >= min_words)
             & (qs["stopword_ratio"] >= min_stopword_ratio)

@@ -2232,3 +2232,75 @@ def test_approx_count_distinct_by_error_bound(ray_session):
     for _, row in got4.iterrows():
         e = exact[row["k"]]
         assert abs(row["approx_distinct"] - e) / e < 0.05, (row["k"], row["approx_distinct"], e)
+
+
+def test_jpeg_progressive_hand_built_wire_format():
+    """Pin the progressive WIRE FORMAT independently of this repo's
+    encoder: a 4-scan stream (DC first Al=1, AC first Al=1 with an EOB1
+    run, DC refine, AC refine with a correction bit + newly-nonzero
+    coefficient + trailing EOB1) is assembled BYTE BY HAND from T.81
+    G.1.2, with every entropy bit derived in the comments — a
+    decoder/encoder-symmetric misreading of the spec cannot pass this.
+
+    Image: 8x16 grayscale, quant table all ones. Block A coefficients
+    (zigzag): DC=8, k1=+3, k5=-1; block B: DC=-4 only."""
+    import struct
+
+    from ocds_entity_extract_ray.ops.jpeg import ZIGZAG, _D, decode_jpeg
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)  # DQT: all 1
+    # SOF2: 8-bit, 8x16, one component id=1, 1x1 sampling, quant 0
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    # DHT DC table 0 = standard Annex-K luma DC (category s -> canonical
+    # code: s=0 -> '00' (2 bits); s=1..5 -> '010'..'110' (3 bits); ...)
+    from ocds_entity_extract_ray.ops.jpeg import _DC_LUMA_BITS, _DC_LUMA_VALS
+
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 12) + bytes([0x00])
+    out += bytes(_DC_LUMA_BITS[1:17]) + bytes(_DC_LUMA_VALS)
+    # DHT AC table 0: three 2-bit codes: '00'->0x01, '01'->0x10(EOB1),
+    # '10'->0x31 (run 3, size 1); '11' unused per the all-ones rule
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 3)
+    out += bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes([0x01, 0x10, 0x31])
+
+    def sos(ss, se, ah, al, data):
+        return (
+            b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+            + bytes([ss, se, (ah << 4) | al]) + data
+        )
+
+    # scan 1 — DC first, Al=1. Shifted DCs: A: 8>>1=4, B: -4>>1=-2.
+    # diff A = 4: cat 3 ('100') + bits '100'; diff B = -6: cat 3 ('100')
+    # + bits(-6 + 2^3 - 1 = 1) '001' -> 100100 100001 + pad '1111'
+    out += sos(0, 0, 0, 1, bytes([0b10010010, 0b00011111]))
+    # scan 2 — AC first 1..63, Al=1. A: k1 -> +3>>1=+1: sym 0x01 ('00') +
+    # mag bit '1'; k5 -> -1 truncates to 0. A's tail + all of B fold into
+    # EOBRUN=2: sym EOB1 ('01') + 1 appended bit '0' -> 001010 + pad '11'
+    out += sos(1, 63, 0, 1, bytes([0b00101011]))
+    # scan 3 — DC refine Ah=1, Al=0: bits (8&1)=0, (-4&1)=0 -> '00'+pad
+    out += sos(0, 0, 1, 0, bytes([0b00111111]))
+    # scan 4 — AC refine 1..63, Ah=1, Al=0. Block A: k1 |3|=3 -> buffered
+    # correction bit (3&1)=1; k5 |-1|=1 newly nonzero after r=3
+    # zero-history slots (k2,k3,k4): sym 0x31 ('10') + sign '0'
+    # (negative) + the buffered bit '1'; trailing zeros -> EOBRUN=1, B
+    # adds another -> flush EOB1 ('01') + appended '0' -> 1001010 + pad
+    out += sos(1, 63, 1, 0, bytes([0b10010101]))
+    out += b"\xff\xd9"  # EOI
+
+    got = decode_jpeg(bytes(out))
+
+    # expected: dequantized (quant=1) coefficients through the same
+    # orthonormal IDCT the validated baseline path uses
+    za = np.zeros(64, dtype=np.int64)
+    za[0], za[1], za[5] = 8, 3, -1
+    zb = np.zeros(64, dtype=np.int64)
+    zb[0] = -4
+    expect = np.zeros((8, 16), dtype=np.float64)
+    for col, zz in ((0, za), (8, zb)):
+        deq = np.zeros(64, dtype=np.int64)
+        deq[ZIGZAG] = zz  # zigzag index k stores into natural position ZIGZAG[k]
+        block = deq.reshape(8, 8).astype(np.float64)
+        expect[:, col : col + 8] = _D.T @ block @ _D + 128.0
+    want = np.clip(np.round(expect), 0, 255).astype(np.uint8)
+    assert got.shape == (8, 16, 3)
+    assert np.array_equal(got[:, :, 0], want), (got[:, :, 0], want)

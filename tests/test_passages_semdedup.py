@@ -164,7 +164,56 @@ def test_semantic_dedup_cluster_cap_raises(planted_embeddings):
 
 def test_semantic_dedup_validates_threshold(planted_embeddings):
     init = _init_centroids(planted_embeddings)
-    with pytest.raises(ValueError, match="int64 headroom"):
-        semantic_dedup(planted_embeddings, init, tau2_num=1, tau2_den=5000)
+    # overflow bound is dimension-aware: d=8 here, so tau2_den must
+    # satisfy tau2_den * 64 <= 9.223e6
+    with pytest.raises(ValueError, match="overflows int64"):
+        semantic_dedup(planted_embeddings, init, tau2_num=1, tau2_den=200_000)
     with pytest.raises(ValueError, match="int64 headroom"):
         semantic_dedup(planted_embeddings, init, tau2_num=0, tau2_den=5)
+    # a ratio the old fixed cap (2000) would have refused is fine at d=8
+    out = semantic_dedup(
+        planted_embeddings, init, iters=1, tau2_num=2999, tau2_den=3000
+    ).to_pandas()
+    assert bool(out["kept"].all())
+
+
+def test_semantic_dedup_chunked_prune_matches_dense(ray_session):
+    """Force the chunked pairwise path (chunk >= 256 rows) with a cluster
+    larger than one chunk and verify against a brute-force O(n^2) numpy
+    reference on the same quantized integers."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    n, d = 700, 8
+    base = rng.normal(size=(n, d))
+    base /= np.abs(base).max() * 1.2  # inside the quantizer's [-1, 1]
+    # plant near-dup pairs: every 50th vector is a tiny perturbation of
+    # its predecessor
+    for i in range(50, n, 50):
+        base[i] = base[i - 1] * 0.999
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": np.zeros(n, dtype=np.int64),  # ONE cluster
+            "embedding": [base[i] for i in range(n)],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    init = _init_centroids(ds)
+    out = (
+        # budget 100k cells with n=700 -> chunk ~142 rows -> 5 chunks
+        semantic_dedup(
+            ds, init, iters=1, tau2_num=9, tau2_den=10, pair_cell_budget=100_000
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # brute-force reference on the same integer quantization
+    q = np.floor(base * 1000).astype(np.int64)
+    nn = np.einsum("ij,ij->i", q, q)
+    dot = q @ q.T
+    sim = (dot > 0) & (10 * dot * dot > 9 * np.outer(nn, nn))
+    expect_dropped = np.triu(sim, 1).any(axis=0)
+    assert (out["kept"].to_numpy() == ~expect_dropped).all()
+    assert (~out["kept"]).sum() >= 10  # the planted near-dups were found

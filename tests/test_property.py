@@ -357,9 +357,12 @@ def test_connected_components_matches_bruteforce(seed):
 _TEXT_SUBSET = st.text(
     alphabet=st.characters(
         codec="utf-8",
-        categories=("L", "N", "P", "S"),
+        categories=("L", "N", "P", "S", "Zs", "Zl", "Zp"),
         max_codepoint=0x024F,  # ASCII + latin extended: the pinned RE2 subset
-        include_characters=" \t\n\r",  # the whitespace both engines agree on
+        # the FULL Python-\s set (incl. NBSP \xa0, NEL \x85, separators
+        # \x1c-\x1f) — the batch kernels spell it out for RE2, so parity
+        # must hold on every one of these, not just ASCII whitespace
+        include_characters=" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0  　",
         # U+0130 'İ' is the one code point in range where Python's FULL
         # lowercase ('i' + combining dot) differs from Arrow's simple
         # mapping ('i') — excluded from the pinned subset (documented)
