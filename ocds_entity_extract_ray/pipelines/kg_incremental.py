@@ -321,13 +321,16 @@ def kg_update(
     else:
         combined = delta
 
-    merged = (
-        combined.groupby("bucket")
-        .map_groups(recombine_batch, batch_format="pyarrow")
-        .materialize()
-    )
-    merged = _norm(merged).materialize()
-    rendered = _render_states(merged).materialize()
+    # one materialized pass: merge + canonical column order fused (the
+    # previous merge->materialize->norm->materialize shape paid a full
+    # extra job — measurable against a small delta where fixed per-job
+    # overhead dominates). rendered stays lazy: its only consumer is the
+    # staging write below, so materializing it would store a copy no one
+    # reads.
+    merged = _norm(
+        combined.groupby("bucket").map_groups(recombine_batch, batch_format="pyarrow")
+    ).materialize()
+    rendered = _render_states(merged)
 
     report = {
         "delta_state_rows": delta.count(),
