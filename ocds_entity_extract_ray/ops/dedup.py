@@ -581,21 +581,24 @@ def simhash_dup_pairs(
     so for max_hamming <= 3 the candidate set is EXHAUSTIVE, not
     approximate), verify Hamming distance within bucket. Shuffle payload is
     (chunk, chunk_val, id, signature) — 8-byte signatures, never text."""
-    from .textstats import simhash64
+    from .textstats import simhash64_signed_batch
 
     def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"chunk": [], "chunk_val": [], "_id": [], "_sh": []}
-        for did, text in zip(batch[id_col], batch[text_col]):
-            sh = simhash64(text)
-            # store as SIGNED int64 (values >= 2^63 would silently become
-            # float64 through the pandas->Arrow boundary and break XOR)
-            sh_signed = sh - (1 << 64) if sh >= (1 << 63) else sh
-            for c in range(4):
-                out["chunk"].append(c)
-                out["chunk_val"].append((sh >> (16 * c)) & 0xFFFF)
-                out["_id"].append(did)
-                out["_sh"].append(sh_signed)
-        return pd.DataFrame(out).astype({"_sh": "int64"})
+        # signed int64 storage (values >= 2^63 would silently become
+        # float64 through the pandas->Arrow boundary and break XOR)
+        sh_signed = simhash64_signed_batch(batch[text_col])
+        sh_u = sh_signed.view(np.uint64)
+        nb = len(batch)
+        shifts = (16 * np.arange(4, dtype=np.uint64))[None, :]
+        vals = ((sh_u[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "chunk": np.tile(np.arange(4, dtype=np.int64), nb),
+                "chunk_val": vals.reshape(-1),
+                "_id": np.repeat(batch[id_col].to_numpy(), 4),
+                "_sh": np.repeat(sh_signed, 4),
+            }
+        )
 
     empty_out = _empty_pairs("hamming", "int64")
 

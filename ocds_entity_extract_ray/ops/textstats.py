@@ -108,6 +108,9 @@ _WORD_SPLIT_RE2 = "[^a-zA-ZÀ-ɏ]+"
 _PUNCT_RE2 = "[.,;:!?¡¿\"'()\\[\\]{}«»]"
 _TOKEN_RE2 = f"[^{_WS_CHARS}]+"
 _BPE_RE2 = f"[A-Za-zÀ-ɏ]+|[0-9]+|[^{_WS_CHARS}A-Za-zÀ-ɏ0-9]"
+# counts-matmul vs reduceat crossover for the simhash accumulator (cells
+# of the (n_rows, vocab) occurrence matrix; tests force the other branch)
+_SIMHASH_MATMUL_CELLS = 64_000_000
 _ALL_STOPWORDS = sorted(set().union(*_STOPWORDS.values()))
 _LANGS = sorted(lang for lang, sw in _STOPWORDS.items() if sw)
 # value_set arrays built once per process, not per batch
@@ -203,6 +206,48 @@ def quality_and_lang_batch(texts) -> tuple[dict[str, np.ndarray], np.ndarray]:
         _quality_from_segments(arr, lower, wlen, row_idx, n),
         _lang_from_segments(lower, row_idx, n),
     )
+
+
+def simhash64_signed_batch(texts) -> np.ndarray:
+    """Vectorized `simhash64_signed`: one RE2 split, per-DISTINCT-word
+    md5 votes (Zipf: the `_word_vote` cache does the md5+unpack once per
+    distinct word per process), one `np.add.at` scatter. NOTE the scalar
+    lowercases the WHOLE text before word extraction (unlike
+    quality_stats' per-word lower), so this does too."""
+    arr = _texts_to_arrow(texts)
+    parts = pc.split_pattern_regex(pc.utf8_lower(arr), _WORD_SPLIT_RE2)
+    flat = pc.list_flatten(parts)
+    ll = pc.list_value_length(parts).to_numpy().astype(np.int64)
+    n = len(ll)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    if len(flat):
+        de = pc.dictionary_encode(flat)
+        inv = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = de.dictionary.to_pylist()
+        votes = np.empty((len(uniq), 64), dtype=np.int64)
+        for i, w in enumerate(uniq):
+            # "" is a split artifact at text boundaries, never a word
+            votes[i] = _word_vote(w) if w else 0
+        u = len(uniq)
+        if n * u <= _SIMHASH_MATMUL_CELLS:
+            # small per-batch vocab: (n, U) occurrence counts + one exact
+            # int64 matmul — avoids materializing a (W, 64) gather
+            rows = np.repeat(np.arange(n, dtype=np.int64), ll)
+            counts = np.bincount(rows * u + inv, minlength=n * u).reshape(n, u)
+            acc = counts @ votes
+        else:
+            # large vocab: segment-sum per row (words are in row order):
+            # reduceat over the starts of NONEMPTY rows — each passed
+            # start's segment runs to the next passed start, which skips
+            # 0-word rows exactly
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(ll, out=starts[1:])
+            nz = ll > 0
+            if nz.any():
+                acc[nz] = np.add.reduceat(votes[inv], starts[:-1][nz], axis=0)
+    bits = (acc > 0).astype(np.uint64)
+    h = (bits << _SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+    return h.view(np.int64)
 
 
 def token_count_batch(texts) -> np.ndarray:
@@ -334,9 +379,7 @@ def add_langid(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     def sh(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = (
-            batch[text_col].map(simhash64_signed).astype("int64")
-        )
+        batch["simhash"] = simhash64_signed_batch(batch[text_col])
         return batch
 
     return ds.map_batches(sh, batch_format="pandas")

@@ -405,3 +405,18 @@ def test_quality_stats_batch_matches_scalar(texts):
         assert bb[i] == bpe_ish_token_count(t), t
     if not texts:
         assert all(np.asarray(v).shape == (0,) for v in qb.values())
+
+
+@given(st.lists(_TEXT_SUBSET, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_matches_scalar_both_branches(texts):
+    """simhash64_signed_batch == the scalar reference, on BOTH the
+    counts-matmul (small vocab) and reduceat (large vocab) branches."""
+    from unittest import mock
+
+    from ocds_entity_extract_ray.ops import textstats as T
+
+    want = [T.simhash64_signed(t) for t in texts]
+    assert list(T.simhash64_signed_batch(texts)) == want
+    with mock.patch.object(T, "_SIMHASH_MATMUL_CELLS", 0):
+        assert list(T.simhash64_signed_batch(texts)) == want
