@@ -6319,3 +6319,66 @@ ORDER BY a3.vec_id
 """
 
 SQL_QUERIES["q_semantic_dedup"] = (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL)
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Integer-BM25 lexical retrieval (ops/retrieval.py): top-10 docs for
+    three fixed queries over the documents table — one mixing common
+    terms, one anchored on the corpus's rare term ('dup', df ~ 5% of
+    docs, so its idf dominates), one 3-term query. Two streaming passes
+    (stats partials, then score+local-top-k); the only shuffle is k rows
+    per (query, batch). Exact twin: identical floor-div formula in SQL."""
+    from ..ops.retrieval import bm25_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_topk(docs, _BM25_QUERIES, k=10).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+_BM25_QUERIES = {
+    0: ["hash", "join"],
+    1: ["dup", "scan"],
+    2: ["window", "stream", "filter"],
+}
+
+Q_BM25_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+lens AS (SELECT doc_id, COUNT(*)::BIGINT AS len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+         GREATEST(1, (SELECT COUNT(*) FROM tok)::BIGINT
+                     // (SELECT COUNT(*) FROM documents)::BIGINT) AS avgdl),
+qt(query_id, term) AS (VALUES
+  (0, 'hash'), (0, 'join'),
+  (1, 'dup'), (1, 'scan'),
+  (2, 'window'), (2, 'stream'), (2, 'filter')),
+tf AS (
+  SELECT t.doc_id, t.w AS term, COUNT(*)::BIGINT AS tf
+  FROM tok t WHERE t.w IN (SELECT term FROM qt)
+  GROUP BY t.doc_id, t.w),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, f.doc_id,
+         SUM( (1000000 - (1000000 * d.df) // s.n_docs)
+              * ((1000000 * 22 * f.tf * s.avgdl)
+                 // (10 * s.avgdl * f.tf + 3 * s.avgdl + 9 * l.len)) )::BIGINT
+           AS score
+  FROM qt q
+  JOIN tf f ON f.term = q.term
+  JOIN df d ON d.term = f.term
+  JOIN lens l ON l.doc_id = f.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, f.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+SQL_QUERIES["q_bm25_topk"] = (q_bm25_topk, Q_BM25_TOPK_SQL)

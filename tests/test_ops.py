@@ -2304,3 +2304,80 @@ def test_jpeg_progressive_hand_built_wire_format():
     want = np.clip(np.round(expect), 0, 255).astype(np.uint8)
     assert got.shape == (8, 16, 3)
     assert np.array_equal(got[:, :, 0], want), (got[:, :, 0], want)
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    """bm25_topk == a brute-force evaluation of the documented integer
+    formula, across multiple blocks (exercises the per-batch local top-k
+    + final merge); a term present in EVERY doc has idf 0 and cannot
+    lift a doc into the results; ranks tie-break by doc_id."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.retrieval import (
+        IDF_SCALE,
+        TF_SCALE,
+        bm25_topk,
+    )
+
+    texts = [
+        "common rare alpha beta",            # doc 0: the only 'rare' doc
+        "common alpha alpha alpha beta",     # doc 1: high tf for alpha
+        "common beta beta",                  # doc 2
+        "common alpha",                      # doc 3
+        "common",                            # doc 4: only the idf-0 term
+        "common unrelated words entirely",   # doc 5: idf-0 term + noise
+        "common alpha beta beta beta beta",  # doc 6: long doc
+        "common alpha beta",                 # doc 7
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64), "text": texts})
+    queries = {0: ["rare", "common"], 1: ["alpha", "beta"], 2: ["common"]}
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        bm25_topk(ds, queries, k=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    # brute force per the module formula
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    total = sum(len(t) for t in toks)
+    avgdl = max(1, total // n)
+    terms = sorted({w for q in queries.values() for w in q})
+    dfreq = {t: sum(1 for tk in toks if t in tk) for t in terms}
+    rows = []
+    for q, qterms in queries.items():
+        scored = []
+        for d in range(n):
+            s = 0
+            for t in qterms:
+                tf = toks[d].count(t)
+                if tf == 0:
+                    continue
+                idf = IDF_SCALE - (IDF_SCALE * dfreq[t]) // n
+                tfp = (TF_SCALE * 22 * tf * avgdl) // (
+                    10 * avgdl * tf + 3 * avgdl + 9 * len(toks[d])
+                )
+                s += idf * tfp
+            if s > 0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scored[:3], 1):
+            rows.append((q, r, d, s))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+    # 'common' is in every doc -> idf 0 -> query 2 returns nothing
+    assert (got["query_id"] == 2).sum() == 0
+    # docs 4 and 5 (only the idf-0 term) never appear
+    assert not set(got["doc_id"]) & {4, 5}
+
+
+def test_bm25_topk_validates_empty(ray_session):
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.retrieval import bm25_topk
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(ds, {0: []})
