@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "q_scd2_user_value",
     "q_personalized_pagerank",
     "q_bucketed_join_segments",
+    # round-4 additions (compare from r04 on)
+    "q_passage_dedup",
+    "q_semantic_dedup",
+    "q_bm25_topk",
+    "q_late_events",
+    "q_gopher_quality",
     "q_range_moving_sum",
     "q_iqr_outliers",
     "q_gapfill_daily_orders",

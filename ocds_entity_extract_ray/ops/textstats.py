@@ -250,6 +250,99 @@ def simhash64_signed_batch(texts) -> np.ndarray:
     return h.view(np.int64)
 
 
+def gopher_quality_batch(
+    texts,
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+) -> dict[str, np.ndarray]:
+    """Gopher-style document quality rules (Rae et al., "Scaling Language
+    Models: ... Gopher", appendix A1.1), the standard pre-training filter
+    battery, vectorized and expressed ENTIRELY in integer comparisons so
+    the flags have a bitwise-exact SQL twin (a float threshold like
+    `mean_word_len >= 3` becomes `sum_len >= 3 * n_tokens` — no ratio is
+    ever materialized):
+
+      ok_token_count:  min_tokens <= n_tokens <= max_tokens
+      ok_mean_word:    3 * n_tokens <= sum(token chars) <= 10 * n_tokens
+      ok_symbol_ratio: 10 * (count('#') + count('...')) < n_tokens
+      ok_alpha_words:  5 * tokens-containing-a-letter > 4 * n_tokens
+      ok_stopwords:    >= 2 DISTINCT stopwords present
+      gopher_pass:     all of the above
+
+    The paper's line-shaped rules (bullet starts, ellipsis line ends) are
+    intentionally omitted: this corpus's documents are single-line, so
+    those rules are vacuous here; add them at the line-split seam when
+    ingesting multi-line text. Tokens are the whitespace `\\S+` pieces
+    (the `_WS_CHARS` RE2 class); stopword words are the
+    `[a-zA-ZÀ-ɏ]+` runs, lowercased."""
+    arr = _texts_to_arrow(texts)
+    # whitespace tokens: lengths + has-a-letter, one split
+    parts = pc.split_pattern_regex(arr, f"[{_WS_CHARS}]+")
+    flat = pc.list_flatten(parts)
+    ll = pc.list_value_length(parts).to_numpy().astype(np.int64)
+    n = len(ll)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ll)
+    tlen = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    nonempty = tlen > 0
+    n_tokens = np.bincount(rows[nonempty], minlength=n).astype(np.int64)
+    sum_token_len = np.bincount(rows, weights=tlen, minlength=n).astype(np.int64)
+    alpha = pc.match_substring_regex(flat, "[a-zA-ZÀ-ɏ]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = np.bincount(rows[alpha & nonempty], minlength=n).astype(np.int64)
+    n_hash = pc.count_substring(arr, "#").to_numpy().astype(np.int64)
+    n_ellipsis = pc.count_substring(arr, "...").to_numpy().astype(np.int64)
+    # distinct stopwords: word runs -> stopword ids -> per-row distinct
+    lower, _wlen, widx, _n = _word_segments(arr)
+    sid = pc.fill_null(
+        pc.index_in(lower, value_set=_ALL_STOP_ARR), -1
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    hitm = sid >= 0
+    s = len(_ALL_STOPWORDS)
+    pairs = np.unique(widx[hitm] * s + sid[hitm])
+    n_stop_distinct = np.bincount(pairs // s, minlength=n).astype(np.int64)
+    ok_token_count = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    ok_mean_word = (3 * n_tokens <= sum_token_len) & (sum_token_len <= 10 * n_tokens)
+    ok_symbol_ratio = 10 * (n_hash + n_ellipsis) < n_tokens
+    ok_alpha_words = 5 * n_alpha > 4 * n_tokens
+    ok_stopwords = n_stop_distinct >= 2
+    return {
+        "n_tokens": n_tokens,
+        "sum_token_len": sum_token_len,
+        "n_alpha_tokens": n_alpha,
+        "n_symbol_marks": n_hash + n_ellipsis,
+        "n_distinct_stopwords": n_stop_distinct,
+        "ok_token_count": ok_token_count,
+        "ok_mean_word": ok_mean_word,
+        "ok_symbol_ratio": ok_symbol_ratio,
+        "ok_alpha_words": ok_alpha_words,
+        "ok_stopwords": ok_stopwords,
+        "gopher_pass": (
+            ok_token_count
+            & ok_mean_word
+            & ok_symbol_ratio
+            & ok_alpha_words
+            & ok_stopwords
+        ),
+    }
+
+
+def add_gopher_quality(
+    ds: ray.data.Dataset, text_col: str = "text", **kwargs
+) -> ray.data.Dataset:
+    import pyarrow as pa_
+
+    def stage(batch: pa_.Table) -> pa_.Table:
+        cols = gopher_quality_batch(batch.column(text_col), **kwargs)
+        for name, vals in cols.items():
+            typ = pa_.bool_() if vals.dtype == np.bool_ else pa_.int64()
+            batch = batch.append_column(name, pa_.array(vals, type=typ))
+        return batch
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def token_count_batch(texts) -> np.ndarray:
     arr = _texts_to_arrow(texts)
     return pc.count_substring_regex(arr, _TOKEN_RE2).to_numpy().astype(np.int64)

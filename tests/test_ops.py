@@ -2381,3 +2381,32 @@ def test_bm25_topk_validates_empty(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError, match="no terms"):
         bm25_topk(ds, {0: []})
+
+
+def test_gopher_quality_planted_flags():
+    """Each Gopher rule trips on a purpose-built document; the healthy
+    document passes all five."""
+    from ocds_entity_extract_ray.ops.textstats import gopher_quality_batch
+
+    healthy = "the quick brown fox jumps with data and a clean stream " * 6
+    docs = [
+        healthy,                                    # 0: passes everything
+        "the and of short",                         # 1: too few tokens
+        "a " * 60 + "the of",                       # 2: mean word len < 3
+        healthy + " " + "#tag " * 40,               # 3: symbol ratio >= 0.1
+        ("1234 5678 " * 40) + "the and",            # 4: alpha fraction <= 0.8
+        "zz yy xx ww vv uu tt ss " * 10,            # 5: < 2 distinct stopwords
+        "",                                         # 6: empty
+    ]
+    out = gopher_quality_batch(docs, min_tokens=30)
+    assert bool(out["gopher_pass"][0])
+    assert not out["ok_token_count"][1]
+    assert not out["ok_mean_word"][2]
+    assert not out["ok_symbol_ratio"][3]
+    assert not out["ok_alpha_words"][4]
+    assert not out["ok_stopwords"][5]
+    assert not out["gopher_pass"][1:].any()
+    assert out["n_tokens"][6] == 0 and not out["gopher_pass"][6]
+    # ellipses count like hash marks (non-overlapping '...' runs)
+    e = gopher_quality_batch(["one two ... three .....", healthy], min_tokens=1)
+    assert e["n_symbol_marks"][0] == 2  # '...' + '...' (from '.....' only one)
