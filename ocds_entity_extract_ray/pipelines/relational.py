@@ -6400,3 +6400,19 @@ def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
 Q_GOPHER_QUALITY_SQL = "\nWITH t AS (\n  SELECT doc_id, unnest(regexp_extract_all(text, '[^\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000]+')) AS tok\n  FROM documents),\nts AS (\n  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,\n         SUM(length(tok))::BIGINT AS sum_token_len,\n         SUM(CASE WHEN regexp_matches(tok, '[a-zA-ZÀ-ɏ]') THEN 1 ELSE 0 END)::BIGINT AS n_alpha\n  FROM t GROUP BY doc_id),\nsw AS (\n  SELECT doc_id, COUNT(DISTINCT lower(w))::BIGINT AS n_sw FROM (\n    SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-ZÀ-ɏ]+')) AS w\n    FROM documents)\n  WHERE lower(w) IN ('a', 'and', 'as', 'con', 'das', 'de', 'del', 'den', 'der', 'des', 'die', 'du', 'ein', 'el', 'en', 'et', 'for', 'im', 'in', 'is', 'ist', 'la', 'las', 'le', 'les', 'los', 'mit', 'of', 'on', 'para', 'por', 'pour', 'que', 'that', 'the', 'to', 'un', 'und', 'une', 'von', 'with', 'y', 'zu')\n  GROUP BY doc_id),\nbase AS (\n  SELECT d.doc_id,\n         COALESCE(ts.n_tokens, 0) AS n_tokens,\n         COALESCE(ts.sum_token_len, 0) AS sum_token_len,\n         COALESCE(ts.n_alpha, 0) AS n_alpha_tokens,\n         ((length(d.text) - length(replace(d.text, '#', '')))\n          + (length(d.text) - length(replace(d.text, '...', ''))) // 3)::BIGINT\n           AS n_symbol_marks,\n         COALESCE(sw.n_sw, 0) AS n_distinct_stopwords\n  FROM documents d\n  LEFT JOIN ts ON ts.doc_id = d.doc_id\n  LEFT JOIN sw ON sw.doc_id = d.doc_id),\nflags AS (\n  SELECT *,\n         (n_tokens >= 50 AND n_tokens <= 100000) AS ok_token_count,\n         (3 * n_tokens <= sum_token_len AND sum_token_len <= 10 * n_tokens) AS ok_mean_word,\n         (10 * n_symbol_marks < n_tokens) AS ok_symbol_ratio,\n         (5 * n_alpha_tokens > 4 * n_tokens) AS ok_alpha_words,\n         (n_distinct_stopwords >= 2) AS ok_stopwords\n  FROM base)\nSELECT doc_id, n_tokens, sum_token_len, n_alpha_tokens, n_symbol_marks,\n       n_distinct_stopwords, ok_token_count, ok_mean_word, ok_symbol_ratio,\n       ok_alpha_words, ok_stopwords,\n       (ok_token_count AND ok_mean_word AND ok_symbol_ratio\n        AND ok_alpha_words AND ok_stopwords) AS gopher_pass\nFROM flags\nORDER BY doc_id\n"
 
 SQL_QUERIES["q_gopher_quality"] = (q_gopher_quality, Q_GOPHER_QUALITY_SQL)
+
+
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training over the documents corpus (ops/bpe.py):
+    the learned merge table for 24 merges. Rows-only: the merge loop is
+    iterative state rewriting with no SQL expression; correctness is
+    pinned by a from-scratch reference implementation in pytest
+    (test_ops.py::test_bpe_train_matches_reference) plus the total
+    (count DESC, pair ASC) determinism order."""
+    from ..ops.bpe import bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_train(docs, num_merges=24)
+
+
+ROWS_ONLY_QUERIES["q_bpe_merges"] = q_bpe_merges

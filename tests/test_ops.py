@@ -2410,3 +2410,105 @@ def test_gopher_quality_planted_flags():
     # ellipses count like hash marks (non-overlapping '...' runs)
     e = gopher_quality_batch(["one two ... three .....", healthy], min_tokens=1)
     assert e["n_symbol_marks"][0] == 2  # '...' + '...' (from '.....' only one)
+
+
+def _reference_bpe(freqs, num_merges):
+    """From-scratch reference BPE (independent of ops/bpe.py internals):
+    naive pair recount + explicit left-to-right rewrite each round."""
+    words = {w: list(w) + ["</w>"] for w in freqs}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + freqs[w]
+        if not counts or max(counts.values()) < 2:
+            break
+        top = max(counts.values())
+        pair = sorted(p for p, c in counts.items() if c == top)[0]
+        merges.append((pair[0], pair[1], top))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == pair
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference():
+    from ocds_entity_extract_ray.ops.bpe import train_bpe_from_freqs
+
+    freqs = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3, "news": 4,
+        "west": 1, "xyz": 1,
+    }
+    got = train_bpe_from_freqs(freqs, 12)
+    want = _reference_bpe(freqs, 12)
+    assert got == want
+    assert len(got) > 4  # the corpus supports several real merges
+    # determinism: same input, same table
+    assert train_bpe_from_freqs(dict(freqs), 12) == got
+
+
+def test_bpe_tokenize_word_applies_rank_order():
+    from ocds_entity_extract_ray.ops.bpe import (
+        bpe_tokenize_word,
+        train_bpe_from_freqs,
+    )
+
+    freqs = {"aaab": 10, "aab": 5, "ab": 3}
+    merges = train_bpe_from_freqs(freqs, 8)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+    for w in freqs:
+        toks = bpe_tokenize_word(w, ranks)
+        assert "".join(toks) == w + "</w>"  # lossless
+    # unseen word still tokenizes (falls back toward characters)
+    toks = bpe_tokenize_word("zq", ranks)
+    assert "".join(toks) == "zq</w>"
+
+
+def test_bpe_train_distributed_and_counts(ray_session):
+    """bpe_train over a Ray corpus == training directly on the exact
+    word-frequency table; token counts shrink vs characters and
+    reconstruct losslessly."""
+    import collections
+    import re as _re
+
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.bpe import (
+        add_bpe_token_counts,
+        bpe_tokenize_word,
+        bpe_train,
+        train_bpe_from_freqs,
+    )
+
+    texts = [
+        "the merger merged merging mergers at the merge",
+        "streaming streams stream streamed the streamer",
+        "merge the stream the merge the stream",
+        "unrelated words appear here too",
+    ] * 3
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = bpe_train(ds, num_merges=16)
+    freqs = collections.Counter(
+        w for t in texts for w in _re.findall(r"[a-z0-9]+", t.lower())
+    )
+    want = train_bpe_from_freqs(dict(freqs), 16)
+    assert list(zip(got["left"], got["right"], got["pair_count"])) == want
+    counted = add_bpe_token_counts(ds, got).to_pandas()
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(want)}
+    for _, row in counted.iterrows():
+        ws = _re.findall(r"[a-z0-9]+", row["text"].lower())
+        assert row["n_bpe_tokens"] == sum(len(bpe_tokenize_word(w, ranks)) for w in ws)

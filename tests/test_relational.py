@@ -61,8 +61,17 @@ def test_no_unoracled_relational_queries():
     approximate by construction, so no SQL twin can hash-match it — its
     correctness evidence is the <5% error-bound + partition-independence
     pytest (test_ops.py). Anything else rows-only here is a regression."""
-    ESTIMATORS = {"q_source_distinct_hll"}
-    assert set(ROWS_ONLY_QUERIES) == ESTIMATORS
+    ALLOWED = {
+        # approximate by construction: no SQL twin can hash-match an HLL
+        # estimate; evidence = <5% error bound + partition independence
+        "q_source_distinct_hll",
+        # iterative state rewriting (each BPE merge reshapes every word's
+        # symbol sequence): not SQL-expressible; evidence = from-scratch
+        # reference implementation parity (test_ops.py) + total
+        # determinism order
+        "q_bpe_merges",
+    }
+    assert set(ROWS_ONLY_QUERIES) == ALLOWED
 
 
 def test_late_events_rule_is_non_vacuous(ray_session):
