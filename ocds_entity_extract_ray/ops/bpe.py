@@ -87,49 +87,6 @@ def bpe_tokenize_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]
     return list(syms)
 
 
-def word_frequencies(
-    ds: ray.data.Dataset,
-    text_col: str = "text",
-    *,
-    top_v: int = 50_000,
-    num_buckets: int = 16,
-) -> pd.DataFrame:
-    """Distributed wordcount ([a-z0-9]+ runs of lower(text), the corpus
-    token convention) truncated to the top-``top_v`` (count DESC, word
-    ASC) — the driver holds at most ``top_v * num_buckets`` candidate
-    rows, never the vocabulary."""
-    from .agg import grouped_agg
-
-    def tf_pre(b: pd.DataFrame) -> pd.DataFrame:
-        words = b[text_col].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
-        vc = words.value_counts()
-        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
-
-    per_word = grouped_agg(
-        ds,
-        ["word"],
-        {"n": ("n", "sum")},
-        pre=tf_pre,
-        final="bucketed",
-        num_buckets=num_buckets,
-        empty_result=pd.DataFrame(
-            {"word": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
-        ),
-    )
-
-    def bucket_top(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(
-            ["n", "word"], ascending=[False, True], kind="mergesort"
-        ).head(top_v)
-
-    cand = per_word.map_batches(bucket_top, batch_format="pandas").to_pandas()
-    return (
-        cand.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
-        .head(top_v)
-        .reset_index(drop=True)
-    )
-
-
 def bpe_train(
     docs: ray.data.Dataset,
     *,
@@ -140,6 +97,8 @@ def bpe_train(
 ) -> pd.DataFrame:
     """Train BPE on the corpus: DataFrame (rank, left, right,
     pair_count), rank starting at 0 in merge order."""
+    from .textstats import word_frequencies
+
     freqs = word_frequencies(
         docs, text_col, top_v=top_v, num_buckets=num_buckets
     )

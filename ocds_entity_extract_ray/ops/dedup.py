@@ -580,7 +580,11 @@ def simhash_dup_pairs(
     pair within Hamming distance 3 shares at least one chunk — pigeonhole —
     so for max_hamming <= 3 the candidate set is EXHAUSTIVE, not
     approximate), verify Hamming distance within bucket. Shuffle payload is
-    (chunk, chunk_val, id, signature) — 8-byte signatures, never text."""
+    (chunk, chunk_val, id, signature) — 8-byte signatures, never text.
+    Signatures come from the VECTORIZED batch kernel
+    (``textstats.simhash64_signed_batch``), whose one documented
+    divergence from the scalar reference is U+0130 'İ' (Arrow simple
+    vs Python full lowercase) — see the textstats engine-parity note."""
     from .textstats import simhash64_signed_batch
 
     def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:

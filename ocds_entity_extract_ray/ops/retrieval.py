@@ -111,7 +111,10 @@ def bm25_topk(
     tix = {term: i for i, term in enumerate(terms)}
     for j, q in enumerate(qids):
         for term in queries[q]:
-            weights[tix[term], j] = idf[tix[term]]
+            # += so a repeated query term counts with multiplicity (the
+            # classic query-tf convention and the docstring's "sum over
+            # q's terms")
+            weights[tix[term], j] += idf[tix[term]]
     w_ref = ray.put((terms, np.asarray(qids, dtype=np.int64), weights, avgdl))
 
     def score_batch(b: pd.DataFrame) -> pd.DataFrame:

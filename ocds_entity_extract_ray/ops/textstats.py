@@ -375,7 +375,11 @@ def _word_vote(w: str) -> np.ndarray:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word features (md5-low64 feature hash;
-    vote per bit weighted by occurrence count)."""
+    vote per bit weighted by occurrence count). Scalar REFERENCE — the
+    Dataset stages use ``simhash64_signed_batch``, which agrees
+    everywhere except text containing U+0130 'İ' (the engine-parity
+    note above: Arrow simple vs Python full lowercase moves the word
+    boundary there)."""
     v = np.zeros(64, dtype=np.int64)
     for w in _WORD_RE.findall((text or "").lower()):
         v += _word_vote(w)
@@ -564,6 +568,51 @@ def salient_terms(
     )
 
 
+def word_frequencies(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    top_v: int = 50_000,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Distributed wordcount ([a-z0-9]+ runs of lower(text), the corpus
+    token convention) truncated to the top-``top_v`` (count DESC, word
+    ASC deterministic tiebreak) — the driver holds at most
+    ``top_v * num_buckets`` candidate rows, never the vocabulary. The
+    shared vocabulary machinery behind ``unigram_surprisal`` and
+    ``ops.bpe.bpe_train``."""
+    from .agg import grouped_agg
+
+    def tf_pre(b: pd.DataFrame) -> pd.DataFrame:
+        words = b[text_col].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    per_word = grouped_agg(
+        ds,
+        ["word"],
+        {"n": ("n", "sum")},
+        pre=tf_pre,
+        final="bucketed",
+        num_buckets=num_buckets,
+        empty_result=pd.DataFrame(
+            {"word": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+        ),
+    )
+
+    def bucket_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["n", "word"], ascending=[False, True], kind="mergesort"
+        ).head(top_v)
+
+    cand = per_word.map_batches(bucket_top, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .head(top_v)
+        .reset_index(drop=True)
+    )
+
+
 def unigram_surprisal(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -589,35 +638,9 @@ def unigram_surprisal(
     """
     import ray as _ray
 
-    from .agg import grouped_agg
     from .joins import _fetch
 
-    def tf_pre(b: pd.DataFrame) -> pd.DataFrame:
-        words = b[text_col].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
-        vc = words.value_counts()
-        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
-
-    per_word = grouped_agg(
-        ds,
-        ["word"],
-        {"n": ("n", "sum")},
-        pre=tf_pre,
-        final="bucketed",
-        num_buckets=num_buckets,
-        empty_result=pd.DataFrame(
-            {"word": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
-        ),
-    )
-
-    def bucket_top(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(
-            top_v
-        )
-
-    cand = per_word.map_batches(bucket_top, batch_format="pandas").to_pandas()
-    vocab_df = cand.sort_values(
-        ["n", "word"], ascending=[False, True], kind="mergesort"
-    ).head(top_v)
+    vocab_df = word_frequencies(ds, text_col, top_v=top_v, num_buckets=num_buckets)
     ref = _ray.put(dict(zip(vocab_df["word"], vocab_df["n"].astype(int))))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:

@@ -2512,3 +2512,24 @@ def test_bpe_train_distributed_and_counts(ray_session):
     for _, row in counted.iterrows():
         ws = _re.findall(r"[a-z0-9]+", row["text"].lower())
         assert row["n_bpe_tokens"] == sum(len(bpe_tokenize_word(w, ranks)) for w in ws)
+
+
+def test_bm25_topk_repeated_query_term_counts_with_multiplicity(ray_session):
+    """A term listed twice in a query contributes 2x its idf*tfp — the
+    documented 'sum over q's terms' semantics (query-tf convention)."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.retrieval import bm25_topk
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["alpha beta", "alpha", "beta beta", "gamma"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    single = bm25_topk(ds, {0: ["alpha"]}, k=4).to_pandas()
+    double = bm25_topk(ds, {0: ["alpha", "alpha"]}, k=4).to_pandas()
+    merged = single.merge(double, on=["query_id", "rank", "doc_id"])
+    assert len(merged) == len(single) > 0
+    assert (merged["score_y"] == 2 * merged["score_x"]).all()
