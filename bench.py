@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q_late_events",
     "q_gopher_quality",
     "q_bpe_merges",
+    "q_ngram_char_fracs",
     "q_range_moving_sum",
     "q_iqr_outliers",
     "q_gapfill_daily_orders",

@@ -662,3 +662,49 @@ def unigram_surprisal(
         ).astype({id_col: "int64", "n_tokens": "int64", "surprisal": "int64"})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def ngram_char_stats(text: str) -> dict:
+    """Gopher A1.1 repetition complement: characters covered by the MOST
+    FREQUENT word {2,3,4}-gram and by DUPLICATED 6-grams, as integer
+    numerators over the doc's total word characters (ratios are the
+    caller's two-identical-ints division — no float thresholds inside).
+    Gram char counts exclude the joining spaces."""
+    from collections import Counter
+
+    words = _WORD_RE.findall((text or "").lower())
+    word_chars = sum(map(len, words))
+    out = {"word_chars": word_chars}
+    for n in (2, 3, 4):
+        grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
+        top = 0
+        if grams:
+            c = Counter(grams)
+            top = max(cnt * (len(g) - (n - 1)) for g, cnt in c.items())
+        out[f"top{n}_chars"] = top
+    n = 6
+    grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
+    dup = 0
+    if grams:
+        c = Counter(grams)
+        dup = sum(cnt * (len(g) - (n - 1)) for g, cnt in c.items() if cnt >= 2)
+    out["dup6_chars"] = dup
+    return out
+
+
+def add_ngram_char_stats(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].map(ngram_char_stats)
+        b = b.copy()
+        for f in ("word_chars", "top2_chars", "top3_chars", "top4_chars", "dup6_chars"):
+            b[f] = s.map(lambda d, f=f: d[f]).astype("int64")
+        wc = b["word_chars"].to_numpy()
+        safe = np.maximum(wc, 1)
+        for f in ("top2", "top3", "top4"):
+            b[f + "_frac"] = np.where(wc > 0, b[f + "_chars"].to_numpy() / safe, 0.0)
+        b["dup6_frac"] = np.where(wc > 0, b["dup6_chars"].to_numpy() / safe, 0.0)
+        return b
+
+    return ds.map_batches(stage, batch_format="pandas")

@@ -6416,3 +6416,76 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
 
 
 ROWS_ONLY_QUERIES["q_bpe_merges"] = q_bpe_merges
+
+
+def q_ngram_char_fracs(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition signals beyond dup_gram_frac: per doc, the char
+    fraction covered by the most frequent word {2,3,4}-gram and by
+    duplicated 6-grams (ops/textstats.py:ngram_char_stats). Map-only,
+    zero shuffle; ratios divide identical int64 operands in both
+    engines."""
+    from ..ops.textstats import add_ngram_char_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_ngram_char_stats(docs).to_pandas().drop(columns=["text"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_NGRAM_CHAR_FRACS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-ZÀ-ɏ]+') AS ws
+  FROM documents),
+chars AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT
+           AS word_chars
+  FROM w),
+g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+              i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+c2 AS (SELECT doc_id, MAX(cnt * gchars)::BIGINT AS top2_chars FROM (
+         SELECT doc_id, gram, COUNT(*)::BIGINT AS cnt,
+                length(replace(gram, ' ', ''))::BIGINT AS gchars
+         FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w),
+c3 AS (SELECT doc_id, MAX(cnt * gchars)::BIGINT AS top3_chars FROM (
+         SELECT doc_id, gram, COUNT(*)::BIGINT AS cnt,
+                length(replace(gram, ' ', ''))::BIGINT AS gchars
+         FROM g3 GROUP BY doc_id, gram) GROUP BY doc_id),
+g4 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-3, 0)),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS gram FROM w),
+c4 AS (SELECT doc_id, MAX(cnt * gchars)::BIGINT AS top4_chars FROM (
+         SELECT doc_id, gram, COUNT(*)::BIGINT AS cnt,
+                length(replace(gram, ' ', ''))::BIGINT AS gchars
+         FROM g4 GROUP BY doc_id, gram) GROUP BY doc_id),
+g6 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-5, 0)),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] || ' ' || ws[i+5])) AS gram FROM w),
+c6 AS (SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN cnt * gchars ELSE 0 END)::BIGINT
+              AS dup6_chars FROM (
+         SELECT doc_id, gram, COUNT(*)::BIGINT AS cnt,
+                length(replace(gram, ' ', ''))::BIGINT AS gchars
+         FROM g6 GROUP BY doc_id, gram) GROUP BY doc_id)
+SELECT d.doc_id, ch.word_chars,
+       COALESCE(c2.top2_chars, 0) AS top2_chars,
+       COALESCE(c3.top3_chars, 0) AS top3_chars,
+       COALESCE(c4.top4_chars, 0) AS top4_chars,
+       COALESCE(c6.dup6_chars, 0) AS dup6_chars,
+       CASE WHEN ch.word_chars = 0 THEN 0.0
+            ELSE COALESCE(c2.top2_chars, 0) / ch.word_chars END AS top2_frac,
+       CASE WHEN ch.word_chars = 0 THEN 0.0
+            ELSE COALESCE(c3.top3_chars, 0) / ch.word_chars END AS top3_frac,
+       CASE WHEN ch.word_chars = 0 THEN 0.0
+            ELSE COALESCE(c4.top4_chars, 0) / ch.word_chars END AS top4_frac,
+       CASE WHEN ch.word_chars = 0 THEN 0.0
+            ELSE COALESCE(c6.dup6_chars, 0) / ch.word_chars END AS dup6_frac
+FROM documents d
+JOIN chars ch ON ch.doc_id = d.doc_id
+LEFT JOIN c2 ON c2.doc_id = d.doc_id
+LEFT JOIN c3 ON c3.doc_id = d.doc_id
+LEFT JOIN c4 ON c4.doc_id = d.doc_id
+LEFT JOIN c6 ON c6.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+SQL_QUERIES["q_ngram_char_fracs"] = (q_ngram_char_fracs, Q_NGRAM_CHAR_FRACS_SQL)

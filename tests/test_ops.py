@@ -2533,3 +2533,28 @@ def test_bm25_topk_repeated_query_term_counts_with_multiplicity(ray_session):
     merged = single.merge(double, on=["query_id", "rank", "doc_id"])
     assert len(merged) == len(single) > 0
     assert (merged["score_y"] == 2 * merged["score_x"]).all()
+
+
+def test_ngram_char_stats_planted():
+    from ocds_entity_extract_ray.ops.textstats import ngram_char_stats
+
+    # "ab cd ab cd ab" -> words [ab,cd,ab,cd,ab], word_chars 10;
+    # 2-grams: 'ab cd' x2, 'cd ab' x2 -> top2 = 2 * 4 = 8
+    s = ngram_char_stats("ab cd ab cd ab")
+    assert s["word_chars"] == 10
+    assert s["top2_chars"] == 8
+    # 3-grams: 'ab cd ab' x2, 'cd ab cd' x1 -> top3 = 2 * 6 = 12
+    assert s["top3_chars"] == 12
+    # 4-grams: each distinct (x1) -> top4 = 1 * 8
+    assert s["top4_chars"] == 8
+    assert s["dup6_chars"] == 0  # only 0 repeated 6-grams possible here
+    # duplicated 6-grams: repeat a 7-word phrase twice
+    t = ("one two three four five six seven " * 2).strip()
+    d = ngram_char_stats(t)
+    assert d["dup6_chars"] > 0
+    # empty / no-word docs
+    e = ngram_char_stats("123 456")  # digits are not word chars
+    assert e == {
+        "word_chars": 0, "top2_chars": 0, "top3_chars": 0,
+        "top4_chars": 0, "dup6_chars": 0,
+    }
