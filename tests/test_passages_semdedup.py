@@ -217,3 +217,62 @@ def test_semantic_dedup_chunked_prune_matches_dense(ray_session):
     expect_dropped = np.triu(sim, 1).any(axis=0)
     assert (out["kept"].to_numpy() == ~expect_dropped).all()
     assert (~out["kept"]).sum() >= 10  # the planted near-dups were found
+
+
+def test_passage_dedup_matches_reference_on_random_corpora(ray_session):
+    """Seeded random corpora vs a from-scratch reference implementation
+    (independent chunking + corpus-wide count + rebuild), both branches."""
+    import collections
+
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.passages import dedup_passages
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(12)]
+    W = 4
+    for trial in range(4):
+        texts = []
+        for _ in range(25):
+            n = int(rng.integers(0, 15))
+            texts.append(" ".join(rng.choice(vocab, size=n)) if n else "x")
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+        # reference: chunk every doc, count FULL chunks corpus-wide,
+        # drop every occurrence of any chunk seen twice, reassemble
+        def chunks_of(t):
+            ws = t.split(" ")
+            full = [" ".join(ws[j * W : (j + 1) * W]) for j in range(len(ws) // W)]
+            tail = [" ".join(ws[(len(ws) // W) * W :])] if len(ws) % W else []
+            return full, tail
+
+        counts = collections.Counter(
+            c for t in texts for c in chunks_of(t)[0]
+        )
+        expect = {}
+        for did, t in zip(df["doc_id"], texts):
+            full, tail = chunks_of(t)
+            kept = [c for c in full if counts[c] <= 1] + tail
+            expect[did] = (
+                len(full) + len(tail),
+                sum(1 for c in full if counts[c] > 1),
+                " ".join(kept) if kept else None,
+            )
+
+        for kwargs in ({}, {"broadcast_max_dups": 0, "num_buckets": 3}):
+            got = (
+                dedup_passages(
+                    ray.data.from_pandas(df).repartition(3),
+                    words_per_passage=W,
+                    **kwargs,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            for _, r in got.iterrows():
+                want = expect[r["doc_id"]]
+                assert (r["n_passages"], r["n_dropped"]) == want[:2], (trial, kwargs)
+                cleaned = r["cleaned_text"] if pd.notna(r["cleaned_text"]) else None
+                assert cleaned == want[2], (trial, kwargs, r["doc_id"])
