@@ -587,10 +587,45 @@ def simhash_dup_pairs(
     vs Python full lowercase) — see the textstats engine-parity note."""
     from .textstats import simhash64_signed_batch
 
+    with_sig = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "_sig": simhash64_signed_batch(b[text_col]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return signature_dup_pairs(
+        with_sig,
+        "_sig",
+        id_col,
+        max_hamming=max_hamming,
+        max_group_size=max_group_size,
+        what="simhash chunk",
+    )
+
+
+def signature_dup_pairs(
+    ds: ray.data.Dataset,
+    sig_col: str,
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+    what: str = "signature chunk",
+) -> ray.data.Dataset:
+    """Near-dup pairs among 64-bit signatures (SIGNED int64 column) by
+    Hamming distance: bucket on each of 4 16-bit chunks (pigeonhole —
+    EXHAUSTIVE for max_hamming <= 3), verify XOR popcount within bucket.
+    The shared engine behind ``simhash_dup_pairs`` (text) and
+    ``multimodal.phash_dup_pairs`` (images). Shuffle payload is
+    (chunk, chunk_val, id, 8-B signature) x 4 per row — never content."""
+
     def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
         # signed int64 storage (values >= 2^63 would silently become
         # float64 through the pandas->Arrow boundary and break XOR)
-        sh_signed = simhash64_signed_batch(batch[text_col])
+        sh_signed = batch[sig_col].to_numpy().astype(np.int64)
         sh_u = sh_signed.view(np.uint64)
         nb = len(batch)
         shifts = (16 * np.arange(4, dtype=np.uint64))[None, :]
@@ -615,7 +650,8 @@ def simhash_dup_pairs(
             recs = sorted(zip(grp["_id"], (int(v) & mask for v in grp["_sh"])))
             if len(recs) > max_group_size:
                 _LOG.warning(
-                    "simhash chunk: degenerate group of %d members capped to %d",
+                    "%s: degenerate group of %d members capped to %d",
+                    what,
                     len(recs),
                     max_group_size,
                 )

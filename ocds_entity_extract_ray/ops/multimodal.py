@@ -329,3 +329,128 @@ def synthetic_media(n: int = 64, fmt: str = "opaque") -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+# --- perceptual image hashing (pHash) -----------------------------------------
+#
+# The image analogue of simhash: a 64-bit DCT-based perceptual hash
+# (classic pHash recipe — 32x32 grayscale, 2D DCT, the 8x8 low-frequency
+# block minus DC thresholded at its median), robust to re-encoding and
+# resizing, so crawl image near-dups are detected by Hamming distance
+# with the SAME chunk-pigeonhole machinery as text simhash
+# (ops/dedup.signature_dup_pairs).
+
+_D32 = None
+
+
+def _dct32() -> np.ndarray:
+    global _D32
+    if _D32 is None:
+        d = np.zeros((32, 32))
+        for u in range(32):
+            c = np.sqrt(0.5) if u == 0 else 1.0
+            for x in range(32):
+                d[u, x] = np.sqrt(2.0 / 32) * c * np.cos(
+                    (2 * x + 1) * u * np.pi / 64.0
+                )
+        _D32 = d
+    return _D32
+
+
+def phash64_signed(rgb: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w[, 3]) uint8 image, returned
+    SIGNED int64 (the storage convention signature_dup_pairs expects).
+    Deterministic: area-mean downsample over np.array_split bins, exact
+    orthonormal DCT, strict > median bit rule."""
+    a = rgb.astype(np.float64)
+    if a.ndim == 3:
+        a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    if a.size == 0:
+        raise ValueError("phash64_signed: empty image")
+    # images smaller than 32 in either dimension are nearest-upsampled
+    # first — otherwise array_split produces EMPTY bins whose mean is
+    # NaN and every small image would silently hash to 0
+    h, w = a.shape
+    if h < 32:
+        a = np.repeat(a, -(-32 // h), axis=0)
+    if w < 32:
+        a = np.repeat(a, -(-32 // w), axis=1)
+    img32 = np.array(
+        [
+            [cell.mean() for cell in np.array_split(row_band, 32, axis=1)]
+            for row_band in np.array_split(a, 32, axis=0)
+        ]
+    )
+    d = _dct32()
+    freq = d @ img32 @ d.T
+    block = freq[:8, :8].ravel()[1:]  # drop the DC term
+    med = np.median(block)
+    bits = block > med
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            h |= np.uint64(1) << np.uint64(i)
+    return int(h.view(np.int64) if hasattr(h, "view") else h)
+
+
+class ImageHasher:
+    """Actor-pool stage: binary image payload -> (id, phash). decode
+    follows the ImageFeaturizer convention ('real' = ops/codecs, 'fake' =
+    hash-derived pseudo-pixels for plumbing tests)."""
+
+    def __init__(self, decode: str = "fake"):
+        self.decode = decode
+
+    def _hash(self, payload: bytes) -> int:
+        if self.decode == "real":
+            from . import codecs
+
+            rgb = codecs.decode_image(payload or b"")
+        else:
+            h = hashlib.blake2b(payload or b"", digest_size=32 * 32).digest()
+            rgb = np.frombuffer(h, dtype=np.uint8).reshape(32, 32)
+        return phash64_signed(rgb)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(),
+                "phash": pd.Series(
+                    [self._hash(p) for p in batch["payload"]], dtype="int64"
+                ),
+            }
+        )
+
+
+def phash_dup_pairs(
+    media: ray.data.Dataset,
+    *,
+    decode: str = "real",
+    max_hamming: int = 8,
+    concurrency: int = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Near-duplicate IMAGES by perceptual hash: decode+hash on an actor
+    pool (small batches — payloads are large), then the shared
+    chunk-pigeonhole Hamming engine. NOTE: the 4x16-bit pigeonhole is
+    exhaustive only for hamming <= 3; for the perceptual default (8) it
+    is a high-recall candidate generator — same contract as LSH.
+    Measured distances on structured images: JPEG re-encode at q85/q50
+    ~6-8 bits, half-size resample ~2, unrelated images ~32."""
+    from .dedup import signature_dup_pairs
+
+    hashed = media.map_batches(
+        ImageHasher,
+        fn_constructor_kwargs={"decode": decode},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return signature_dup_pairs(
+        hashed,
+        "phash",
+        "media_id",
+        max_hamming=max_hamming,
+        what="phash chunk",
+    )

@@ -2558,3 +2558,83 @@ def test_ngram_char_stats_planted():
         "word_chars": 0, "top2_chars": 0, "top3_chars": 0,
         "top4_chars": 0, "dup6_chars": 0,
     }
+
+
+def _smooth_test_image(seed: int = 0) -> np.ndarray:
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = np.stack(
+        [xx * 255 // 63, yy * 255 // 63, (xx + yy) * 255 // 126], axis=-1
+    ).astype(float)
+    blob = 100 * np.exp(-((xx - 20 - seed) ** 2 + (yy - 30) ** 2) / 200.0)
+    return (base * 0.6 + blob[..., None]).clip(0, 255).astype(np.uint8)
+
+
+def test_phash_robust_to_reencode_and_resize():
+    """pHash is stable under JPEG re-encoding and downsampling but far
+    for unrelated images — the property that makes it a dedup signal."""
+    from ocds_entity_extract_ray.ops.jpeg import decode_jpeg, encode_jpeg
+    from ocds_entity_extract_ray.ops.multimodal import phash64_signed
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    img = _smooth_test_image()
+    h = phash64_signed(img)
+    assert ham(h, phash64_signed(decode_jpeg(encode_jpeg(img, quality=85)))) <= 8
+    assert ham(h, phash64_signed(img[::2, ::2])) <= 4
+    rng = np.random.RandomState(5)
+    other = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    assert ham(h, phash64_signed(other)) > 16
+    # grayscale input accepted; deterministic
+    assert phash64_signed(img[..., 0]) == phash64_signed(img[..., 0])
+
+
+def test_phash_dup_pairs_finds_reencoded_copies(ray_session):
+    """End-to-end: a BMP original, its JPEG q85 re-encode, and unrelated
+    images through the actor-pool hash + pigeonhole pair stage."""
+    import json
+
+    import ray.data
+
+    from ocds_entity_extract_ray.ops import codecs
+    from ocds_entity_extract_ray.ops.jpeg import encode_jpeg
+    from ocds_entity_extract_ray.ops.multimodal import phash_dup_pairs
+
+    img = _smooth_test_image()
+    rng = np.random.RandomState(9)
+    rows = [
+        {"media_id": 0, "media_type": "image", "payload": codecs.encode_bmp(img),
+         "meta_json": json.dumps({})},
+        {"media_id": 1, "media_type": "image", "payload": encode_jpeg(img, quality=85),
+         "meta_json": json.dumps({})},
+    ]
+    for i in range(2, 8):
+        other = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        rows.append(
+            {"media_id": i, "media_type": "image",
+             "payload": codecs.encode_bmp(other), "meta_json": json.dumps({})}
+        )
+    media = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = phash_dup_pairs(media, decode="real").to_pandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    # unrelated noise images do not pair with the original
+    assert not any(
+        {a, b} & {0, 1} and {a, b} - {0, 1} for a, b in zip(pairs["id_a"], pairs["id_b"])
+    )
+
+
+def test_phash_small_images_not_degenerate():
+    """Images smaller than 32x32 must NOT collapse to hash 0 (the empty
+    array_split bin -> NaN -> all-zero-bits failure mode): two different
+    small images hash far apart, and tiny inputs round-trip sanely."""
+    from ocds_entity_extract_ray.ops.multimodal import phash64_signed
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    b = rng.randint(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    ha, hb = phash64_signed(a), phash64_signed(b)
+    assert ha != 0 or hb != 0
+    assert bin((ha ^ hb) & ((1 << 64) - 1)).count("1") > 8
+    assert phash64_signed(np.full((1, 1), 7, dtype=np.uint8)) is not None
+    with pytest.raises(ValueError, match="empty image"):
+        phash64_signed(np.zeros((0, 4), dtype=np.uint8))
