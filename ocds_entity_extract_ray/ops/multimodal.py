@@ -454,3 +454,136 @@ def phash_dup_pairs(
         max_hamming=max_hamming,
         what="phash chunk",
     )
+
+
+# --- audio fingerprinting (spectral landmarks) --------------------------------
+#
+# The audio analogue of winnowing/pHash: Shazam-style landmark hashes
+# (Wang 2003, "An Industrial-Strength Audio Search Algorithm" — public
+# paper). Per STFT frame, the peak frequency bin in each of a few
+# log-ish bands; consecutive-frame peak pairs (f1, f2, dt) hash to
+# 64-bit landmarks. Robust to amplitude scaling (argmax is
+# scale-invariant) and mild additive noise; two clips sharing >=
+# min_shared landmarks are duplicate candidates.
+
+_FRAME = 1024
+_HOP = 512
+_BANDS = ((1, 32), (32, 96), (96, 224), (224, 513))  # rfft bins at 1024
+
+
+def audio_fingerprints(samples: np.ndarray) -> np.ndarray:
+    """Landmark hashes (uint64 -> SIGNED int64 array, sorted distinct)
+    for one PCM16 mono clip. Deterministic, vectorized: one windowed
+    rfft over all frames, per-band argmax, consecutive-frame pairing."""
+    from .textstats import _h64
+
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < _FRAME:
+        x = np.pad(x, (0, _FRAME - len(x)))
+    n_frames = 1 + (len(x) - _FRAME) // _HOP
+    idx = np.arange(_FRAME)[None, :] + _HOP * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(_FRAME)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    peaks = np.stack(
+        [lo + mag[:, lo:hi].argmax(axis=1) for lo, hi in _BANDS], axis=1
+    )  # (n_frames, n_bands)
+    out = set()
+    for dt in (1, 2):
+        if n_frames <= dt:
+            continue
+        a = peaks[:-dt]
+        b = peaks[dt:]
+        for band in range(len(_BANDS)):
+            for f1, f2 in zip(a[:, band], b[:, band]):
+                out.add(_h64(f"{band}:{f1}:{f2}:{dt}".encode()))
+    sig = np.array(sorted(out), dtype=np.uint64)
+    return sig.view(np.int64)
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV payload -> exploded (media_id, fp) landmark
+    rows. decode='real' parses PCM16 WAV via ops/codecs; 'fake' derives
+    pseudo-samples from the payload hash (plumbing tests)."""
+
+    def __init__(self, decode: str = "fake"):
+        self.decode = decode
+
+    def _samples(self, payload: bytes) -> np.ndarray:
+        if self.decode == "real":
+            from . import codecs
+
+            samples, _rate = codecs.decode_wav(payload or b"")
+            return samples
+        h = hashlib.blake2b(payload or b"", digest_size=64).digest()
+        rng = np.random.RandomState(np.frombuffer(h[:4], dtype=np.uint32)[0])
+        return (rng.randn(4096) * 1000).astype(np.int16)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            sig = audio_fingerprints(self._samples(payload))
+            ids.extend([mid] * len(sig))
+            fps.extend(sig.tolist())
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "fp": pd.Series(fps, dtype="int64"),
+            }
+        )
+
+
+def audio_dup_pairs(
+    media: ray.data.Dataset,
+    *,
+    decode: str = "real",
+    min_shared: int = 16,
+    max_group_size: int = 512,
+    concurrency: int = 2,
+    batch_size: int = 16,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Duplicate-audio candidates: clips sharing >= ``min_shared``
+    landmark hashes. Explode (fp, id) rows (audio never shuffles), ONE
+    bucketed group by fp emitting co-occurrence pairs (capped groups),
+    then a pair-count reduce — the fingerprint-overlap shape."""
+    from .agg import bucketed_map_groups
+
+    fps = media.map_batches(
+        AudioFingerprinter,
+        fn_constructor_kwargs={"decode": decode},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def pairs_in_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _fp, g in b.groupby("fp", sort=False):
+            ids = np.sort(g["media_id"].unique())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_group_size:
+                ids = ids[:max_group_size]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ia])
+            out_b.extend(ids[ib])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+    co = bucketed_map_groups(fps, "fp", pairs_in_bucket, num_buckets=num_buckets, empty_result=empty)
+
+    def count_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["id_a", "id_b"], as_index=False).size()
+        g = g[g["size"] >= min_shared].rename(columns={"size": "n_shared"})
+        return g.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
+
+    empty2 = empty.assign(n_shared=pd.Series(dtype="int64"))
+    return bucketed_map_groups(co, "id_a", count_pairs, num_buckets=16, empty_result=empty2)

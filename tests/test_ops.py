@@ -2638,3 +2638,63 @@ def test_phash_small_images_not_degenerate():
     assert phash64_signed(np.full((1, 1), 7, dtype=np.uint8)) is not None
     with pytest.raises(ValueError, match="empty image"):
         phash64_signed(np.zeros((0, 4), dtype=np.uint8))
+
+
+def _tone_clip(freqs, seed, n=16000, rate=8000):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    x = sum(a * np.sin(2 * np.pi * f * t / rate) for f, a in freqs)
+    return (x + 300 * rng.randn(n)).astype(np.int16)
+
+
+def test_audio_fingerprints_robustness():
+    """Landmark hashes are invariant to amplitude scaling, mostly stable
+    under added noise, and nearly disjoint across different clips."""
+    from ocds_entity_extract_ray.ops.multimodal import audio_fingerprints
+
+    clip = _tone_clip([(440, 3000), (1230, 2000)], seed=2)
+    f1 = set(audio_fingerprints(clip).tolist())
+    assert len(f1) > 50
+    f_scaled = set(audio_fingerprints((clip * 0.5).astype(np.int16)).tolist())
+    assert f_scaled == f1  # argmax peaks are scale-invariant
+    rng = np.random.RandomState(7)
+    noisy = (clip + 200 * rng.randn(len(clip))).astype(np.int16)
+    assert len(f1 & set(audio_fingerprints(noisy).tolist())) >= 20
+    other = _tone_clip([(700, 2500)], seed=3)
+    assert len(f1 & set(audio_fingerprints(other).tolist())) < 10
+    # short clip (under one frame) still fingerprints deterministically
+    short = clip[:500]
+    assert list(audio_fingerprints(short)) == list(audio_fingerprints(short))
+
+
+def test_audio_dup_pairs_finds_noisy_copy(ray_session):
+    """End-to-end over WAV payloads: a clip and its noisy re-recording
+    pair up; unrelated clips don't."""
+    import json
+
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.codecs import encode_wav
+    from ocds_entity_extract_ray.ops.multimodal import audio_dup_pairs
+
+    base = _tone_clip([(440, 3000), (1230, 2000)], seed=2)
+    rng = np.random.RandomState(11)
+    noisy = (base + 200 * rng.randn(len(base))).astype(np.int16)
+    rows = [
+        {"media_id": 0, "media_type": "audio", "payload": encode_wav(base, 8000),
+         "meta_json": json.dumps({})},
+        {"media_id": 1, "media_type": "audio", "payload": encode_wav(noisy, 8000),
+         "meta_json": json.dumps({})},
+    ]
+    for i in range(2, 6):
+        rows.append(
+            {"media_id": i, "media_type": "audio",
+             "payload": encode_wav(_tone_clip([(500 + 90 * i, 2500)], seed=20 + i), 8000),
+             "meta_json": json.dumps({})}
+        )
+    media = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = audio_dup_pairs(media, decode="real", min_shared=16).to_pandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert not any(
+        {a, b} & {0, 1} and {a, b} - {0, 1} for a, b in zip(pairs["id_a"], pairs["id_b"])
+    )
