@@ -755,17 +755,44 @@ def fingerprint_overlap_pairs(
         return pd.DataFrame(out).astype({"fp": "int64", "_id": "int64"})
 
     rows = ds.map_batches(to_rows, batch_format="pandas")
+    return shared_key_pairs(
+        rows,
+        "fp",
+        "_id",
+        min_shared=min_shared,
+        max_group_size=max_group_size,
+        num_buckets=num_buckets,
+        what="fingerprint",
+    )
+
+
+def shared_key_pairs(
+    rows: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    *,
+    min_shared: int,
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+    num_buckets: int = 64,
+    what: str = "shared key",
+) -> ray.data.Dataset:
+    """The overlap-count pair engine: (key, id) rows — DISTINCT per id,
+    the caller's contract — to (id_a, id_b, n_shared >= min_shared).
+    One bucketed shuffle on the key (capped groups warn via _cap_group),
+    one bucketed pair-count. Shared by ``fingerprint_overlap_pairs``
+    (winnowing) and ``multimodal.audio_dup_pairs`` (landmarks)."""
+    from .agg import bucketed_map_groups
 
     empty_pairs = pd.DataFrame(
         {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
     )
 
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        cand = bucket[bucket.duplicated("fp", keep=False)]
+        cand = bucket[bucket.duplicated(key_col, keep=False)]
         parts = []
-        for _fp, grp in cand.groupby("fp", sort=False):
-            ids = np.unique(grp["_id"].to_numpy())
-            ids = _cap_group(ids, max_group_size, "fingerprint")
+        for _k, grp in cand.groupby(key_col, sort=False):
+            ids = np.unique(grp[id_col].to_numpy())
+            ids = _cap_group(ids, max_group_size, what)
             if len(ids) < 2:
                 continue
             ia, ib = np.triu_indices(len(ids), k=1)
@@ -777,14 +804,14 @@ def fingerprint_overlap_pairs(
         )
 
     pairs = bucketed_map_groups(
-        rows, "fp", per_bucket, num_buckets=num_buckets, empty_result=empty_pairs
+        rows, key_col, per_bucket, num_buckets=num_buckets, empty_result=empty_pairs
     )
 
     empty_out = _empty_pairs("n_shared", "int64")
 
     def count_shared(b: pd.DataFrame) -> pd.DataFrame:
-        # rows are unique per (pair, fingerprint) — distinct fps per doc
-        # map-side, group caps aside — so the group size IS the count
+        # rows are unique per (pair, key) — keys distinct per id map-side,
+        # group caps aside — so the group size IS the count
         g = b.groupby(["id_a", "id_b"], as_index=False).size()
         g = g[g["size"] >= min_shared].rename(columns={"size": "n_shared"})
         return g.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})

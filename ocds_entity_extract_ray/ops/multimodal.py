@@ -370,27 +370,34 @@ def phash64_signed(rgb: np.ndarray) -> int:
     # images smaller than 32 in either dimension are nearest-upsampled
     # first — otherwise array_split produces EMPTY bins whose mean is
     # NaN and every small image would silently hash to 0
-    h, w = a.shape
-    if h < 32:
-        a = np.repeat(a, -(-32 // h), axis=0)
-    if w < 32:
-        a = np.repeat(a, -(-32 // w), axis=1)
-    img32 = np.array(
-        [
-            [cell.mean() for cell in np.array_split(row_band, 32, axis=1)]
-            for row_band in np.array_split(a, 32, axis=0)
-        ]
-    )
+    ih, iw = a.shape
+    if ih < 32:
+        a = np.repeat(a, -(-32 // ih), axis=0)
+    if iw < 32:
+        a = np.repeat(a, -(-32 // iw), axis=1)
+    # vectorized area-mean over the same bins np.array_split would make:
+    # reduceat on the split offsets (rows then columns), divided by the
+    # bin-size outer product — no per-cell Python dispatch
+    def _splits(n: int) -> np.ndarray:
+        base, extra = divmod(n, 32)
+        sizes = np.full(32, base, dtype=np.int64)
+        sizes[:extra] += 1
+        return sizes
+
+    rs, cs = _splits(a.shape[0]), _splits(a.shape[1])
+    r_off = np.concatenate(([0], np.cumsum(rs)[:-1]))
+    c_off = np.concatenate(([0], np.cumsum(cs)[:-1]))
+    summed = np.add.reduceat(np.add.reduceat(a, r_off, axis=0), c_off, axis=1)
+    img32 = summed / np.outer(rs, cs)
     d = _dct32()
     freq = d @ img32 @ d.T
     block = freq[:8, :8].ravel()[1:]  # drop the DC term
-    med = np.median(block)
-    bits = block > med
-    h = np.uint64(0)
+    bits = block > np.median(block)
+    acc = np.uint64(0)
     for i, b in enumerate(bits):
         if b:
-            h |= np.uint64(1) << np.uint64(i)
-    return int(h.view(np.int64) if hasattr(h, "view") else h)
+            acc |= np.uint64(1) << np.uint64(i)
+    return int(acc.view(np.int64))
 
 
 class ImageHasher:
@@ -407,8 +414,11 @@ class ImageHasher:
 
             rgb = codecs.decode_image(payload or b"")
         else:
-            h = hashlib.blake2b(payload or b"", digest_size=32 * 32).digest()
-            rgb = np.frombuffer(h, dtype=np.uint8).reshape(32, 32)
+            # blake2b caps digest_size at 64: seed an RNG instead of
+            # asking for 1024 digest bytes
+            seed = hashlib.blake2b(payload or b"", digest_size=4).digest()
+            rng = np.random.RandomState(np.frombuffer(seed, dtype=np.uint32)[0])
+            rgb = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
         return phash64_signed(rgb)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -543,10 +553,10 @@ def audio_dup_pairs(
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Duplicate-audio candidates: clips sharing >= ``min_shared``
-    landmark hashes. Explode (fp, id) rows (audio never shuffles), ONE
-    bucketed group by fp emitting co-occurrence pairs (capped groups),
-    then a pair-count reduce — the fingerprint-overlap shape."""
-    from .agg import bucketed_map_groups
+    landmark hashes. Explode (fp, id) rows (audio never shuffles), then
+    the shared overlap-count pair engine
+    (ops/dedup.py:shared_key_pairs — capped groups warn loudly)."""
+    from .dedup import shared_key_pairs
 
     fps = media.map_batches(
         AudioFingerprinter,
@@ -556,34 +566,12 @@ def audio_dup_pairs(
         concurrency=concurrency,
         num_cpus=1,
     )
-
-    def pairs_in_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _fp, g in b.groupby("fp", sort=False):
-            ids = np.sort(g["media_id"].unique())
-            if len(ids) < 2:
-                continue
-            if len(ids) > max_group_size:
-                ids = ids[:max_group_size]
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.extend(ids[ia])
-            out_b.extend(ids[ib])
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(out_a, dtype="int64"),
-                "id_b": pd.Series(out_b, dtype="int64"),
-            }
-        )
-
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    return shared_key_pairs(
+        fps,
+        "fp",
+        "media_id",
+        min_shared=min_shared,
+        max_group_size=max_group_size,
+        num_buckets=num_buckets,
+        what="audio landmark",
     )
-    co = bucketed_map_groups(fps, "fp", pairs_in_bucket, num_buckets=num_buckets, empty_result=empty)
-
-    def count_pairs(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(["id_a", "id_b"], as_index=False).size()
-        g = g[g["size"] >= min_shared].rename(columns={"size": "n_shared"})
-        return g.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
-
-    empty2 = empty.assign(n_shared=pd.Series(dtype="int64"))
-    return bucketed_map_groups(co, "id_a", count_pairs, num_buckets=16, empty_result=empty2)
