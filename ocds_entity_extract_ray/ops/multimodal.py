@@ -575,3 +575,74 @@ def audio_dup_pairs(
         num_buckets=num_buckets,
         what="audio landmark",
     )
+
+
+def video_dup_pairs(
+    media: ray.data.Dataset,
+    *,
+    decode: str = "real",
+    min_shared: int = 3,
+    frame_stride: int = 2,
+    max_group_size: int = 512,
+    concurrency: int = 2,
+    batch_size: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Duplicate-video candidates: videos sharing >= ``min_shared``
+    per-frame perceptual hashes (every ``frame_stride``-th frame pHashed)
+    — robust to re-encoding of individual frames (pHash) and to
+    trimming/offset (frame hashes are position-independent keys). The
+    composition: frame sampling (actor pool, RAWV decode) -> per-frame
+    pHash -> the shared overlap-count pair engine."""
+    from .dedup import shared_key_pairs
+
+    class _FramePhasher:
+        def __init__(self, decode: str = "fake", stride: int = 2):
+            self.decode = decode
+            self.stride = stride
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, fps = [], []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                if self.decode == "real":
+                    from . import codecs
+
+                    frames = codecs.decode_rawv(payload or b"")
+                else:
+                    seed = hashlib.blake2b(payload or b"", digest_size=4).digest()
+                    rng = np.random.RandomState(
+                        np.frombuffer(seed, dtype=np.uint32)[0]
+                    )
+                    frames = [
+                        rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                        for _ in range(8)
+                    ]
+                seen = set()
+                for idx in range(0, len(frames), self.stride):
+                    seen.add(phash64_signed(np.asarray(frames[idx])))
+                ids.extend([mid] * len(seen))
+                fps.extend(sorted(seen))
+            return pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    fps = media.map_batches(
+        _FramePhasher,
+        fn_constructor_kwargs={"decode": decode, "stride": frame_stride},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return shared_key_pairs(
+        fps,
+        "fp",
+        "media_id",
+        min_shared=min_shared,
+        max_group_size=max_group_size,
+        num_buckets=num_buckets,
+        what="video frame phash",
+    )

@@ -2698,3 +2698,41 @@ def test_audio_dup_pairs_finds_noisy_copy(ray_session):
     assert not any(
         {a, b} & {0, 1} and {a, b} - {0, 1} for a, b in zip(pairs["id_a"], pairs["id_b"])
     )
+
+
+def test_video_dup_pairs_finds_trimmed_copy(ray_session):
+    """A RAWV clip and a TRIMMED copy (first frames dropped) share frame
+    pHashes and pair up; unrelated clips don't."""
+    import json
+
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.codecs import encode_rawv
+    from ocds_entity_extract_ray.ops.multimodal import video_dup_pairs
+
+    def clip(seed, n_frames=10):
+        rng = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:32, 0:32]
+        frames = []
+        for k in range(n_frames):
+            f = ((xx * (seed + 2) + yy * 3 + k * 9) % 256).astype(np.uint8)
+            frames.append(np.stack([f, f, f], axis=-1))
+        return np.stack(frames)
+
+    base = clip(1)
+    rows = [
+        {"media_id": 0, "media_type": "video", "payload": encode_rawv(base),
+         "meta_json": json.dumps({})},
+        {"media_id": 1, "media_type": "video", "payload": encode_rawv(np.asarray(base)[2:]),
+         "meta_json": json.dumps({})},
+        {"media_id": 2, "media_type": "video", "payload": encode_rawv(clip(7)),
+         "meta_json": json.dumps({})},
+        {"media_id": 3, "media_type": "video", "payload": encode_rawv(clip(11)),
+         "meta_json": json.dumps({})},
+    ]
+    media = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = video_dup_pairs(media, decode="real", min_shared=3, frame_stride=1).to_pandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert not any(
+        {a, b} & {2, 3} for a, b in zip(pairs["id_a"], pairs["id_b"])
+    )
