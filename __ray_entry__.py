@@ -526,44 +526,48 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q6_pushdown",
     "q8_market_share",
-    "q21_waiting_suppliers",
-    "q5_nation_revenue",
     # join strategies
     "q_skew_join_type_weight",
     "q_bucketed_join_segments",
-    "q_full_outer_year_activity",
     "q_range_join",
-    "q_asof_purchase_view",
-    # windows / sessions / temporal
+    # windows / sessions / temporal (running_total/moving_sum: the r04
+    # dtype class, freshly ::BIGINT-cast; late_events: new in r04)
     "q_events_tumbling",
-    "q_sessions",
     "q_running_total",
+    "q_moving_sum",
+    "q_late_events",
     "q_scd2_user_value",
-    "q_cohort_retention",
     "q_gapfill_daily_orders",
-    # deduplication family
+    # rollup / window-rank / centroid accumulators (r04 dtype class)
+    "q_rollup_orders",
+    "q_supplier_rank",
+    "q_label_centroids",
+    # deduplication family (passage/semantic: new in r04)
     "q_exact_dedup_stats",
     "q_minhash_dup_pairs",
-    "q_ngram_jaccard_pairs",
     "q_simhash_dup_pairs",
-    "q_fingerprint_overlap",
+    "q_passage_dedup",
+    "q_semantic_dedup",
     "q_contamination",
-    "q_dup_clusters",
-    # similarity search
+    # media dedup (rows-only: binary payloads, planted-truth-gated)
+    "q_image_dup_pairs",
+    "q_audio_dup_pairs",
+    "q_video_dup_pairs",
+    # similarity search + lexical retrieval (bm25: new in r04)
     "q_ann_topk",
-    "q_embedding_near_dups_lsh",
-    # graph algorithms
+    "q_bm25_topk",
+    # graph algorithms (pagerank/ppr: the r04 driver-RED dtype rows)
     "q_pagerank",
     "q_personalized_pagerank",
     "q_bfs_purchase_radius",
-    "q_weighted_purchase_paths",
     "q_kcore_parts",
     "q_supplier_triangles",
-    # text analysis
+    # text analysis (gopher/ngram_char_fracs: new in r04)
     "q_doc_quality",
     "q_langid",
+    "q_gopher_quality",
+    "q_ngram_char_fracs",
     "q_unigram_surprisal",
-    "q_salient_terms",
     "q_pii_redaction",
     # sampling / splits / mixing
     "q_training_mix",
@@ -571,13 +575,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # CDC / diff
     "q_latest_event_per_user",
     "q_table_diff",
-    # composed curation, clustering, layout, URLs, profiling, packing
+    # composed curation, clustering, layout, URLs, profiling
     "q_curation_v2",
     "q_kmeans_clusters",
     "q_zorder_orders",
     "q_url_domain_stats",
     "q_profile_orders",
-    "q_doc_packing",
 )
 
 

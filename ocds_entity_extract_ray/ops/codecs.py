@@ -264,6 +264,18 @@ def decode_png(payload: bytes) -> np.ndarray:
                     "only 8-bit truecolor non-interlaced PNG supported "
                     f"(depth={depth}, colortype={ctype}, interlace={interlace})"
                 )
+            if w == 0 or h == 0:
+                raise ValueError("png: zero IHDR dimension")
+            from .jpeg import MAX_DECODE_PIXELS
+
+            if w * h > MAX_DECODE_PIXELS:
+                # IHDR is untrusted crawl input — same allocation bound as
+                # decode_jpeg's SOF guard (a tiny payload can declare a
+                # 2^32-pixel frame and OOM the decode actor)
+                raise ValueError(
+                    f"png: frame {h}x{w} exceeds MAX_DECODE_PIXELS="
+                    f"{MAX_DECODE_PIXELS}"
+                )
             ch = 3 if ctype == 2 else 4
         elif typ == b"IDAT":
             idat.append(data)

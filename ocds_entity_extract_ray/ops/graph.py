@@ -486,9 +486,11 @@ def pagerank_sql(
         body.append(
             f"r{i} AS (\n"
             "  SELECT nd.node,\n"
-            f"         {base_expr}\n"
+            # ::BIGINT: DuckDB SUM(BIGINT) returns HUGEINT, which pandas
+            # fetches as float64 — the engine emits int64 (dtype-strict)
+            f"         ({base_expr}\n"
             f"         + COALESCE(SUM(({damp_num} * r.rank) // ({damp_den} * o.d)), 0)"
-            " AS rank\n"
+            ")::BIGINT AS rank\n"
             "  FROM nodes nd\n"
             "  LEFT JOIN edges e ON e.dst = nd.node\n"
             f"  LEFT JOIN r{i - 1} r ON r.node = e.src\n"

@@ -5,10 +5,17 @@ text.
 State layout (``state_dir``): one parquet file of int64 content hashes
 per ingest batch (``hashes_<n>.parquet``, schema ``{h: int64}``) — an
 append-only log whose slots are claimed atomically at commit time
-(write-tmp + link), so concurrent or deferred commits can never clobber
-each other; a failed ingest retried from scratch simply recomputes
-against the log as committed so far. The state reader just globs the
-directory.
+(write-tmp + link), so concurrent or deferred commits can never clobber a
+log FILE; a failed ingest retried from scratch simply recomputes against
+the log as committed so far. The state reader just globs the directory.
+
+SINGLE-WRITER ASSUMPTION: the exactly-once guarantee is per serialized
+ingest. Two ingests running CONCURRENTLY each dedup against the state
+snapshot globbed at their own call time, so content overlapping between
+them (or committed by one after the other's snapshot) is admitted by
+BOTH and delivered downstream twice — the log stays consistent, the
+survivor set does not. Run ingests for one state_dir serially (or give
+concurrent sources disjoint state dirs and dedup across them downstream).
 At 100 TB the state is hash-sized (8 B per unique doc), column-pruned at
 the read, and the membership check is a distributed bucketed anti-join —
 the delta never broadcasts and the state never lands on the driver.

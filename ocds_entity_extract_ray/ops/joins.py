@@ -97,7 +97,20 @@ def broadcast_hash_join(
     kernel COALESCES the right key columns away (pandas merge keeps both)
     and only applies ``suffixes[1]`` to right-side collisions — callers
     switching an existing site to pyarrow must not rely on the right key
-    column downstream (the converted call sites select_columns anyway)."""
+    column downstream (the converted call sites select_columns anyway).
+
+    Only ``inner`` and ``left`` are supported: a per-block right/full
+    outer join would re-emit the small side's unmatched rows once PER
+    BLOCK (unmatched-right emission is a global property, not a per-batch
+    one). Use ``hash_join``/``full_outer_join`` when right rows must
+    survive."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_hash_join: how={how!r} unsupported — a broadcast "
+            "join evaluates per block, so right/full outer would duplicate "
+            "the small side's unmatched rows once per block; use hash_join "
+            "or full_outer_join instead"
+        )
     left_keys = [left_on] if isinstance(left_on, str) else list(left_on)
     right_keys = (
         left_keys
@@ -110,18 +123,7 @@ def broadcast_hash_join(
             small if isinstance(small, pa.Table) else pa.Table.from_pandas(small)
         )
         ref_a = ray.put(small_tbl)
-        arrow_how = {
-            "inner": "inner",
-            "left": "left outer",
-            "right": "right outer",
-            "outer": "full outer",
-        }
-        if how not in arrow_how:
-            raise ValueError(
-                f"broadcast_hash_join: unsupported how={how!r} for the "
-                "pyarrow path (inner/left/right/outer)"
-            )
-        join_type = arrow_how[how]
+        join_type = {"inner": "inner", "left": "left outer"}[how]
 
         def merge_arrow(batch: pa.Table) -> pa.Table:
             rhs = _fetch(ref_a)

@@ -36,6 +36,13 @@ import struct
 
 import numpy as np
 
+# Hostile-input allocation bound: SOF headers are untrusted crawl bytes,
+# and a 20-byte payload can declare a 65535x65535 frame whose coefficient
+# planes would allocate tens of GB before any bitstream check fires. 64M
+# pixels (8192x8192) comfortably covers real crawl photos; decode_jpeg
+# raises ValueError above it. Module-level so a trusted caller can raise it.
+MAX_DECODE_PIXELS = 64_000_000
+
 # --- constants (ITU-T T.81 Annex K) ------------------------------------------
 
 ZIGZAG = np.array(
@@ -869,6 +876,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
+            if fh == 0 or fw == 0:
+                raise ValueError("jpeg: zero frame dimension in SOF")
+            if fh * fw > MAX_DECODE_PIXELS:
+                # the SOF header is UNTRUSTED crawl input: a few-hundred-byte
+                # payload declaring 65535x65535 would otherwise allocate tens
+                # of GB of coefficient/pixel planes before any bitstream
+                # check fires, OOM-killing the decode actor
+                raise ValueError(
+                    f"jpeg: frame {fh}x{fw} exceeds MAX_DECODE_PIXELS="
+                    f"{MAX_DECODE_PIXELS} (raise ops.jpeg.MAX_DECODE_PIXELS "
+                    "if the oversized payload is trusted)"
+                )
             comps = []
             for i in range(nc):
                 cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]

@@ -331,6 +331,74 @@ def synthetic_media(n: int = 64, fmt: str = "opaque") -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def synthetic_media_dups(
+    modality: str, n_groups: int = 12, dup_every: int = 4
+) -> pd.DataFrame:
+    """Deterministic single-modality media table with PLANTED near-
+    duplicates, the input surface for the q_{image,audio,video}_dup_pairs
+    queries: item ``g`` gets media_id ``2*g``; every ``dup_every``-th item
+    also emits a TRANSFORMED copy at media_id ``2*g + 1`` —
+
+      image: JPEG q85 re-encode of the BMP original (pHash ~6-8 bits off),
+      audio: half-amplitude re-recording (landmarks are scale-invariant),
+      video: copy with the first two frames trimmed (frame pHashes are
+             position-independent keys).
+
+    Ground truth is exactly {(2g, 2g+1) : g % dup_every == 0}; distractor
+    items are structured but mutually unrelated (block-smooth random
+    images / distinct tone mixes / distinct gradient clips), so a correct
+    pair stage reports the planted pairs and nothing else."""
+    import json as _json
+
+    from . import codecs
+
+    rows = []
+    for g in range(n_groups):
+        rng = np.random.RandomState(7000 + g)
+        if modality == "image":
+            from .jpeg import encode_jpeg
+
+            # 8x8 random tiles upsampled 8x: block-smooth (JPEG-friendly,
+            # tile edges align with the 8x8 DCT grid) yet distinct per g
+            small = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            img = np.kron(small, np.ones((8, 8, 1), dtype=np.uint8))
+            orig = codecs.encode_bmp(img)
+            dup = encode_jpeg(img, quality=85)
+            meta = _json.dumps({"w": 64, "h": 64}, sort_keys=True)
+        elif modality == "audio":
+            rate, n = 8000, 16000
+            t = np.arange(n)
+            x = (
+                3000 * np.sin(2 * np.pi * (160 + 23 * g) * t / rate)
+                + 2000 * np.sin(2 * np.pi * (1100 + 41 * g) * t / rate)
+                + 300 * rng.randn(n)  # noise makes the landmark set rich
+            ).astype(np.int16)
+            orig = codecs.encode_wav(x, rate)
+            dup = codecs.encode_wav((x * 0.5).astype(np.int16), rate)
+            meta = _json.dumps({"rate": rate}, sort_keys=True)
+        elif modality == "video":
+            yy, xx = np.mgrid[0:32, 0:32]
+            frames = np.stack(
+                [
+                    np.stack([((xx * (g + 2) + yy * 3 + k * 9) % 256).astype(np.uint8)] * 3, axis=-1)
+                    for k in range(8)
+                ]
+            )
+            orig = codecs.encode_rawv(frames)
+            dup = codecs.encode_rawv(frames[2:])
+            meta = _json.dumps({"w": 32, "h": 32, "n_frames": 8}, sort_keys=True)
+        else:
+            raise ValueError(f"synthetic_media_dups: unknown modality {modality!r}")
+        rows.append(
+            {"media_id": 2 * g, "media_type": modality, "payload": orig, "meta_json": meta}
+        )
+        if g % dup_every == 0:
+            rows.append(
+                {"media_id": 2 * g + 1, "media_type": modality, "payload": dup, "meta_json": meta}
+            )
+    return pd.DataFrame(rows)
+
+
 # --- perceptual image hashing (pHash) -----------------------------------------
 #
 # The image analogue of simhash: a 64-bit DCT-based perceptual hash

@@ -665,11 +665,17 @@ def unigram_surprisal(
 
 
 def ngram_char_stats(text: str) -> dict:
-    """Gopher A1.1 repetition complement: characters covered by the MOST
-    FREQUENT word {2,3,4}-gram and by DUPLICATED 6-grams, as integer
-    numerators over the doc's total word characters (ratios are the
-    caller's two-identical-ints division — no float thresholds inside).
-    Gram char counts exclude the joining spaces."""
+    """Gopher-A1.1-style repetition complement: for each word {2,3,4}-gram
+    size, the MAX over grams of (occurrences x gram chars) — i.e. the
+    largest character mass any single repeated gram accounts for (this can
+    pick a longer, less frequent gram over the most frequent one; the SQL
+    twin computes the identical max, and the deviation from Rae et al.'s
+    literal "most frequent n-gram" wording is deliberate: it needs no tie
+    rule and upper-bounds the Gopher statistic) — plus characters covered
+    by DUPLICATED 6-grams. All integer numerators over the doc's total
+    word characters (ratios are the caller's two-identical-ints division —
+    no float thresholds inside). Gram char counts exclude the joining
+    spaces."""
     from collections import Counter
 
     words = _WORD_RE.findall((text or "").lower())

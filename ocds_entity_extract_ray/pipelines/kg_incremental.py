@@ -171,18 +171,56 @@ def kg_init(
     }
 
 
-def _delta_id(delta_path: str, config: dict) -> str:
-    """Content-addressed id of one delta application: the delta input's
-    file fingerprint (names + sizes + mtime_ns) plus the output-shaping
-    config. Re-running kg_update with the same delta yields the same id,
-    so the journal can detect an already-applied delta instead of merging
-    its ADDITIVE accumulators a second time (which would double-count)."""
+def _file_content_digest(path: str, *, head: int = 4096, tail: int = 1 << 20) -> str:
+    """Cheap content digest of one data file: sha256 over (size, first
+    ``head`` bytes, last ``tail`` bytes). For Parquet the tail window
+    covers the ENTIRE footer (schema, row-group offsets, column
+    statistics) plus the trailing data pages, so any in-place data edit
+    changes the digest — while a byte-identical re-copy (fresh mtime)
+    does not. Reads at most head+tail bytes per file, never the body."""
     import hashlib
 
-    from ..state.manifest import input_fingerprint
+    size = os.path.getsize(path)
+    h = hashlib.sha256(str(size).encode())
+    with open(path, "rb") as fh:
+        h.update(fh.read(head))
+        if size > head:
+            fh.seek(max(head, size - tail))
+            h.update(fh.read(tail))
+    return h.hexdigest()
 
-    fp = input_fingerprint(delta_path, config)
-    blob = json.dumps(fp, sort_keys=True, default=str).encode("utf-8")
+
+def _delta_id(delta_path: str, config: dict) -> str:
+    """Content-addressed id of one delta application: the delta input's
+    file CONTENT fingerprint (relative names + sizes + head/footer
+    digests — deliberately NOT mtime, so a byte-identical re-staged copy
+    of an applied delta is still detected as already_applied instead of
+    double-counting the additive accumulators, and an in-place content
+    change is recomputed rather than wrongly skipped) plus the
+    output-shaping config. Re-running kg_update with the same delta bytes
+    yields the same id."""
+    import hashlib
+
+    from ..state.manifest import config_digest
+
+    entries = []
+    if os.path.isfile(delta_path):
+        entries.append(
+            (os.path.basename(delta_path), _file_content_digest(delta_path))
+        )
+    else:
+        for root, _dirs, files in os.walk(delta_path):
+            for f in sorted(files):
+                if f.startswith("_") or f.startswith("."):
+                    continue
+                full = os.path.join(root, f)
+                entries.append(
+                    (os.path.relpath(full, delta_path), _file_content_digest(full))
+                )
+    entries.sort()
+    blob = json.dumps(
+        {"files": entries, "config": config_digest(config)}, sort_keys=True
+    ).encode("utf-8")
     return hashlib.sha256(blob).hexdigest()[:32]
 
 

@@ -3099,9 +3099,9 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
 
 Q_RUNNING_TOTAL_SQL = """
 SELECT o_orderkey, o_custkey,
-       SUM(ROUND(o_totalprice * 100, 0)::BIGINT) OVER (
+       (SUM(ROUND(o_totalprice * 100, 0)::BIGINT) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-       ) AS running_cents
+       ))::BIGINT AS running_cents
 FROM orders
 """
 
@@ -3202,7 +3202,7 @@ def q_supplier_rank(sf_dir: str) -> pd.DataFrame:
 
 
 Q_SUPPLIER_RANK_SQL = """
-SELECT s_suppkey, s_nationkey,
+SELECT s_suppkey::BIGINT AS s_suppkey, s_nationkey::BIGINT AS s_nationkey,
        DENSE_RANK() OVER (
          PARTITION BY s_nationkey
          ORDER BY ROUND(s_acctbal * 100, 0)::BIGINT DESC
@@ -3267,7 +3267,7 @@ Q_ROLLUP_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(o_orderstatus, 'ALL') AS status,
        COUNT(*)::BIGINT AS n_orders,
-       SUM(ROUND(o_totalprice * 100, 0)::BIGINT) AS sum_cents
+       SUM(ROUND(o_totalprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 ORDER BY priority, status
@@ -3550,7 +3550,7 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
 
 Q_LABEL_CENTROIDS_SQL = """
 SELECT label, i AS dim,
-       SUM(ROUND(embedding[i + 1]::DOUBLE * 1e6, 0)::BIGINT) AS sum_q,
+       SUM(ROUND(embedding[i + 1]::DOUBLE * 1e6, 0)::BIGINT)::BIGINT AS sum_q,
        COUNT(*)::BIGINT AS n
 FROM embeddings, range(64) t(i)
 GROUP BY label, i ORDER BY label, dim
@@ -3827,10 +3827,10 @@ def q_moving_sum(sf_dir: str) -> pd.DataFrame:
 
 Q_MOVING_SUM_SQL = """
 SELECT o_orderkey, o_custkey,
-       SUM(ROUND(o_totalprice * 100, 0)::BIGINT) OVER (
+       (SUM(ROUND(o_totalprice * 100, 0)::BIGINT) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
-       ) AS moving_cents
+       ))::BIGINT AS moving_cents
 FROM orders
 """
 
@@ -4524,6 +4524,11 @@ def q_pii_redaction(sf_dir: str) -> pd.DataFrame:
         cust.map_batches(contact, batch_format="pandas"), "text", out_col="redacted"
     ).to_pandas()
     out = out[["c_custkey", "redacted", "n_emails", "n_phones", "n_ips"]]
+    # synthetic contact text is never NULL, so the nullable Int64 counts
+    # (NULL-propagation support in redact_frame) normalize to plain int64
+    # — the oracle's ::BIGINT comes back as int64, dtype-strict
+    for c in ("n_emails", "n_phones", "n_ips"):
+        out[c] = out[c].astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -6376,7 +6381,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM scored WHERE score > 0)
-SELECT query_id, rank::BIGINT AS rank, doc_id, score
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
@@ -6418,12 +6423,114 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
 ROWS_ONLY_QUERIES["q_bpe_merges"] = q_bpe_merges
 
 
+# --- media near-dup dedup (image / audio / video) ----------------------------
+#
+# Rows-only by construction: the inputs are binary media payloads (no
+# media table exists in the sf dirs, and pHash / spectral landmarks are
+# not SQL-expressible), so the driver records the rows-only check while
+# the GROUND TRUTH is pinned twice — the planted-pair recall/precision
+# assertions below (each query raises if the engine misses a planted
+# duplicate or pairs unrelated items) and the robustness pytests
+# (test_ops.py phash/audio/video suites).
+
+
+def _media_dups_ds(modality: str, sf_dir: str) -> ray.data.Dataset:
+    """Deterministic planted-dup media table scaled to this sf,
+    materialized to parquet ONCE (/tmp cache keyed by modality+size) and
+    read back, so the dedup stage consumes a storage-resident
+    binary-payload table the way a real crawl run would."""
+    import re as _re
+
+    from ..ops.multimodal import synthetic_media_dups
+
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir or "")))
+    try:
+        sf = float(m.group(1)) if m else 0.001
+    except ValueError:
+        sf = 0.001
+    # multiple of 4 so row count n + ceil(n/4) inverts exactly to n*4//5
+    n_groups = max(12, (int(1200 * sf) // 4) * 4)
+    path = f"/tmp/ocds_ray_corpus/media_{modality}_{n_groups}"
+    fname = os.path.join(path, "part-0.parquet")
+    if not os.path.exists(fname):
+        os.makedirs(path, exist_ok=True)
+        tmp = fname + ".tmp"
+        synthetic_media_dups(modality, n_groups=n_groups).to_parquet(tmp)
+        os.replace(tmp, fname)  # atomic: readers never see a half-write
+    return ray.data.read_parquet(fname)
+
+
+def _check_planted_pairs(out: pd.DataFrame, n_groups: int, what: str) -> pd.DataFrame:
+    """Planted-truth gate shared by the media trio: every (2g, 2g+1)
+    duplicate must be reported and nothing may pair across groups."""
+    got = set(zip(out["id_a"], out["id_b"]))
+    planted = {(2 * g, 2 * g + 1) for g in range(0, n_groups, 4)}
+    missed = planted - got
+    false = {(a, b) for a, b in got if (a // 2) != (b // 2)}
+    if missed or false:
+        raise AssertionError(
+            f"{what}: planted-dup ground truth violated "
+            f"(missed={sorted(missed)[:5]}, false={sorted(false)[:5]})"
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_image_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate images by 64-bit perceptual hash
+    (ops/multimodal.py:phash_dup_pairs): actor-pool BMP/JPEG decode +
+    pHash, then the chunk-pigeonhole Hamming engine shared with text
+    simhash — pixels never shuffle, only (chunk, id, 8-B hash) rows.
+    Planted truth: every 4th image has a JPEG-q85 re-encoded copy."""
+    from ..ops.multimodal import phash_dup_pairs
+
+    media = _media_dups_ds("image", sf_dir)
+    n_groups = (media.count() * 4) // 5  # n_groups + ceil(n_groups/4) rows
+    out = phash_dup_pairs(media, decode="real", concurrency=4).to_pandas()
+    return _check_planted_pairs(out, n_groups, "q_image_dup_pairs")
+
+
+def q_audio_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate audio by spectral-landmark fingerprints
+    (ops/multimodal.py:audio_dup_pairs): actor-pool WAV decode + rfft
+    landmarks, then the shared overlap-count engine — clips sharing >= 16
+    landmarks pair. Planted truth: every 4th clip has a half-amplitude
+    copy (landmarks are amplitude-invariant)."""
+    from ..ops.multimodal import audio_dup_pairs
+
+    media = _media_dups_ds("audio", sf_dir)
+    n_groups = (media.count() * 4) // 5
+    out = audio_dup_pairs(media, decode="real", concurrency=4).to_pandas()
+    return _check_planted_pairs(out, n_groups, "q_audio_dup_pairs")
+
+
+def q_video_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate videos by per-frame pHash overlap
+    (ops/multimodal.py:video_dup_pairs): actor-pool RAWV frame decode,
+    pHash every frame, shared overlap-count engine — trimmed copies still
+    pair because frame hashes are position-independent keys. Planted
+    truth: every 4th clip has a first-two-frames-trimmed copy."""
+    from ..ops.multimodal import video_dup_pairs
+
+    media = _media_dups_ds("video", sf_dir)
+    n_groups = (media.count() * 4) // 5
+    out = video_dup_pairs(
+        media, decode="real", min_shared=3, frame_stride=1, concurrency=4
+    ).to_pandas()
+    return _check_planted_pairs(out, n_groups, "q_video_dup_pairs")
+
+
+ROWS_ONLY_QUERIES["q_image_dup_pairs"] = q_image_dup_pairs
+ROWS_ONLY_QUERIES["q_audio_dup_pairs"] = q_audio_dup_pairs
+ROWS_ONLY_QUERIES["q_video_dup_pairs"] = q_video_dup_pairs
+
+
 def q_ngram_char_fracs(sf_dir: str) -> pd.DataFrame:
-    """Gopher repetition signals beyond dup_gram_frac: per doc, the char
-    fraction covered by the most frequent word {2,3,4}-gram and by
-    duplicated 6-grams (ops/textstats.py:ngram_char_stats). Map-only,
-    zero shuffle; ratios divide identical int64 operands in both
-    engines."""
+    """Gopher repetition signals beyond dup_gram_frac: per doc, the max
+    char mass any single repeated word {2,3,4}-gram accounts for and the
+    chars covered by duplicated 6-grams (ops/textstats.py:
+    ngram_char_stats — see its docstring for the deliberate deviation
+    from Rae et al.'s "most frequent" wording). Map-only, zero shuffle;
+    ratios divide identical int64 operands in both engines."""
     from ..ops.textstats import add_ngram_char_stats
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])

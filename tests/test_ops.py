@@ -967,6 +967,77 @@ def test_kg_delta_id_tracks_product_values():
         assert id1 == id3
 
 
+def test_kg_delta_id_is_content_keyed():
+    """The journal id must key on delta CONTENT, not mtime (ADVICE r04):
+    a byte-identical re-staged copy (fresh mtime) must map to the SAME id
+    (already_applied, no double merge of the additive accumulators), and
+    an in-place content edit preserving name+size+mtime must map to a NEW
+    id (recompute, never wrongly skipped)."""
+    import os
+    import tempfile
+
+    from ocds_entity_extract_ray.pipelines.kg_incremental import _delta_id
+
+    cfg = {"num_buckets": 8, "source": "pages"}
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.parquet")
+        with open(p, "wb") as fh:
+            fh.write(b"PAYLOAD-A")
+        id1 = _delta_id(d, cfg)
+
+        # re-copy the same bytes -> new mtime, same content, same id
+        st = os.stat(p)
+        with open(p, "wb") as fh:
+            fh.write(b"PAYLOAD-A")
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+        assert _delta_id(d, cfg) == id1
+
+        # in-place same-size edit with the ORIGINAL mtime restored -> new id
+        with open(p, "wb") as fh:
+            fh.write(b"PAYLOAD-B")
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+        assert _delta_id(d, cfg) != id1
+
+
+def test_decoders_reject_hostile_dimensions():
+    """decode_jpeg / decode_png must refuse a header-declared frame larger
+    than MAX_DECODE_PIXELS BEFORE allocating planes (ADVICE r04: a
+    few-hundred-byte crawl payload declaring 65535x65535 would otherwise
+    OOM-kill the decode actor)."""
+    import struct
+
+    from ocds_entity_extract_ray.ops.codecs import _PNG_SIG, decode_png
+    from ocds_entity_extract_ray.ops.jpeg import decode_jpeg
+
+    sof = struct.pack(">HBHHB", 2 + 6 + 3, 8, 65535, 65535, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    evil_jpeg = b"\xff\xd8\xff\xc0" + sof
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_jpeg(evil_jpeg)
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    evil_png = (
+        _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_png(evil_png)
+
+
+def test_broadcast_hash_join_rejects_right_and_outer(ray_session):
+    """A per-block broadcast join would re-emit the small side's unmatched
+    rows once PER BLOCK for right/full outer — both batch formats must
+    refuse loudly (ADVICE r04)."""
+    from ocds_entity_extract_ray.ops.joins import broadcast_hash_join
+
+    big = ray.data.from_pandas(pd.DataFrame({"k": [1, 2]}))
+    small = pd.DataFrame({"k": [1, 3], "v": ["a", "b"]})
+    for how in ("right", "outer"):
+        for fmt in ("pandas", "pyarrow"):
+            with pytest.raises(ValueError, match="broadcast"):
+                broadcast_hash_join(big, small, "k", how=how, batch_format=fmt)
+
+
 def test_multimodal_real_jpeg_path(ray_session):
     """decode='real' featurize + resize now cover baseline JPEG payloads
     end to end (VERDICT r03 missing #1): features are histogram densities

@@ -2,8 +2,18 @@
 `oracle_sql()` twin over the same parquet tables and compare values exactly.
 
 Mirrors the driver's compare: columns sorted by name, rows sorted by all
-columns, exact (bitwise for floats) value equality.  Rows-only entries (no
-oracle) are executed and checked for >=0 rows and a stable schema.
+columns, exact (bitwise for floats) value equality — and DTYPE-STRICT:
+the oracle twin must come back from DuckDB with the engine's exact pandas
+dtype (int64 vs int32 vs float64 vs Int64 all fail loudly).  The round-4
+escape (engine int64 vs DuckDB SUM(BIGINT)->HUGEINT->float64, 9 queries)
+shipped because this sweep used to coerce every int dtype to int64 and
+upcast int-vs-float to float64 before comparing; those normalizations are
+deliberately gone — ::BIGINT every SUM/window/iterative aggregate in the
+twin instead (see COVERAGE.md's dtype-discipline note).  Only two
+representation-level normalizations remain: datetimes unified to us
+resolution (parquet/DuckDB fetch units differ, values compared exactly)
+and object columns stringified.  Rows-only entries (no oracle) are
+executed and checked for >=0 rows and a stable schema.
 
 Usage:  python tools/sweep_oracle.py [sf_dir] [--only q1,q2] [--skip qX]
 """
@@ -45,10 +55,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
+        elif df[c].dtype == object or isinstance(df[c].dtype, pd.StringDtype):
+            # object vs pandas-string is a representation difference for
+            # the same VARCHAR values (driver-green either way) — unify
             df[c] = df[c].astype(str)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
     if len(df):
         df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -60,9 +70,11 @@ def _compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if len(a) != len(b):
         return f"row count mismatch: ray={len(a)} sql={len(b)}"
     for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            return f"dtype mismatch col={c}: ray={a[c].dtype} sql={b[c].dtype}"
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            ok = np.array_equal(av.astype("float64"), bv.astype("float64"), equal_nan=True)
+        if av.dtype.kind == "f":
+            ok = np.array_equal(av, bv, equal_nan=True)
         else:
             ok = np.array_equal(av, bv)
         if not ok:
