@@ -23,6 +23,10 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+# process-wide default for bucketed_map_groups' tagging stage (callers can
+# override per site); "pandas" unless measurement says otherwise
+DEFAULT_TAG_FORMAT = "pandas"
+
 _AGG_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "size"}
 # how a partial column re-combines in the final stage
 _RECOMBINE = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
@@ -32,6 +36,24 @@ def _bucket_series(s: pd.Series, num_buckets: int) -> np.ndarray:
     if pd.api.types.is_integer_dtype(s):
         return (s.to_numpy().astype(np.int64) % num_buckets).astype(np.int32)
     return s.astype(str).map(lambda v: zlib.crc32(v.encode())).to_numpy().astype(np.int64) % num_buckets
+
+
+def _bucket_arrow_column(col, num_buckets: int) -> np.ndarray:
+    """Bucket ids for one Arrow column — int keys vectorize (modulo on the
+    zero-copy numpy view); other types fall back to the same deterministic
+    crc32 as the pandas path. Bucket ids only steer CO-LOCATION (every row
+    of a key lands in exactly one bucket, which any deterministic hash
+    guarantees), so pandas-vs-arrow string-repr differences for exotic key
+    types cannot change results."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return (v % num_buckets).astype(np.int32)
+    b = np.array(
+        [zlib.crc32(str(x).encode()) for x in col.to_pylist()], dtype=np.int64
+    )
+    return (b % num_buckets).astype(np.int32)
 
 
 def grouped_agg(
@@ -124,6 +146,7 @@ def bucketed_map_groups(
     num_buckets: int = 64,
     drop_bucket: bool = True,
     empty_result: pd.DataFrame | None = None,
+    tag_format: str | None = None,
 ) -> ray.data.Dataset:
     """Hash-bucketed alternative to ``groupby(key).map_groups``: ONE sort
     shuffle on a small int key and one Python call per BUCKET (not per key).
@@ -138,6 +161,19 @@ def bucketed_map_groups(
     (those trigger Ray's "RefBundle with a different schema" warning and
     can confuse downstream schema inference)."""
 
+    import pyarrow as pa
+
+    def add_bucket_arrow(batch: pa.Table) -> pa.Table:
+        # Arrow-side tagging (``tag_format="pyarrow"``, for callers whose
+        # UPSTREAM stage already emits Arrow blocks): the blocks stay
+        # zero-copy into the sort exchange instead of round-tripping
+        # through pandas. Callers with pandas-upstream stages should keep
+        # the pandas default — forcing Arrow there ADDS a conversion.
+        return batch.append_column(
+            "_bucket",
+            pa.array(_bucket_arrow_column(batch[key_col], num_buckets), pa.int32()),
+        )
+
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.assign(_bucket=_bucket_series(batch[key_col], num_buckets))
 
@@ -150,10 +186,14 @@ def bucketed_map_groups(
         ]
         return pd.concat(parts, ignore_index=True)
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .sort("_bucket")
-        .map_batches(run, batch_size=None, batch_format="pandas")
+    if (tag_format or DEFAULT_TAG_FORMAT) == "pyarrow":
+        tagged = ds.map_batches(
+            add_bucket_arrow, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        tagged = ds.map_batches(add_bucket, batch_format="pandas")
+    return tagged.sort("_bucket").map_batches(
+        run, batch_size=None, batch_format="pandas"
     )
 
 
