@@ -37,6 +37,8 @@ def sniff(payload: bytes) -> str | None:
         return "png"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -304,7 +306,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if kind == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"compressed image codec ({kind or 'unknown'}) not supported — "
-        "BMP/PPM/PNG/baseline-JPEG decode natively in this build"
+        "BMP/PPM/PNG/JPEG/GIF decode natively in this build"
     )

@@ -1038,6 +1038,85 @@ def test_broadcast_hash_join_rejects_right_and_outer(ray_session):
                 broadcast_hash_join(big, small, "k", how=how, batch_format=fmt)
 
 
+def test_gif_roundtrip_and_wire_fixture():
+    """GIF codec (ops/gif.py): lossless round-trips across the LZW width
+    growth, dictionary-fill/CLEAR and interlace paths, plus a HAND-BUILT
+    wire fixture (bits derived below) so a symmetrically-wrong
+    encoder/decoder pair cannot round-trip its way past the suite."""
+    from ocds_entity_extract_ray.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(0)
+    for shape, ncolors, il in [
+        ((13, 17), 7, False),   # width grows 4->5 bits mid-stream
+        ((64, 64), 250, False), # near-full palette, growth to 9+ bits
+        ((33, 40), 200, True),  # interlaced row reassembly
+        ((1, 1), 1, False),     # degenerate 1-pixel / 1-color
+        ((200, 300), 256, False),  # dictionary fills -> CLEAR reset
+    ]:
+        pal = rng.randint(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncolors, size=shape)]
+        dec = decode_gif(encode_gif(img, interlace=il))
+        assert np.array_equal(dec, img), (shape, ncolors, il)
+    # long runs -> deep LZW chains
+    yy, xx = np.mgrid[0:100, 0:100]
+    grad = np.stack([(xx // 2).astype(np.uint8)] * 3, axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(grad)), grad)
+
+    # Hand-built fixture: 3x1, palette [black, white], pixels [1, 1, 0].
+    # mcs=2 -> clear=4, eoi=5, start width 3. Codes: CLEAR(4) 1 1 0 EOI(5).
+    # Decoder adds from the 2nd data code: after '1','1' next=7; after '0'
+    # next=8 == 2^3 -> EOI is read at 4 bits (the no-early-change rule).
+    # LSB-first packing: 4|1<<3|1<<6 = 0x4C; then 0(3b)|5<<4? -> second
+    # byte: bit0 = leftover 9th bit (0), bits1-3 = code 0, bits4-7 =
+    # code 5 -> 0x50. Data = 4C 50, framed as one 2-byte sub-block.
+    wire = bytes.fromhex(
+        "474946383961"            # "GIF89a"
+        "0300" "0100" "80" "00" "00"  # LSD: w=3 h=1 GCT(2 entries) bg=0 ar=0
+        "000000" "ffffff"         # palette: black, white
+        "2c" "0000" "0000" "0300" "0100" "00"  # image desc, no interlace
+        "02"                      # LZW min code size
+        "02" "4c50" "00"          # sub-block(2 bytes: 4C 50) + terminator
+        "3b"                      # trailer
+    )
+    expected = np.array([[[255, 255, 255], [255, 255, 255], [0, 0, 0]]], np.uint8)
+    assert np.array_equal(decode_gif(wire), expected)
+    # and the encoder reproduces the fixture byte for byte
+    assert encode_gif(expected) == wire
+
+
+def test_gif_extensions_hostile_dims_and_seam():
+    """Extension blocks are skipped, header-declared giant frames are
+    rejected before allocation, and GIF payloads flow through the shared
+    decode_image seam (the decode='real' multimodal path)."""
+    import struct
+
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.codecs import decode_image, sniff
+    from ocds_entity_extract_ray.ops.gif import decode_gif, encode_gif
+
+    img = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [1, 2, 3]]], np.uint8)
+    payload = encode_gif(img)
+    # splice a graphic-control extension between LSD+GCT and the image
+    # descriptor (13-byte header + 3 bytes per GCT entry)
+    desc_at = 13 + 3 * (2 << (payload[10] & 7))
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = payload[:desc_at] + ext + payload[desc_at:]
+    assert np.array_equal(decode_gif(spliced), img)
+
+    assert sniff(payload) == "gif"
+    assert np.array_equal(decode_image(payload), img)
+
+    evil = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0) + bytes(6)
+    evil += b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    with _pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_gif(evil)
+
+    with _pytest.raises(ValueError, match="unique colors"):
+        rng = np.random.RandomState(3)
+        encode_gif(rng.randint(0, 256, size=(40, 40, 3), dtype=np.uint8))
+
+
 def test_multimodal_real_jpeg_path(ray_session):
     """decode='real' featurize + resize now cover baseline JPEG payloads
     end to end (VERDICT r03 missing #1): features are histogram densities
