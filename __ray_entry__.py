@@ -32,8 +32,9 @@ def _sf_of(sf_dir: str) -> float:
 
 def _corpus(n: int) -> str:
     from ocds_entity_extract_ray.sources.readers import generate_pages
+    from ocds_entity_extract_ray.state.paths import scratch_path
 
-    out = f"/tmp/ocds_ray_corpus/pages_{n}"
+    out = scratch_path(f"pages_{n}")
     return generate_pages(out, n, shard_rows=max(200, n // 64))
 
 
@@ -77,7 +78,9 @@ def _kg_triples_from_records(sf_dir: str):
     from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
 
     n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
-    rec_dir = generate_records(f"/tmp/ocds_ray_corpus/records_{n}", n, shard_rows=max(200, n // 64))
+    from ocds_entity_extract_ray.state.paths import scratch_path
+
+    rec_dir = generate_records(scratch_path(f"records_{n}"), n, shard_rows=max(200, n // 64))
     clist, pidx = _kg_inputs()
     entities = build_entities(read_records(rec_dir), clist, pidx, num_buckets=64)
     return materialize_triples(entities)
@@ -243,12 +246,14 @@ def _kg_incremental_triples(sf_dir: str):
     n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
     # finer shards than the shared corpus so the init/delta file split is
     # non-degenerate even at the smallest scale
+    from ocds_entity_extract_ray.state.paths import scratch_path
+
     pages_dir = generate_pages(
-        f"/tmp/ocds_ray_corpus/pages_fine_{n}", n, shard_rows=max(25, n // 16)
+        scratch_path(f"pages_fine_{n}"), n, shard_rows=max(25, n // 16)
     )
     clist, pidx = _kg_inputs()
 
-    base = f"/tmp/ocds_ray_corpus/inc_{n}"
+    base = scratch_path(f"inc_{n}")
     init_dir, delta_dir = base + "/init", base + "/delta"
     store, out = base + "/store", base + "/out"
     for d in (init_dir, delta_dir, store, out):
@@ -639,7 +644,9 @@ def _kg_partition_lineage(sf_dir: str):
     n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
     pages_dir = _corpus(n)
     clist, pidx = _kg_inputs()
-    out_dir = f"/tmp/ocds_ray_corpus/lineage_{n}"
+    from ocds_entity_extract_ray.state.paths import scratch_path
+
+    out_dir = scratch_path(f"lineage_{n}")
     shutil.rmtree(out_dir, ignore_errors=True)
     run_kg(pages_dir, out_dir, clist, pidx, num_buckets=32, resume=False)
 

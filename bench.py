@@ -149,7 +149,8 @@ def run_bench() -> dict:
 
     sf = _sf_of(SF_DIR)
     n_docs = max(500, int(CORPUS_DOCS_PER_SF * sf))
-    pages_dir = f"/tmp/ocds_ray_corpus/pages_{n_docs}"
+    from ocds_entity_extract_ray.state.paths import scratch_path, storage_root
+    pages_dir = scratch_path(f"pages_{n_docs}")
     generate_pages(pages_dir, n_docs, shard_rows=max(500, n_docs // 128))
 
     # warm-up, untimed: (a) pull the input into the OS page cache with plain
@@ -163,13 +164,13 @@ def run_bench() -> dict:
                     while fh.read(1 << 22):
                         pass
     clist = build_classifier_list_from_text([classifier_csv()])
-    warm_dir = generate_pages("/tmp/ocds_ray_corpus/pages_500", 500, shard_rows=125)
-    shutil.rmtree("/tmp/ocds_ray_warm_out", ignore_errors=True)
-    run_kg(warm_dir, "/tmp/ocds_ray_warm_out", clist, product_index(), num_buckets=32, resume=False)
+    warm_dir = generate_pages(scratch_path("pages_500"), 500, shard_rows=125)
+    shutil.rmtree(os.path.join(storage_root(), "ocds_ray_warm_out"), ignore_errors=True)
+    run_kg(warm_dir, os.path.join(storage_root(), "ocds_ray_warm_out"), clist, product_index(), num_buckets=32, resume=False)
 
     # best-of-2: co-tenant load on this box spikes intermittently (observed
     # up to 2x on a single run); report both raw runs for transparency
-    out_dir = "/tmp/ocds_ray_bench_out"
+    out_dir = os.path.join(storage_root(), "ocds_ray_bench_out")
     kg_runs = []
     for _rep in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -207,7 +208,7 @@ def run_bench() -> dict:
     # the same pipeline through the ACTOR-POOL scorer stage (the
     # north-star NER/link shape: per-actor state in __init__, pool sized
     # to the node) — measured so pool sizing claims have a number
-    actors_dir = "/tmp/ocds_ray_bench_out_actors"
+    actors_dir = os.path.join(storage_root(), "ocds_ray_bench_out_actors")
     shutil.rmtree(actors_dir, ignore_errors=True)
     t_a = time.monotonic()
     run_kg(
@@ -251,15 +252,15 @@ def run_bench() -> dict:
 
     inc_docs = max(2_000, n_docs // 4)
     inc_corpus = generate_pages(
-        f"/tmp/ocds_ray_corpus/pages_inc_{inc_docs}",
+        scratch_path(f"pages_inc_{inc_docs}"),
         inc_docs,
         shard_rows=max(500, inc_docs // 64),
     )
     shard_files = sorted(
         f for f in os.listdir(inc_corpus) if f.endswith(".parquet")
     )
-    init_dir = f"/tmp/ocds_ray_inc_init_{inc_docs}"
-    delta_dir = f"/tmp/ocds_ray_inc_delta_{inc_docs}"
+    init_dir = os.path.join(storage_root(), f"ocds_ray_inc_init_{inc_docs}")
+    delta_dir = os.path.join(storage_root(), f"ocds_ray_inc_delta_{inc_docs}")
     for d in (init_dir, delta_dir):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
@@ -274,7 +275,7 @@ def run_bench() -> dict:
         else:
             dst, init_docs = init_dir, init_docs + rows
         os.symlink(os.path.join(inc_corpus, f), os.path.join(dst, f))
-    store = "/tmp/ocds_ray_inc_store"
+    store = os.path.join(storage_root(), "ocds_ray_inc_store")
     shutil.rmtree(store, ignore_errors=True)
     # buckets scale with the corpus, not the CPU count: locality (an
     # update touches only the delta's buckets) only materializes when
@@ -292,7 +293,7 @@ def run_bench() -> dict:
     # localized delta: a SMALL crawl shard (few distinct entities) should
     # touch few buckets and update in time proportional to those buckets,
     # not the store — the bucket-locality claim with a number attached
-    local_dir = "/tmp/ocds_ray_inc_delta_local"
+    local_dir = os.path.join(storage_root(), "ocds_ray_inc_delta_local")
     shutil.rmtree(local_dir, ignore_errors=True)
     # start beyond the inc corpus: the local delta is genuinely NEW docs
     generate_pages(local_dir, 16, shard_rows=16, start=inc_docs)

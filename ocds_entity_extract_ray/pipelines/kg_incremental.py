@@ -23,6 +23,14 @@ partition):
       entities_raw/bucket=K/...  rendered entity rows per bucket (before
                                  the global snapshot-name repair)
 
+Multi-node storage contract: ``store_dir`` is an arbitrary caller path
+(pytest runs the store under tmp roots; entry points resolve theirs via
+``state/paths.py:storage_root`` / the ``GRAFT_STORAGE_ROOT`` env var).
+On a real cluster it MUST live on a shared filesystem (NFS / Lustre /
+fuse mount): the data reads/writes go through Ray's parquet IO (URI-
+capable), but the crash-safe journal + per-bucket swap below rely on
+POSIX renames, which bare object-store URIs don't provide.
+
 Update cost: extract(delta) + one bucket shuffle over DELTA-sized
 partials + a merge+render over only the buckets the delta touches —
 O(delta + touched-state), never O(corpus). The export step applies the

@@ -6448,9 +6448,11 @@ def _media_dups_ds(modality: str, sf_dir: str) -> ray.data.Dataset:
         sf = float(m.group(1)) if m else 0.001
     except ValueError:
         sf = 0.001
+    from ..state.paths import scratch_path
+
     # multiple of 4 so row count n + ceil(n/4) inverts exactly to n*4//5
     n_groups = max(12, (int(1200 * sf) // 4) * 4)
-    path = f"/tmp/ocds_ray_corpus/media_{modality}_{n_groups}"
+    path = scratch_path(f"media_{modality}_{n_groups}")
     fname = os.path.join(path, "part-0.parquet")
     if not os.path.exists(fname):
         os.makedirs(path, exist_ok=True)

@@ -558,3 +558,32 @@ def test_kg_two_hop_matches_bruteforce(ray_session):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_storage_root_env_redirects_scratch(ray_session, tmp_path, monkeypatch):
+    """GRAFT_STORAGE_ROOT (VERDICT r04 #7) must redirect every entry-point
+    scratch location — on a multi-node cluster the default /tmp root is
+    node-local and wrong for anything another node reads. Run the
+    incremental-store entry under a custom root and check (a) it works,
+    (b) ALL of its artifacts (corpus, store, export) land under the root,
+    (c) nothing new appears under the default root."""
+    import os
+
+    import __ray_entry__ as entry
+    from ocds_entity_extract_ray.state.paths import storage_root
+
+    root = str(tmp_path / "shared_fs")
+    monkeypatch.setenv("GRAFT_STORAGE_ROOT", root)
+    assert storage_root() == root
+
+    default = "/tmp/ocds_ray_corpus"
+    before = set(os.listdir(default)) if os.path.isdir(default) else set()
+
+    out = entry._kg_incremental_triples("/root/testdata/sf0.001")
+    assert out.count() > 0
+    made = set(os.listdir(root))
+    assert any(d.startswith("pages_fine_") for d in made)
+    assert any(d.startswith("inc_") for d in made)
+
+    after = set(os.listdir(default)) if os.path.isdir(default) else set()
+    assert after == before, f"scratch leaked to the default root: {after - before}"
