@@ -287,9 +287,21 @@ def kg_update(
     batch_size: int = 512,
     compute: str = "tasks",
     source: str = "pages",
+    timings: dict | None = None,
+    delta_broadcast_max_rows: int = 200_000,
 ) -> dict:
     """Merge one delta shard into the store, rewriting only the touched
-    bucket partitions.
+    bucket partitions. Pass a dict as ``timings`` to receive per-phase
+    wall times (extract/merge/stage/swap) — the small-delta overhead
+    breakdown BASELINE.md reports.
+
+    Adaptive merge: a delta whose merged state is <= ``delta_broadcast_
+    max_rows`` rows takes the LOCALIZED path — one plain Ray task per
+    touched bucket does read-old + merge + render + stage with zero
+    shuffles (the bucket is the unit of independence, so the Ray-Data
+    groupby exchange the big path uses is pure overhead here). Bigger
+    deltas keep the distributed groupby path; both paths are byte-parity
+    pinned by pytest.
 
     Crash-safe and exactly-once: the recomputed partitions are written to
     a staging directory first, a journal entry (keyed on the delta's
@@ -330,6 +342,10 @@ def kg_update(
         _cleanup_scratch(store_dir, delta_id)
         return {**entry["report"], "already_applied": True}
 
+    import time as _time
+
+    t = _time.monotonic
+    t0 = t()
     delta = _merged_states(
         _read_input(delta_path, source),
         classifier_list,
@@ -339,59 +355,79 @@ def kg_update(
         batch_size=batch_size,
         compute=compute,
     ).materialize()
+    t_extract = t()
 
     touched = sorted(int(b) for b in delta.unique("bucket"))
-    old_parts = [
-        (b, os.path.join(states_dir, f"bucket={b}"))
-        for b in touched
-        if os.path.isdir(os.path.join(states_dir, f"bucket={b}"))
-    ]
-
-    if old_parts:
-        # partition-pruned read: only the touched buckets leave storage.
-        # Ray's reader parses the hive `bucket=K` path segment back into a
-        # column (as a string — _norm casts it)
-        part_files = [
-            os.path.join(d, f)
-            for _, d in old_parts
-            for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        ]
-        if part_files:
-            old = _norm(ray.data.read_parquet(part_files))
-            combined = old.union(delta)
-        else:
-            # touched buckets exist but are empty partitions (a previous
-            # update retired their contents) — nothing old to merge
-            combined = delta
-    else:
-        combined = delta
-
-    # one materialized pass: merge + canonical column order fused (the
-    # previous merge->materialize->norm->materialize shape paid a full
-    # extra job — measurable against a small delta where fixed per-job
-    # overhead dominates). rendered stays lazy: its only consumer is the
-    # staging write below, so materializing it would store a copy no one
-    # reads.
-    merged = _norm(
-        combined.groupby("bucket").map_groups(recombine_batch, batch_format="pyarrow")
-    ).materialize()
-    rendered = _render_states(merged)
-
-    report = {
-        "delta_state_rows": delta.count(),
-        "touched_buckets": touched,
-        "merged_state_rows": merged.count(),
-    }
-
-    # stage -> journal -> swap -> mark applied
+    n_delta_rows = delta.count()
     shutil.rmtree(staging, ignore_errors=True)
-    merged.write_parquet(
-        os.path.join(staging, _STATES), partition_cols=["bucket"], mode="overwrite"
-    )
-    rendered.write_parquet(
-        os.path.join(staging, _ENTITIES_RAW), partition_cols=["bucket"], mode="overwrite"
-    )
+
+    if n_delta_rows <= delta_broadcast_max_rows:
+        # localized-delta fast path: merge + render + stage as one wave of
+        # per-bucket tasks, zero shuffles, zero Ray-Data job overhead
+        # (profiled 2.4-3.6 s -> the task wave below; see BASELINE.md).
+        # Byte-parity with the shuffle path is test-forced
+        # (tests/test_kg_pipeline.py::test_kg_update_local_path_parity).
+        merged_rows = _merge_touched_local(delta, touched, states_dir, staging)
+        t_merge = t_states_write = t_render_write = t()
+        report = {
+            "delta_state_rows": n_delta_rows,
+            "touched_buckets": touched,
+            "merged_state_rows": merged_rows,
+        }
+    else:
+        old_parts = [
+            (b, os.path.join(states_dir, f"bucket={b}"))
+            for b in touched
+            if os.path.isdir(os.path.join(states_dir, f"bucket={b}"))
+        ]
+
+        if old_parts:
+            # partition-pruned read: only the touched buckets leave storage.
+            # Ray's reader parses the hive `bucket=K` path segment back into
+            # a column (as a string — _norm casts it)
+            part_files = [
+                os.path.join(d, f)
+                for _, d in old_parts
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if part_files:
+                old = _norm(ray.data.read_parquet(part_files))
+                combined = old.union(delta)
+            else:
+                # touched buckets exist but are empty partitions (a previous
+                # update retired their contents) — nothing old to merge
+                combined = delta
+        else:
+            combined = delta
+
+        # one materialized pass: merge + canonical column order fused (the
+        # previous merge->materialize->norm->materialize shape paid a full
+        # extra job — measurable against a small delta where fixed per-job
+        # overhead dominates). rendered stays lazy: its only consumer is
+        # the staging write below, so materializing it would store a copy
+        # no one reads.
+        merged = _norm(
+            combined.groupby("bucket").map_groups(recombine_batch, batch_format="pyarrow")
+        ).materialize()
+        t_merge = t()
+        rendered = _render_states(merged)
+
+        report = {
+            "delta_state_rows": n_delta_rows,
+            "touched_buckets": touched,
+            "merged_state_rows": merged.count(),
+        }
+
+        # stage -> journal -> swap -> mark applied
+        merged.write_parquet(
+            os.path.join(staging, _STATES), partition_cols=["bucket"], mode="overwrite"
+        )
+        t_states_write = t()
+        rendered.write_parquet(
+            os.path.join(staging, _ENTITIES_RAW), partition_cols=["bucket"], mode="overwrite"
+        )
+        t_render_write = t()
     # a touched bucket whose recompute produced zero rows must still swap
     # to an EMPTY partition (its old contents are retired), so ensure a
     # staged dir exists for every touched bucket in both sub-stores
@@ -406,7 +442,86 @@ def kg_update(
         store_dir, delta_id, {"phase": "applied", "report": report}
     )
     _cleanup_scratch(store_dir, delta_id)
+    if timings is not None:
+        timings.update(
+            {
+                "path": "local" if n_delta_rows <= delta_broadcast_max_rows else "groupby",
+                "extract_shuffle": round(t_extract - t0, 3),
+                # local path: merge+render+stage fused into the task wave
+                "old_read_merge": round(t_merge - t_extract, 3),
+                "stage_states_write": round(t_states_write - t_merge, 3),
+                "stage_render_write": round(t_render_write - t_states_write, 3),
+                "swap_journal": round(t() - t_render_write, 3),
+            }
+        )
     return report
+
+
+@ray.remote(num_cpus=1)
+def _merge_one_bucket(
+    bucket: int, old_files: list, delta_tbl: pa.Table, staging: str
+) -> int:
+    """One touched bucket, end to end, in ONE task: read the bucket's old
+    state files, merge the delta's rows for it, render, and write both
+    staged partitions. No shuffle — a bucket's merge depends on nothing
+    outside the bucket. Returns the merged state row count."""
+    import pyarrow.parquet as pq
+
+    # OLD rows first, delta last — the same merge order the groupby path's
+    # old.union(delta) produces, so the serialized state blobs (whose JSON
+    # field order reflects first-writer insertion) come out byte-identical
+    parts = [pq.read_table(f, columns=["key", "state"]) for f in old_files]
+    parts.append(delta_tbl.select(["key", "state"]))
+    allt = pa.concat_tables(parts)
+    full = pa.table(
+        {
+            "bucket": pa.array([bucket] * len(allt), pa.int32()),
+            "key": allt["key"].cast(pa.string()),
+            "state": allt["state"].cast(pa.string()),
+        }
+    )
+    merged = recombine_batch(full)
+    sdir = os.path.join(staging, _STATES, f"bucket={bucket}")
+    os.makedirs(sdir, exist_ok=True)
+    pq.write_table(merged.select(["key", "state"]), os.path.join(sdir, "part-0.parquet"))
+    ents = merge_bucket(merged)  # keys unique post-merge: pure render
+    edir = os.path.join(staging, _ENTITIES_RAW, f"bucket={bucket}")
+    os.makedirs(edir, exist_ok=True)
+    pq.write_table(ents, os.path.join(edir, "part-0.parquet"))
+    return len(merged)
+
+
+def _merge_touched_local(
+    delta: ray.data.Dataset,
+    touched: list[int],
+    states_dir: str,
+    staging: str,
+) -> int:
+    """Shuffle-free merge+render+stage for a SMALL delta: one plain Ray
+    task per touched bucket (profiled: the former groupby path spent
+    1.3-1.9 s of a 2.2-3.5 s localized update in two Ray-Data shuffle
+    jobs whose input was ~50 already-co-located buckets — pure exchange
+    overhead). The delta's state rows are collected once (caller gates on
+    ``delta_broadcast_max_rows``) and each bucket's slice ships to exactly
+    one task; old bucket files are read inside the task. Returns the
+    merged state row count."""
+    delta_df = delta.to_pandas()
+    refs = []
+    for b, g in delta_df.groupby("bucket", sort=False):
+        tbl = pa.table(
+            {
+                "key": pa.array(g["key"].astype(str), pa.string()),
+                "state": pa.array(g["state"].astype(str), pa.string()),
+            }
+        )
+        d = os.path.join(states_dir, f"bucket={int(b)}")
+        old_files = (
+            [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        refs.append(_merge_one_bucket.remote(int(b), old_files, tbl, staging))
+    return int(sum(ray.get(refs)))
 
 
 def kg_export(store_dir: str, out_dir: str, *, triple_parts: int = 32) -> dict:

@@ -587,3 +587,41 @@ def test_storage_root_env_redirects_scratch(ray_session, tmp_path, monkeypatch):
 
     after = set(os.listdir(default)) if os.path.isdir(default) else set()
     assert after == before, f"scratch leaked to the default root: {after - before}"
+
+
+def test_kg_update_local_path_parity(ray_session, pages_dir, tmp_path):
+    """The localized per-bucket-task merge (delta <= delta_broadcast_max_
+    rows) must produce a store IDENTICAL in content to the distributed
+    groupby path — the repo rule for every adaptive two-path op: force
+    both branches on the same input and compare."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from ocds_entity_extract_ray.pipelines.kg_incremental import kg_init, kg_update
+
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+
+    files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    a_dir, b_dir = str(tmp_path / "pa"), str(tmp_path / "pb")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(pages_dir, f), (a_dir if i % 3 else b_dir))
+
+    def rows(store, sub):
+        t = pads.dataset(store + "/" + sub, format="parquet", partitioning="hive").to_table()
+        return sorted(map(tuple, t.to_pandas().astype(str).values.tolist()))
+
+    stores = {}
+    for name, bme in (("local", 10**9), ("groupby", 0)):
+        store = str(tmp_path / f"store_{name}")
+        kg_init(a_dir, store, clist, pidx, num_buckets=8)
+        tm = {}
+        kg_update(b_dir, store, clist, pidx, timings=tm, delta_broadcast_max_rows=bme)
+        assert tm["path"] == name
+        stores[name] = store
+
+    for sub in ("states", "entities_raw"):
+        assert rows(stores["local"], sub) == rows(stores["groupby"], sub), sub
