@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "q_top_session_paths",
     "q_revenue_share",
     "q_url_frontier_dedup",
+    # round-5 additions (compare from r05 on): the media dedup trio
+    "q_image_dup_pairs",
+    "q_audio_dup_pairs",
+    "q_video_dup_pairs",
 ]
 
 

@@ -133,6 +133,13 @@ def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
             prev = -1
             continue
         if code == eoi:
+            # `out` is np.empty: an early EOI must NOT leak uninitialized
+            # heap bytes into pixels (review finding — two decodes of the
+            # same truncated stream returned different rasters)
+            if n_out < n_pixels:
+                raise ValueError(
+                    f"gif: LZW stream ended after {n_out}/{n_pixels} pixels"
+                )
             break
         if prev < 0:  # first data code after clear: must be a root
             if code >= clear:
@@ -159,6 +166,8 @@ def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
             if next_code == (1 << width) and width < 12:
                 width += 1
         prev = code
+    if n_out < n_pixels:
+        raise ValueError(f"gif: LZW stream ended after {n_out}/{n_pixels} pixels")
     return out
 
 
@@ -263,7 +272,16 @@ def encode_gif(rgb: np.ndarray, *, interlace: bool = False) -> bytes:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes -> (h, w, 3) uint8 RGB of the FIRST image."""
+    """GIF bytes -> (h, w, 3) uint8 RGB of the FIRST image. Malformed or
+    TRUNCATED payloads raise ValueError (the codec-wide contract callers
+    catch to skip bad crawl items), never raw IndexError/struct.error."""
+    try:
+        return _decode_gif(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"gif: truncated or malformed payload ({e})") from e
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)

@@ -179,53 +179,57 @@ def kg_init(
     }
 
 
-def _file_content_digest(path: str, *, head: int = 4096, tail: int = 1 << 20) -> str:
-    """Cheap content digest of one data file: sha256 over (size, first
-    ``head`` bytes, last ``tail`` bytes). For Parquet the tail window
-    covers the ENTIRE footer (schema, row-group offsets, column
-    statistics) plus the trailing data pages, so any in-place data edit
-    changes the digest — while a byte-identical re-copy (fresh mtime)
-    does not. Reads at most head+tail bytes per file, never the body."""
+# files up to this size are hashed IN FULL (sha256 streams ~1 GB/s, and a
+# delta's bytes are read in their entirety by the merge anyway); larger
+# files fall back to a sampled digest — see _file_content_digest
+_FULL_HASH_MAX = 256 << 20
+
+
+def _file_content_digest(path: str) -> str:
+    """Content digest of one data file. Files <= ``_FULL_HASH_MAX`` get a
+    FULL sha256 — no blind spots. Larger files get sha256 over (size,
+    4 KiB head, 1 MiB tail, 16 evenly-spaced 1 MiB body chunks): the tail
+    covers a Parquet footer (schema, row-group offsets, column stats) and
+    the strided body chunks catch bulk edits, but a surgical same-size
+    edit confined to an unsampled window of a >256 MiB file WOULD evade
+    it — the documented residual of keeping journal-id computation O(MBs)
+    on multi-GB deltas."""
     import hashlib
 
     size = os.path.getsize(path)
     h = hashlib.sha256(str(size).encode())
     with open(path, "rb") as fh:
-        h.update(fh.read(head))
-        if size > head:
-            fh.seek(max(head, size - tail))
-            h.update(fh.read(tail))
+        if size <= _FULL_HASH_MAX:
+            for chunk in iter(lambda: fh.read(1 << 22), b""):
+                h.update(chunk)
+            return h.hexdigest()
+        h.update(fh.read(4096))
+        step = 1 << 20
+        for i in range(16):
+            fh.seek(4096 + (i + 1) * (size - 4096 - step) // 17)
+            h.update(fh.read(step))
+        fh.seek(size - step)
+        h.update(fh.read(step))
     return h.hexdigest()
 
 
 def _delta_id(delta_path: str, config: dict) -> str:
     """Content-addressed id of one delta application: the delta input's
-    file CONTENT fingerprint (relative names + sizes + head/footer
-    digests — deliberately NOT mtime, so a byte-identical re-staged copy
-    of an applied delta is still detected as already_applied instead of
+    file CONTENT fingerprint (relative names + content digests —
+    deliberately NOT mtime, so a byte-identical re-staged copy of an
+    applied delta is still detected as already_applied instead of
     double-counting the additive accumulators, and an in-place content
     change is recomputed rather than wrongly skipped) plus the
     output-shaping config. Re-running kg_update with the same delta bytes
-    yields the same id."""
+    yields the same id. The file set comes from the SAME helper the
+    resume manifests use (state/manifest.py:data_files)."""
     import hashlib
 
-    from ..state.manifest import config_digest
+    from ..state.manifest import config_digest, data_files
 
-    entries = []
-    if os.path.isfile(delta_path):
-        entries.append(
-            (os.path.basename(delta_path), _file_content_digest(delta_path))
-        )
-    else:
-        for root, _dirs, files in os.walk(delta_path):
-            for f in sorted(files):
-                if f.startswith("_") or f.startswith("."):
-                    continue
-                full = os.path.join(root, f)
-                entries.append(
-                    (os.path.relpath(full, delta_path), _file_content_digest(full))
-                )
-    entries.sort()
+    entries = [
+        (rel, _file_content_digest(full)) for full, rel in data_files(delta_path)
+    ]
     blob = json.dumps(
         {"files": entries, "config": config_digest(config)}, sort_keys=True
     ).encode("utf-8")
@@ -295,13 +299,15 @@ def kg_update(
     wall times (extract/merge/stage/swap) — the small-delta overhead
     breakdown BASELINE.md reports.
 
-    Adaptive merge: a delta whose merged state is <= ``delta_broadcast_
-    max_rows`` rows takes the LOCALIZED path — one plain Ray task per
-    touched bucket does read-old + merge + render + stage with zero
-    shuffles (the bucket is the unit of independence, so the Ray-Data
-    groupby exchange the big path uses is pure overhead here). Bigger
-    deltas keep the distributed groupby path; both paths are byte-parity
-    pinned by pytest.
+    Adaptive merge: a delta whose OWN merged state rows (the DELTA's, not
+    delta+old — a tiny delta touching fat buckets still qualifies, and
+    each task then loads its whole bucket) number <=
+    ``delta_broadcast_max_rows`` takes the LOCALIZED path — one plain Ray
+    task per touched bucket does read-old + merge + render + stage with
+    zero shuffles (the bucket is the unit of independence, so the
+    Ray-Data groupby exchange the big path uses is pure overhead here).
+    Bigger deltas keep the distributed groupby path; both paths are
+    byte-parity pinned by pytest.
 
     Crash-safe and exactly-once: the recomputed partitions are written to
     a staging directory first, a journal entry (keyed on the delta's
@@ -340,6 +346,8 @@ def kg_update(
             _swap_staged(store_dir, delta_id, entry["report"]["touched_buckets"])
             _write_journal(store_dir, delta_id, {**entry, "phase": "applied"})
         _cleanup_scratch(store_dir, delta_id)
+        if timings is not None:
+            timings["path"] = "already_applied"
         return {**entry["report"], "already_applied": True}
 
     import time as _time

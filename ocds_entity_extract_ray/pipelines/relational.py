@@ -6455,8 +6455,13 @@ def _media_dups_ds(modality: str, sf_dir: str) -> ray.data.Dataset:
     path = scratch_path(f"media_{modality}_{n_groups}")
     fname = os.path.join(path, "part-0.parquet")
     if not os.path.exists(fname):
+        import uuid as _uuid
+
         os.makedirs(path, exist_ok=True)
-        tmp = fname + ".tmp"
+        # UNIQUE tmp name: two concurrent builders (sweep + bench at the
+        # same sf) must never interleave writes into one tmp file — each
+        # writes its own and the os.replace publishes are both-complete
+        tmp = os.path.join(path, f".part-0.{os.getpid()}.{_uuid.uuid4().hex}.tmp")
         synthetic_media_dups(modality, n_groups=n_groups).to_parquet(tmp)
         os.replace(tmp, fname)  # atomic: readers never see a half-write
     return ray.data.read_parquet(fname)

@@ -38,20 +38,30 @@ def _stat_entry(full: str, rel: str) -> tuple:
     return (rel, st.st_size, st.st_mtime_ns)
 
 
+def data_files(path: str) -> list[tuple[str, str]]:
+    """(full, relative) paths of the data files under ``path`` — one file
+    itself, or a recursive walk skipping ``_``/``.``-prefixed names. THE
+    shared definition of 'which files count as input': both the resume
+    fingerprint here and kg_incremental's journal id use it, so the two
+    can never disagree about what a delta contains."""
+    if os.path.isfile(path):
+        return [(path, os.path.basename(path))]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith("_") or f.startswith("."):
+                continue
+            full = os.path.join(root, f)
+            out.append((full, os.path.relpath(full, path)))
+    out.sort(key=lambda t: t[1])
+    return out
+
+
 def input_fingerprint(path: str, config: dict | None = None) -> dict:
     """Cheap, deterministic fingerprint of an input directory/file:
     relative names + sizes + mtimes of data files, plus a digest of the
     output-shaping run config."""
-    entries = []
-    if os.path.isfile(path):
-        entries.append(_stat_entry(path, os.path.basename(path)))
-    else:
-        for root, _dirs, files in os.walk(path):
-            for f in sorted(files):
-                if f.startswith("_") or f.startswith("."):
-                    continue
-                full = os.path.join(root, f)
-                entries.append(_stat_entry(full, os.path.relpath(full, path)))
+    entries = [_stat_entry(full, rel) for full, rel in data_files(path)]
     entries.sort()
     out = {"path": os.path.abspath(path), "files": entries}
     if config is not None:

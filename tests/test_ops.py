@@ -1117,6 +1117,75 @@ def test_gif_extensions_hostile_dims_and_seam():
         encode_gif(rng.randint(0, 256, size=(40, 40, 3), dtype=np.uint8))
 
 
+def test_gif_truncation_raises_valueerror_and_no_heap_leak():
+    """Every truncation of a valid GIF must raise ValueError (the codec
+    contract callers catch to skip bad crawl items) — never IndexError /
+    struct.error — and an early-EOI stream must raise rather than return
+    uninitialized heap bytes (review finding: two decodes of one
+    truncated stream returned different rasters)."""
+    from ocds_entity_extract_ray.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 16, size=(9, 11))]
+    payload = encode_gif(img)
+    for cut in range(7, len(payload) - 1):
+        try:
+            out = decode_gif(payload[:cut])
+        except ValueError:
+            continue  # the only acceptable exception class
+        # a prefix that still parses must parse CORRECTLY (the trailer
+        # byte is the only truncatable suffix)
+        assert np.array_equal(out, img), cut
+
+    # early EOI: CLEAR + one pixel + EOI for a 4-pixel raster
+    sub = payload[: payload.index(bytes([2]), 13)]  # up to min-code-size
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.gif import _BitWriter
+
+    w = _BitWriter()
+    for code, width in ((16, 5), (1, 5), (17, 5)):  # mcs=4: clear=16 eoi=17
+        w.write(code, width)
+    lzw = w.flush()
+    evil = sub + bytes([4, len(lzw)]) + lzw + b"\x00\x3b"
+    with _pytest.raises(ValueError, match="pixels|exhaust|truncated"):
+        decode_gif(evil)
+
+
+def test_bucketed_map_groups_tag_format_parity(ray_session):
+    """The opt-in tag_format='pyarrow' branch must produce the same
+    result as the pandas default on both int and string keys (the repo
+    rule for adaptive two-path ops: force both branches and compare)."""
+    from ocds_entity_extract_ray.ops.agg import bucketed_map_groups
+
+    df = pd.DataFrame(
+        {
+            "ik": np.arange(200, dtype=np.int64) % 17,
+            "sk": [f"key-{i % 13}" for i in range(200)],
+            "v": np.arange(200, dtype=np.int64),
+        }
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["ik", "sk"], as_index=False).agg(s=("v", "sum"))
+
+    outs = {}
+    for key in ("ik", "sk"):
+        for fmt in ("pandas", "pyarrow"):
+            out = (
+                bucketed_map_groups(
+                    ray.data.from_pandas(df), key, per_bucket,
+                    num_buckets=8, tag_format=fmt,
+                )
+                .to_pandas()
+                .sort_values(["ik", "sk"])
+                .reset_index(drop=True)
+            )
+            outs[(key, fmt)] = out
+        pd.testing.assert_frame_equal(outs[(key, "pandas")], outs[(key, "pyarrow")])
+
+
 def test_multimodal_real_jpeg_path(ray_session):
     """decode='real' featurize + resize now cover baseline JPEG payloads
     end to end (VERDICT r03 missing #1): features are histogram densities
