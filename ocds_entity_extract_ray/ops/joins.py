@@ -64,6 +64,54 @@ def hash_join(
     )
 
 
+def adaptive_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    join_type: str,
+    *,
+    on: tuple,
+    right_on: tuple | None = None,
+    num_partitions: int | None = None,
+    broadcast_max_rows: int = 4_000_000,
+    force_branch: str | None = None,
+) -> ray.data.Dataset:
+    """Fact->dim inner join that skips the hash-shuffle exchange when the
+    RIGHT side turns out small (the AQE broadcast-gate pattern, same shape
+    as drop_near_dup_losers' 5M gate): materialize the right side — by
+    caller contract a column-pruned dim projection — read its row count
+    from block metadata, and when it is under ``broadcast_max_rows``
+    ``ray.put`` it once and merge map-side. The big side never shuffles and
+    the join's HashShuffleAggregator actor startup (1.4-1.9 s on this box
+    even at 4 partitions, see default_join_partitions) disappears. Past the
+    bound — a fact-fact join at 100 TB — it falls back to the partitioned
+    ``hash_join`` on the already-materialized right (the materialization is
+    then the price of the gate; it spills, never sits on the driver).
+
+    Schema contract: BOTH branches emit left columns + right non-key
+    columns (the broadcast branch renames the right keys to the left key
+    names before the merge, which is exactly ``Dataset.join``'s coalesced
+    output). Non-key column names must be disjoint. ``force_branch``
+    ("broadcast" | "shuffle") pins a branch for parity tests; the
+    ``GRAFT_ADAPTIVE_JOIN`` env var does the same process-wide (A/B
+    measurement without touching call sites)."""
+    import os
+
+    force_branch = force_branch or os.environ.get("GRAFT_ADAPTIVE_JOIN") or None
+    if join_type == "inner" and force_branch != "shuffle":
+        mat = right.materialize()
+        if force_branch == "broadcast" or mat.count() <= broadcast_max_rows:
+            small = mat.to_pandas()
+            right_keys = list(right_on or on)
+            ren = {rk: lk for rk, lk in zip(right_keys, on) if rk != lk}
+            if ren:
+                small = small.rename(columns=ren)
+            return broadcast_hash_join(left, small, left_on=list(on), how="inner")
+        right = mat
+    return hash_join(
+        left, right, join_type, on=on, right_on=right_on, num_partitions=num_partitions
+    )
+
+
 _BROADCAST_CACHE: dict = {}
 _BROADCAST_CACHE_MAX = 32  # bounded: long-lived workers see many broadcasts
 

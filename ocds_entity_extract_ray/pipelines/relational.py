@@ -23,7 +23,7 @@ import ray.data
 
 from ..functions.laundry import simple_name
 from ..ops.agg import grouped_agg
-from ..ops.joins import broadcast_hash_join, hash_join
+from ..ops.joins import adaptive_hash_join, broadcast_hash_join, hash_join
 from ..ops.similarity import cosine_topk, embedding_near_dup_pairs
 from ..ops.textstats import (
     add_langid,
@@ -226,7 +226,7 @@ def q3_top_unshipped(sf_dir: str) -> pd.DataFrame:
         )
 
     li_f = li.map_batches(f_li, batch_format="pyarrow", zero_copy_batch=True)
-    joined = hash_join(li_f, orders_b, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = adaptive_hash_join(li_f, orders_b, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     # high-cardinality groupby: map-side partials -> bucketed combine ->
     # per-bucket top-10 -> tiny driver merge (scales: shuffle carries one
     # row per (order, block); driver sees 10 rows per bucket)
@@ -324,7 +324,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         right_on="s_suppkey",
         batch_format="pyarrow",
     ).select_columns(["l_orderkey", "s_nationkey", "revenue"])
-    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = adaptive_hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     def f_same_nation(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1363,7 +1363,7 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
         right_on="s_suppkey",
         batch_format="pyarrow",
     ).select_columns(["l_orderkey", "s_nationkey", "ship_year", "volume"])
-    joined = hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = adaptive_hash_join(li_s, orders_c, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     out = grouped_agg(
         joined,
@@ -1409,7 +1409,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     li_r = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True)
-    joined = hash_join(li_r, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = adaptive_hash_join(li_r, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     # customer-cardinality groupby: bucketed combine + per-bucket top-20 ->
     # the driver merges 20 rows per bucket, never one row per customer
     # (q3's shape; at web scale the per-customer frame is a driver OOM)
@@ -2404,7 +2404,7 @@ def _purchase_graph_edges(sf_dir: str) -> ray.data.Dataset:
     between them (or their SQL twins, see _PURCHASE_EDGES_SQL)."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    j = adaptive_hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     return j.map_batches(
         lambda b: pd.concat(
             [
@@ -2803,7 +2803,7 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         lambda b: b.drop(columns=["l_partkey"]), batch_format="pandas"
     )
     li_s = broadcast_hash_join(li_f, sup, left_on="l_suppkey", right_on="s_suppkey")
-    joined = hash_join(li_s, orders_f, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = adaptive_hash_join(li_s, orders_f, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     tref = _ray.put(frozenset(target_nk))
 
@@ -2883,7 +2883,7 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     )
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-    j = hash_join(li, f_orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    j = adaptive_hash_join(li, f_orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         late = b["l_shipdate"] > (b["o_orderdate"] + pd.Timedelta(days=90))
@@ -4561,7 +4561,7 @@ def q_bfs_purchase_radius(sf_dir: str) -> pd.DataFrame:
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    j = adaptive_hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
     # map-side partial dedup: duplicate (cust, supp) edges are harmless to
     # the min but multiply expand rows; per-batch drop removes most
     edges = j.map_batches(
@@ -4923,7 +4923,7 @@ def q_weighted_purchase_paths(sf_dir: str) -> pd.DataFrame:
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    j = hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
+    j = adaptive_hash_join(li, orders, "inner", on=("l_orderkey",), right_on=("o_orderkey",))
 
     def make_edges(b: pd.DataFrame) -> pd.DataFrame:
         ck = b["o_custkey"].to_numpy().astype("int64")
@@ -6104,7 +6104,7 @@ def q_revenue_share(sf_dir: str) -> pd.DataFrame:
     int64 cents in both engines, so the double compares bitwise."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    j = hash_join(orders, cust, "inner", on=("o_custkey",), right_on=("c_custkey",))
+    j = adaptive_hash_join(orders, cust, "inner", on=("o_custkey",), right_on=("c_custkey",))
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -1038,6 +1038,38 @@ def test_broadcast_hash_join_rejects_right_and_outer(ray_session):
                 broadcast_hash_join(big, small, "k", how=how, batch_format=fmt)
 
 
+def test_adaptive_hash_join_branch_parity(ray_session):
+    """adaptive_hash_join's two plans (map-side broadcast merge vs
+    partitioned Dataset.join) must emit the SAME schema and the same row
+    multiset — including duplicate left keys, unmatched rows on both
+    sides, and renamed key columns (the broadcast branch renames right
+    keys to the left names to match Dataset.join's coalesced output).
+    Pinned per the adaptive-two-path rule (see skew_join/drop_near_dup_losers)."""
+    from ocds_entity_extract_ray.ops.joins import adaptive_hash_join
+
+    left = pd.DataFrame(
+        {"l_k": [1, 2, 2, 3, 5], "l_v": [10, 11, 12, 13, 15]}
+    )
+    right = pd.DataFrame({"r_k": [1, 2, 4], "r_v": ["a", "b", "d"]})
+    outs = {}
+    for branch in ("broadcast", "shuffle"):
+        out = adaptive_hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            "inner",
+            on=("l_k",),
+            right_on=("r_k",),
+            force_branch=branch,
+        ).to_pandas()
+        outs[branch] = out.sort_values(list(out.columns)).reset_index(drop=True)
+    assert list(outs["broadcast"].columns) == list(outs["shuffle"].columns)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["shuffle"])
+    # the right key column is coalesced away on BOTH branches
+    assert "r_k" not in outs["broadcast"].columns
+    # row multiset: duplicate left key 2 joins twice, unmatched 3/5/4 drop
+    assert sorted(outs["broadcast"]["l_v"].tolist()) == [10, 11, 12]
+
+
 def test_gif_roundtrip_and_wire_fixture():
     """GIF codec (ops/gif.py): lossless round-trips across the LZW width
     growth, dictionary-fill/CLEAR and interlace paths, plus a HAND-BUILT
