@@ -62,25 +62,66 @@ def text_hash(t: str) -> str:
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    broadcast_max_losers: int = 5_000_000,
+    force_branch: str | None = None,
 ) -> ray.data.Dataset:
-    """Keep one representative (min id) per distinct text: content-hash per
-    batch, hash-bucketed shuffle, vectorized drop-duplicates per bucket
-    (A7 pattern generalized to documents; one Python call per BUCKET)."""
+    """Keep one representative (min id) per distinct text — the corpus
+    text never enters a shuffle. Pass 1 ships (id, content-hash) 16 B/row
+    through the bucketed exchange and keeps only the LOSER ids (everything
+    but the min id per hash — duplicate-bounded, the same set shape as
+    drop_near_dup_losers'). Pass 2 anti-filters the original dataset:
+    broadcast frozenset under ``broadcast_max_losers``, distributed
+    left_anti hash join past it (a boilerplate-heavy crawl can push the
+    duplicate fraction toward half the corpus). Two scans of ``ds``
+    instead of one full-text exchange — at 100 TB the shuffle carries
+    16 bytes/row instead of the documents themselves, so callers whose
+    ``ds`` is an expensive lazy chain should materialize it first.
+    ``force_branch`` ("broadcast" | "anti_join") pins pass 2 for parity
+    tests."""
+    import ray as _ray
+
     from .agg import bucketed_map_groups
+    from .joins import _fetch, hash_join
 
     hashed = ds.map_batches(
-        lambda b: b.assign(_h=b[text_col].map(text_hash)), batch_format="pandas"
+        lambda b: pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "_h": b[text_col].map(text_hash).to_numpy(),
+            }
+        ),
+        batch_format="pandas",
     )
 
-    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        return (
-            bucket.sort_values(id_col, kind="mergesort")
-            .drop_duplicates("_h", keep="first")
-            .drop(columns=["_h"])
-        )
+    def per_bucket_losers(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values(id_col, kind="mergesort")
+        return s.loc[s.duplicated("_h", keep="first"), [id_col]]
 
-    return bucketed_map_groups(hashed, "_h", per_bucket, num_buckets=64)
+    empty = pd.DataFrame({id_col: pd.Series(dtype="int64")})
+    losers = bucketed_map_groups(
+        hashed, "_h", per_bucket_losers, num_buckets=64, empty_result=empty
+    ).materialize()
+    n = losers.count()
+    if n == 0:
+        return ds
+    if force_branch != "anti_join" and (
+        force_branch == "broadcast" or n <= broadcast_max_losers
+    ):
+        ref = _ray.put(frozenset(losers.to_pandas()[id_col].tolist()))
+
+        def drop(b: pd.DataFrame) -> pd.DataFrame:
+            return b[~b[id_col].isin(_fetch(ref))]
+
+        return ds.map_batches(drop, batch_format="pandas")
+
+    loser_keys = losers.map_batches(
+        lambda b: b.rename(columns={id_col: "_dup_loser"}), batch_format="pandas"
+    )
+    return hash_join(ds, loser_keys, "left_anti", on=(id_col,), right_on=("_dup_loser",))
 
 
 def exact_dup_groups(

@@ -109,7 +109,9 @@ def curate_documents(
         )
         return b[mask]
 
-    kept = docs.map_batches(keep, batch_format="pandas")
+    # materialized: exact_dedup scans its input twice (hash pass + loser
+    # anti-filter) and the quality kernel is the expensive part of `keep`
+    kept = docs.map_batches(keep, batch_format="pandas").materialize()
     deduped = exact_dedup(kept, text_col=text_col, id_col=id_col).materialize()
 
     lsh_kwargs = {} if max_group_size is None else {"max_group_size": max_group_size}
@@ -235,7 +237,8 @@ def curate_documents_v2(
             )
         return b[mask]
 
-    clean = train.map_batches(decont_and_quality, batch_format="pandas")
+    # materialized: exact_dedup scans twice and decont shingles every doc
+    clean = train.map_batches(decont_and_quality, batch_format="pandas").materialize()
     deduped = exact_dedup(clean, text_col=text_col, id_col=id_col).materialize()
 
     pairs = fingerprint_overlap_pairs(

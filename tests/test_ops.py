@@ -1070,6 +1070,35 @@ def test_adaptive_hash_join_branch_parity(ray_session):
     assert sorted(outs["broadcast"]["l_v"].tolist()) == [10, 11, 12]
 
 
+def test_exact_dedup_branch_parity(ray_session):
+    """exact_dedup's pass-2 branches (broadcast loser set vs distributed
+    left_anti) must keep the identical survivor set — min id per distinct
+    text, all original columns — including the n_losers == 0 early return
+    (adaptive-two-path rule)."""
+    from ocds_entity_extract_ray.ops.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 1, 2, 3, 4, 0],
+            "text": ["a", "a", "b", "b", "c", "a"],
+            "extra": list("uvwxyz"),
+        }
+    )
+    outs = {}
+    for branch in ("broadcast", "anti_join"):
+        out = exact_dedup(
+            ray.data.from_pandas(df), force_branch=branch
+        ).to_pandas()
+        outs[branch] = out.sort_values("doc_id").reset_index(drop=True)
+        # min id per text survives, original columns intact
+        assert outs[branch]["doc_id"].tolist() == [0, 2, 4]
+        assert list(outs[branch].columns) == ["doc_id", "text", "extra"]
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["anti_join"])
+    # all-unique input: zero losers -> dataset passes through untouched
+    uniq = pd.DataFrame({"doc_id": [1, 2], "text": ["p", "q"]})
+    assert exact_dedup(ray.data.from_pandas(uniq)).count() == 2
+
+
 def test_gif_roundtrip_and_wire_fixture():
     """GIF codec (ops/gif.py): lossless round-trips across the LZW width
     growth, dictionary-fill/CLEAR and interlace paths, plus a HAND-BUILT
