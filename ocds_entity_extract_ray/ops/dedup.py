@@ -127,9 +127,17 @@ def exact_dedup(
 def exact_dup_groups(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """(representative id, n_copies) for texts occurring more than once."""
+    """(representative id, n_copies) for texts occurring more than once.
+    The text is dead after hashing, so only (id, hash) — 16 B/row — goes
+    through the bucket exchange, plus a map-side pre-combine: each block
+    contributes one (hash, min id, count) partial per distinct hash, so a
+    boilerplate page repeated across a block costs one wire row."""
     hashed = ds.map_batches(
-        lambda b: b[[id_col, text_col]].assign(_h=b[text_col].map(text_hash)),
+        lambda b: pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "_h": b[text_col].map(text_hash).to_numpy()}
+        )
+        .groupby("_h", as_index=False)
+        .agg(**{id_col: (id_col, "min"), "n_copies": (id_col, "size")}),
         batch_format="pandas",
     )
 
@@ -137,7 +145,7 @@ def exact_dup_groups(
 
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("_h", as_index=False).agg(
-            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
+            **{id_col: (id_col, "min"), "n_copies": ("n_copies", "sum")}
         )
         g = g[g["n_copies"] > 1].drop(columns=["_h"])
         return g.astype({id_col: "int64", "n_copies": "int64"})

@@ -239,3 +239,160 @@ def dedup_passages(
     return bucketed_map_groups(
         marked, id_col, reassemble, num_buckets=num_buckets, empty_result=empty_out
     )
+
+
+# --- cross-corpus line dedup (CCNet rule) ------------------------------------
+
+
+def _doc_lines(text: str, words_per_line: int | None) -> list[str]:
+    """A document's lines: real newline splitting when the corpus has
+    newline structure (``words_per_line=None``), else a deterministic
+    reflow into consecutive ``words_per_line``-word lines (tail partial
+    line INCLUDED — every word belongs to exactly one line, unlike
+    passage chunking, so the reflow is invertible)."""
+    if words_per_line is None:
+        return (text or "").split("\n")
+    ws = (text or "").split(" ")
+    w = words_per_line
+    n = (len(ws) + w - 1) // w
+    return [" ".join(ws[j * w : (j + 1) * w]) for j in range(max(n, 1))]
+
+
+def dedup_lines(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int | None = None,
+    broadcast_max_losers: int = 5_000_000,
+    num_buckets: int = 32,
+    force_branch: str | None = None,
+) -> ray.data.Dataset:
+    """CCNet-style cross-corpus LINE dedup: every line survives only at
+    its globally FIRST occurrence, ordered by (doc_id, position) — the
+    complement of :func:`dedup_passages`' drop-every-occurrence rule.
+    Returns ``(id_col, clean_text, n_lines, n_dropped)`` per document
+    that keeps at least one line (a document whose every line occurred
+    earlier disappears, matching the SQL twin's WHERE rn = 1 + GROUP BY).
+
+    Scale shape: the detection shuffle carries (line-hash, doc_id, pos)
+    24 B/occurrence — never the text — and emits the LOSER occurrences
+    (duplicate-bounded on a clean corpus, occurrence-bounded only on
+    boilerplate-heavy crawls). Losers are applied back adaptively:
+    broadcast frozenset under ``broadcast_max_losers``, else packed to
+    per-doc position blobs (int64 bytes — Dataset.join rejects list
+    columns) and LEFT-OUTER hash-joined back to the documents.
+    ``force_branch`` ("broadcast" | "join") pins the apply path for
+    parity tests. Hash collisions conflate two distinct lines (~2^-64
+    per pair); the SQL twin ranks by the same md5-low64 so the oracle
+    agrees exactly either way."""
+    wpl = words_per_line
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, hs = [], [], []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            for i, line in enumerate(_doc_lines(text, wpl)):
+                ids.append(did)
+                poss.append(i)
+                hs.append(_h64(line.encode()))
+        return pd.DataFrame(
+            {
+                "_h": pd.Series(hs, dtype=np.uint64),
+                id_col: pd.Series(ids, dtype=np.int64),
+                "_pos": pd.Series(poss, dtype=np.int64),
+            }
+        )
+
+    def per_bucket_losers(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values([id_col, "_pos"], kind="mergesort")
+        return s.loc[s.duplicated("_h", keep="first"), [id_col, "_pos"]]
+
+    empty = pd.DataFrame(
+        {id_col: pd.Series(dtype="int64"), "_pos": pd.Series(dtype="int64")}
+    )
+    losers = bucketed_map_groups(
+        docs.map_batches(occurrences, batch_format="pandas"),
+        "_h",
+        per_bucket_losers,
+        num_buckets=num_buckets,
+        empty_result=empty,
+    ).materialize()
+    n_losers = losers.count()
+
+    def rebuild(doc_ids, texts, drops) -> pd.DataFrame:
+        """Parallel iterables: doc ids, texts, per-doc dropped-position
+        collections."""
+        ids, cleaned, n_ln, n_dr = [], [], [], []
+        for did, text, drop in zip(doc_ids, texts, drops):
+            lines = _doc_lines(text, wpl)
+            kept = [ln for i, ln in enumerate(lines) if i not in drop]
+            if not kept:
+                continue
+            ids.append(did)
+            cleaned.append("\n".join(kept))
+            n_ln.append(len(lines))
+            n_dr.append(len(lines) - len(kept))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype=np.int64),
+                "clean_text": pd.Series(cleaned, dtype=object),
+                "n_lines": pd.Series(n_ln, dtype=np.int64),
+                "n_dropped": pd.Series(n_dr, dtype=np.int64),
+            }
+        )
+
+    if force_branch != "join" and (
+        force_branch == "broadcast" or n_losers <= broadcast_max_losers
+    ):
+        by_doc: dict = {}
+        if n_losers:
+            lf = losers.to_pandas()
+            for did, pos in zip(lf[id_col], lf["_pos"]):
+                by_doc.setdefault(int(did), set()).add(int(pos))
+        ref = ray.put(by_doc)
+
+        def clean_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = _fetch(ref)
+            ids = batch[id_col]
+            return rebuild(
+                ids, batch[text_col], (lookup.get(int(d), ()) for d in ids)
+            )
+
+        return docs.map_batches(clean_bcast, batch_format="pandas")
+
+    # distributed apply: per-doc dropped-position blobs, left-outer join
+    from .joins import hash_join
+
+    def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (int(did), g["_pos"].to_numpy(dtype=np.int64).tobytes())
+            for did, g in bucket.groupby(id_col, sort=False)
+        ]
+        return pd.DataFrame(
+            {
+                "_ldoc": pd.Series([r[0] for r in rows], dtype=np.int64),
+                "_drop_blob": pd.Series([r[1] for r in rows], dtype=object),
+            }
+        )
+
+    empty_pack = pd.DataFrame(
+        {"_ldoc": pd.Series(dtype="int64"), "_drop_blob": pd.Series(dtype=object)}
+    )
+    blobs = bucketed_map_groups(
+        losers, id_col, pack, num_buckets=num_buckets, empty_result=empty_pack
+    )
+    joined = hash_join(docs, blobs, "left_outer", on=(id_col,), right_on=("_ldoc",))
+
+    def clean_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        def unpack(blob):
+            if blob is None or (isinstance(blob, float) and pd.isna(blob)):
+                return ()
+            return set(np.frombuffer(blob, dtype=np.int64).tolist())
+
+        return rebuild(
+            batch[id_col],
+            batch[text_col],
+            (unpack(b) for b in batch["_drop_blob"]),
+        )
+
+    return joined.map_batches(clean_joined, batch_format="pandas")

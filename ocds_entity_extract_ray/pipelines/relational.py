@@ -6246,6 +6246,52 @@ ORDER BY doc_id
 SQL_QUERIES["q_passage_dedup"] = (q_passage_dedup, Q_PASSAGE_DEDUP_SQL)
 
 
+def q_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style cross-corpus LINE dedup (Wenzek et al.): every line
+    survives only at its globally FIRST occurrence in (doc_id, position)
+    order — the keep-one complement of q_passage_dedup's drop-every-
+    occurrence rule. The synthetic corpus has no newlines, so documents
+    are deterministically reflowed into consecutive 8-word lines (tail
+    partial line INCLUDED — every word belongs to exactly one line),
+    mirrored in the twin via the same array-slicing spine. Only
+    (line-hash, doc_id, pos) rows shuffle; dropped positions come back
+    adaptively (broadcast under 5M losers, else packed int64 blobs
+    left-outer hash-joined to the docs)."""
+    from ..ops.passages import dedup_lines
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_lines(docs, words_per_line=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_LINE_DEDUP_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+spine AS (
+  SELECT doc_id, ws, unnest(range(((array_length(ws) + 7) // 8)::BIGINT)) AS j
+  FROM docs),
+lines AS (
+  SELECT doc_id, j,
+         array_to_string(ws[(j * 8 + 1)::INT : (j * 8 + 8)::INT], ' ') AS line
+  FROM spine),
+ranked AS (
+  SELECT doc_id, j, line,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5_number_lower(line) ORDER BY doc_id, j) AS rn
+  FROM lines)
+SELECT doc_id,
+       STRING_AGG(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY j) AS clean_text,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM ranked
+GROUP BY doc_id
+HAVING COUNT(CASE WHEN rn = 1 THEN 1 END) > 0
+ORDER BY doc_id
+"""
+
+SQL_QUERIES["q_line_dedup"] = (q_line_dedup, Q_LINE_DEDUP_SQL)
+
+
 def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup (Abbas et al.): fixed-point k-means clusters, then prune
     vectors cosine-similar to a lower-id vector in the same final

@@ -91,6 +91,120 @@ def test_passage_dedup_rejects_bad_window(passage_corpus):
         dedup_passages(passage_corpus, words_per_passage=0)
 
 
+@pytest.fixture(scope="module")
+def line_corpus(ray_session):
+    from ocds_entity_extract_ray.ops.passages import dedup_lines  # noqa: F401
+
+    rows = [
+        {"doc_id": 1, "text": "A\nB\nC"},  # all first occurrences
+        {"doc_id": 2, "text": "B\nD"},  # B seen at doc1 pos1 -> dropped
+        {"doc_id": 3, "text": "A\nB"},  # every line dropped -> doc vanishes
+        {"doc_id": 4, "text": "E\nE"},  # within-doc dup: first kept
+    ]
+    df = pd.DataFrame(rows)
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return ray.data.from_pandas(df).repartition(3)
+
+
+LINE_EXPECTED = pd.DataFrame(
+    {
+        "doc_id": np.array([1, 2, 4], dtype=np.int64),
+        "clean_text": ["A\nB\nC", "D", "E"],
+        "n_lines": np.array([3, 2, 2], dtype=np.int64),
+        "n_dropped": np.array([0, 1, 1], dtype=np.int64),
+    }
+)
+
+
+@pytest.mark.parametrize("branch", [None, "broadcast", "join"])
+def test_line_dedup_planted_both_branches(line_corpus, branch):
+    """Globally-first-occurrence keep rule, ordered by (doc_id, pos);
+    documents whose every line occurred earlier disappear. The forced
+    join branch (packed position blobs + left-outer hash join) must be
+    byte-identical to the broadcast branch."""
+    from ocds_entity_extract_ray.ops.passages import dedup_lines
+
+    got = (
+        dedup_lines(line_corpus, force_branch=branch, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, LINE_EXPECTED)
+
+
+def test_line_dedup_reflow_tail_included(ray_session):
+    """words_per_line reflow: consecutive w-word lines with the tail
+    partial line INCLUDED (every word belongs to exactly one line)."""
+    from ocds_entity_extract_ray.ops.passages import dedup_lines
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2], dtype=np.int64),
+            "text": ["a b c d a b", "c d e"],
+        }
+    )
+    got = (
+        dedup_lines(ray.data.from_pandas(df), words_per_line=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["clean_text"]) == ["a b\nc d", "e"]
+    assert list(got["n_lines"]) == [3, 2]
+    assert list(got["n_dropped"]) == [1, 1]
+
+
+def test_line_dedup_matches_reference_on_random_corpora(ray_session):
+    """Seeded random corpora vs a from-scratch sequential reference
+    (global first-occurrence set in (doc_id, pos) order), both branches."""
+    from ocds_entity_extract_ray.ops.passages import dedup_lines
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(6)]
+    W = 2
+    for trial in range(3):
+        texts = []
+        for _ in range(20):
+            n = int(rng.integers(1, 12))
+            texts.append(" ".join(rng.choice(vocab, size=n)))
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+        seen: set[str] = set()
+        expect = {}
+        for did, t in zip(df["doc_id"], texts):
+            ws = t.split(" ")
+            n_ln = max((len(ws) + W - 1) // W, 1)
+            lines = [" ".join(ws[j * W : (j + 1) * W]) for j in range(n_ln)]
+            kept = []
+            for ln in lines:
+                if ln in seen:
+                    continue
+                seen.add(ln)
+                kept.append(ln)
+            if kept:
+                expect[int(did)] = ("\n".join(kept), n_ln, n_ln - len(kept))
+
+        for branch in ("broadcast", "join"):
+            got = (
+                dedup_lines(
+                    ray.data.from_pandas(df).repartition(3),
+                    words_per_line=W,
+                    force_branch=branch,
+                    num_buckets=3,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            assert set(got["doc_id"].astype(int)) == set(expect), (trial, branch)
+            for did, ct, nl, nd in zip(
+                got["doc_id"], got["clean_text"], got["n_lines"], got["n_dropped"]
+            ):
+                assert (ct, nl, nd) == expect[int(did)], (trial, branch, did)
+
+
 def _vec(theta: float, d: int = 8, r: float = 0.9) -> np.ndarray:
     v = np.zeros(d, dtype=np.float64)
     v[0] = r * np.cos(theta)
