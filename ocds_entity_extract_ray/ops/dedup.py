@@ -663,6 +663,8 @@ def signature_dup_pairs(
     max_hamming: int = 3,
     max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
     what: str = "signature chunk",
+    driver_combine_max_rows: int = 2_000_000,
+    force_branch: str | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs among 64-bit signatures (SIGNED int64 column) by
     Hamming distance: bucket on each of 4 16-bit chunks (pigeonhole —
@@ -722,10 +724,29 @@ def signature_dup_pairs(
     pairs = bucketed_map_groups(
         chunked, "chunk_val", per_bucket, num_buckets=32, empty_result=empty_out
     )
+    # the same pair can surface through up to 4 chunks (with the SAME
+    # hamming — it's the popcount of the same two signatures), so dedup:
+    # per-block pre-combine, then driver-side when the survivors fit
+    # under ``driver_combine_max_rows`` (pair-bounded, never corpus-
+    # bounded), else a bucketed exchange. ``force_branch``
+    # ("driver" | "bucketed") pins it for parity tests.
+    def dedup_block(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["id_a", "id_b"])
+
+    partials = pairs.map_batches(dedup_block, batch_format="pandas").materialize()
+    n_partials = partials.count()
+    if force_branch != "bucketed" and (
+        force_branch == "driver" or n_partials <= driver_combine_max_rows
+    ):
+        pdf = partials.to_pandas() if n_partials else empty_out
+        g = dedup_block(pdf).reset_index(drop=True)
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.Table.from_pandas(g, preserve_index=False))
     return bucketed_map_groups(
-        pairs,
+        partials,
         "id_a",
-        lambda b: b.drop_duplicates(["id_a", "id_b"]),
+        dedup_block,
         num_buckets=16,
         empty_result=empty_out,
     )
@@ -774,6 +795,7 @@ def fingerprint_overlap_pairs(
     window: int = 8,
     max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
     num_buckets: int = 64,
+    force_branch: str | None = None,
 ) -> ray.data.Dataset:
     """MOSS-style exact-substring reuse detection: pairs of docs sharing
     >= ``min_shared`` DISTINCT winnowing fingerprints (rolling k-char
@@ -812,6 +834,7 @@ def fingerprint_overlap_pairs(
         max_group_size=max_group_size,
         num_buckets=num_buckets,
         what="fingerprint",
+        force_branch=force_branch,
     )
 
 
@@ -824,12 +847,20 @@ def shared_key_pairs(
     max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
     num_buckets: int = 64,
     what: str = "shared key",
+    driver_combine_max_rows: int = 2_000_000,
+    force_branch: str | None = None,
 ) -> ray.data.Dataset:
     """The overlap-count pair engine: (key, id) rows — DISTINCT per id,
     the caller's contract — to (id_a, id_b, n_shared >= min_shared).
     One bucketed shuffle on the key (capped groups warn via _cap_group),
-    one bucketed pair-count. Shared by ``fingerprint_overlap_pairs``
-    (winnowing) and ``multimodal.audio_dup_pairs`` (landmarks)."""
+    then a per-block pair-count pre-combine; the partials (bounded by
+    candidate PAIRS x blocks, never by the corpus) are summed on the
+    driver when they fit under ``driver_combine_max_rows``, else through
+    a second bucketed exchange — the same adaptive shape as
+    drop_near_dup_losers. ``force_branch`` ("driver" | "bucketed") pins
+    the final combine for parity tests. Shared by
+    ``fingerprint_overlap_pairs`` (winnowing), ``multimodal``'s audio
+    landmark and video frame-pHash dedup."""
     from .agg import bucketed_map_groups
 
     empty_pairs = pd.DataFrame(
@@ -857,14 +888,36 @@ def shared_key_pairs(
     )
 
     empty_out = _empty_pairs("n_shared", "int64")
+    empty_partial = _empty_pairs("n_partial", "int64")
 
-    def count_shared(b: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
         # rows are unique per (pair, key) — keys distinct per id map-side,
-        # group caps aside — so the group size IS the count
+        # group caps aside — so the per-block group size is a partial count
+        if not len(b):
+            return empty_partial.copy()
         g = b.groupby(["id_a", "id_b"], as_index=False).size()
-        g = g[g["size"] >= min_shared].rename(columns={"size": "n_shared"})
+        g = g.rename(columns={"size": "n_partial"})
+        return g.astype({"id_a": "int64", "id_b": "int64", "n_partial": "int64"})
+
+    partials = pairs.map_batches(partial_counts, batch_format="pandas").materialize()
+    n_partials = partials.count()
+
+    def final_combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["id_a", "id_b"], as_index=False)["n_partial"].sum()
+        g = g[g["n_partial"] >= min_shared].rename(columns={"n_partial": "n_shared"})
         return g.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
 
+    if force_branch != "bucketed" and (
+        force_branch == "driver" or n_partials <= driver_combine_max_rows
+    ):
+        pdf = partials.to_pandas() if n_partials else empty_partial
+        g = final_combine(pdf).reset_index(drop=True)
+        # via Arrow so an EMPTY result keeps its typed schema (an empty
+        # pandas frame through from_pandas loses its columns on to_pandas)
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.Table.from_pandas(g, preserve_index=False))
+
     return bucketed_map_groups(
-        pairs, "id_a", count_shared, num_buckets=16, empty_result=empty_out
+        partials, "id_a", final_combine, num_buckets=16, empty_result=empty_out
     )

@@ -834,12 +834,10 @@ def bfs_distances(
     # copy in the object store for the whole run
     edge2 = edges.map_batches(tag_edges, batch_format="pandas").materialize()
     if edge2.count() <= broadcast_max_edges:
+        # hand _driver_relax the tagged frame under its tagged names —
+        # a rename map here would be a whole extra pass over the edges
         return _driver_relax(
-            edge2.map_batches(
-                lambda b: b.rename(columns={"key": src_col, "val": dst_col}),
-                batch_format="pandas",
-            ),
-            sources, rounds=hops, src_col=src_col, dst_col=dst_col,
+            edge2, sources, rounds=hops, src_col="key", dst_col="val",
             source_col=source_col, weight_col=None, empty=empty,
         )
 
@@ -976,16 +974,12 @@ def shortest_path_distances(
     edge2w = edges.map_batches(tag_edges_w, batch_format="pandas").materialize()
     if edge2w.count() <= broadcast_max_edges:
         # adaptive driver fast path (see bfs_distances) — Jacobi rounds
-        # keep the bounded-round semantics identical to the BSP loop
+        # keep the bounded-round semantics identical to the BSP loop.
+        # The tagged frame goes in under its tagged names (key/val/w);
+        # renaming first would cost a whole extra pass over the edges.
         return _driver_relax(
-            edge2w.map_batches(
-                lambda b: b.rename(
-                    columns={"key": src_col, "val": dst_col, "w": weight_col}
-                ),
-                batch_format="pandas",
-            ),
-            sources, rounds=rounds, src_col=src_col, dst_col=dst_col,
-            source_col=source_col, weight_col=weight_col, empty=empty,
+            edge2w, sources, rounds=rounds, src_col="key", dst_col="val",
+            source_col=source_col, weight_col="w", empty=empty,
         )
 
     empty_flag = pd.DataFrame(

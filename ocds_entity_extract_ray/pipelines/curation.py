@@ -183,6 +183,7 @@ def curate_documents_v2(
     max_probe_hits: int = 5,
     min_words: int = 20,
     fp_min_shared: int = 3,
+    probe_texts=None,
 ) -> ray.data.Dataset:
     """The round-3 curation chain — every stage a round-3 operator, the
     whole thing under ONE composed oracle (Q_CURATION_V2_SQL):
@@ -216,12 +217,18 @@ def curate_documents_v2(
         batch_format="pandas",
     )
 
-    # probe set from the FULL corpus (the benchmark includes held-out docs)
-    probe_df = docs.map_batches(
-        lambda b: b[b[id_col] < probe_max_id][[text_col]], batch_format="pandas"
-    ).to_pandas()
+    # probe set from the FULL corpus (the benchmark includes held-out
+    # docs). Callers who know the probe ids' storage location should pass
+    # ``probe_texts`` (an iterable of probe-doc texts) read with a
+    # PUSHED-DOWN id filter — the fallback here is a whole extra pass
+    # over the corpus to extract a handful of rows.
+    if probe_texts is None:
+        probe_texts = docs.map_batches(
+            lambda b: b[b[id_col] < probe_max_id][[text_col]],
+            batch_format="pandas",
+        ).to_pandas()[text_col]
     probe: set = set()
-    for t in probe_df[text_col]:
+    for t in probe_texts:
         probe |= shingles(t, 3)
     ref = _ray.put(frozenset(probe))
 

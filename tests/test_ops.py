@@ -1621,6 +1621,47 @@ def test_fingerprint_overlap_pairs(ray_session):
     )
     assert got["n_shared"].iloc[0] == len(shared) >= 3
 
+    # the adaptive final combine's two branches must agree exactly —
+    # driver (partials summed on the driver) vs bucketed (second
+    # exchange); same rule as every adaptive op in the repo
+    for branch in ("driver", "bucketed"):
+        forced = (
+            fingerprint_overlap_pairs(
+                ray.data.from_pandas(docs), min_shared=3, force_branch=branch
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(forced, got)
+
+
+def test_signature_dup_pairs_branch_parity(ray_session):
+    """signature_dup_pairs' pair-dedup final: forced driver and bucketed
+    branches emit identical (id_a, id_b, hamming) sets."""
+    from ocds_entity_extract_ray.ops.dedup import signature_dup_pairs
+
+    rng = np.random.default_rng(9)
+    sigs = rng.integers(-(2**62), 2**62, 40, dtype=np.int64)
+    sigs[10] = sigs[3] ^ 1  # hamming 1 pair
+    sigs[25] = sigs[7]  # exact dup pair
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "sig": sigs})
+    ).repartition(4)
+    outs = {}
+    for branch in ("driver", "bucketed", None):
+        outs[branch] = (
+            signature_dup_pairs(ds, "sig", force_branch=branch)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+    assert {(3, 10), (7, 25)} <= set(
+        zip(outs[None]["id_a"], outs[None]["id_b"])
+    )
+    pd.testing.assert_frame_equal(outs["driver"], outs[None])
+    pd.testing.assert_frame_equal(outs["bucketed"], outs[None])
+
 
 def test_pagerank_bsp_matches_driver_on_larger_graph(ray_session):
     """BSP actor-shard path == driver path on a 50k-edge random graph
