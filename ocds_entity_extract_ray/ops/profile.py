@@ -110,12 +110,15 @@ def profile_table(
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for col in columns:
-            s = batch[col]
-            nn = s.notna()
+            # map-side pre-dedup on the NATIVE values, stringify only the
+            # survivors: a low-cardinality column ships ~k rows per block
+            # instead of the block, and the str() rendering cost tracks
+            # distinct values, not rows. The bucketed pass re-dedups the
+            # strings, so the final count is unchanged (still distinct
+            # over the rendered value).
+            s = batch[col].dropna().drop_duplicates()
             frames.append(
-                pd.DataFrame(
-                    {"col_name": col, "value": s[nn].astype(str).to_numpy()}
-                )
+                pd.DataFrame({"col_name": col, "value": s.astype(str).to_numpy()})
             )
         out = pd.concat(frames, ignore_index=True)
         return out.astype({"col_name": str, "value": str})

@@ -490,6 +490,8 @@ def salient_terms(
     top_k: int = 3,
     score_scale: int = 1_000_000,
     num_buckets: int = 16,
+    broadcast_max_terms: int = 2_000_000,
+    force_branch: str | None = None,
 ) -> ray.data.Dataset:
     """TF-IDF-style keyword extraction: the ``top_k`` most salient terms
     per document, scored by the INTEGER ``(tf * score_scale) // df``
@@ -535,9 +537,44 @@ def salient_terms(
         out["df"] = out.groupby("term")["term"].transform("size").astype("int64")
         return out
 
-    with_df = bucketed_map_groups(
-        tf_rows, "term", attach_df, num_buckets=num_buckets, empty_result=empty_df
-    )
+    # Adaptive df attach. The df table is vocabulary-sized (one int per
+    # distinct term), far smaller than the (doc, term, tf) row set — when
+    # its map-side partials fit under ``broadcast_max_terms`` the df map
+    # is combined on the driver and BROADCAST, and the full row set never
+    # shuffles by term (one exchange saved). A web-scale vocabulary blows
+    # the cap, and the term-bucketed exchange takes over unchanged.
+    # ``force_branch`` ("broadcast" | "bucketed") pins it for parity tests.
+    tf_rows = tf_rows.materialize()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+        return g.astype({"df": "int64"})
+
+    use_broadcast = force_branch != "bucketed"
+    if use_broadcast:
+        partials = tf_rows.map_batches(df_partial, batch_format="pandas").materialize()
+        if force_branch != "broadcast" and partials.count() > broadcast_max_terms:
+            use_broadcast = False
+    if use_broadcast:
+        import ray as _ray
+
+        from .joins import _fetch
+
+        pdf = partials.to_pandas()
+        dfmap = pdf.groupby("term")["df"].sum() if len(pdf) else pd.Series(dtype="int64")
+        ref = _ray.put(dfmap.to_dict())
+
+        def attach_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            lut = _fetch(ref)
+            out["df"] = out["term"].map(lut).astype("int64")
+            return out
+
+        with_df = tf_rows.map_batches(attach_bcast, batch_format="pandas")
+    else:
+        with_df = bucketed_map_groups(
+            tf_rows, "term", attach_df, num_buckets=num_buckets, empty_result=empty_df
+        )
 
     empty_out = pd.DataFrame(
         {

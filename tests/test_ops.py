@@ -1456,6 +1456,21 @@ def test_salient_terms_matches_bruteforce(ray_session):
     assert got.equals(want)
     assert 4 not in set(got["doc_id"])  # empty doc emits no terms
 
+    # adaptive df-attach parity: forced broadcast (driver-combined df map)
+    # and forced bucketed (term exchange) must both equal the default
+    for branch in ("broadcast", "bucketed"):
+        forced = (
+            salient_terms(
+                ray.data.from_pandas(docs).repartition(2),
+                top_k=2,
+                force_branch=branch,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(forced, got)
+
 
 def test_png_codec_real_path(ray_session):
     """PNG round-trip through stdlib zlib + the real featurize/resize path
