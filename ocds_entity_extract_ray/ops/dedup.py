@@ -58,6 +58,22 @@ def text_hash(t: str) -> str:
     return hashlib.sha256((t or "").encode("utf-8")).hexdigest()
 
 
+def _md5_halves(texts) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content identity as two int64 columns (md5 digest halves,
+    little-endian — the low half equals the repo-wide md5-low64 / DuckDB
+    ``md5_number_lower`` convention). 16 B/row on the wire vs ~72 B for a
+    sha256 hexdigest string; 128 bits keeps the birthday bound negligible
+    at 100 TB (~1e11 docs -> ~1e-17 collision odds), where a single int64
+    would already expect collisions."""
+    h1 = np.empty(len(texts), dtype=np.uint64)
+    h2 = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.md5((t or "").encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[8:], "little")
+        h2[i] = int.from_bytes(d[:8], "little")
+    return h1.view(np.int64), h2.view(np.int64)
+
+
 # --- exact dedup -------------------------------------------------------------
 
 
@@ -70,40 +86,49 @@ def exact_dedup(
     force_branch: str | None = None,
 ) -> ray.data.Dataset:
     """Keep one representative (min id) per distinct text — the corpus
-    text never enters a shuffle. Pass 1 ships (id, content-hash) 16 B/row
-    through the bucketed exchange and keeps only the LOSER ids (everything
-    but the min id per hash — duplicate-bounded, the same set shape as
-    drop_near_dup_losers'). Pass 2 anti-filters the original dataset:
-    broadcast frozenset under ``broadcast_max_losers``, distributed
-    left_anti hash join past it (a boilerplate-heavy crawl can push the
-    duplicate fraction toward half the corpus). Two scans of ``ds``
-    instead of one full-text exchange — at 100 TB the shuffle carries
-    16 bytes/row instead of the documents themselves, so callers whose
-    ``ds`` is an expensive lazy chain should materialize it first.
-    ``force_branch`` ("broadcast" | "anti_join") pins pass 2 for parity
-    tests."""
+    text never enters a shuffle. Pass 1 ships (id, 128-bit content hash)
+    16 B+8 B/row through the bucketed exchange and keeps only the LOSER
+    ids (every DISTINCT id but the min per hash — duplicate-bounded, the
+    same set shape as drop_near_dup_losers'). Pass 2 anti-filters the
+    original dataset: broadcast frozenset under ``broadcast_max_losers``,
+    distributed left_anti hash join past it (a boilerplate-heavy crawl
+    can push the duplicate fraction toward half the corpus). Two scans of
+    ``ds`` instead of one full-text exchange — at 100 TB the shuffle
+    carries ~24 bytes/row instead of the documents themselves, so callers
+    whose ``ds`` is an expensive lazy chain should materialize it first.
+
+    ID CONTRACT: ``id_col`` is the row identity — pass 2 filters BY ID,
+    so it must be unique per row. Rows that repeat an id (e.g. a shard
+    ingested twice) are never data-lost: loser selection works on
+    distinct (id, hash) pairs, so the min id survives with ALL its copies
+    (collapsing byte-identical same-id rows needs row identity the engine
+    doesn't have without shuffling the text; re-ingest dedup is
+    ``ops.ingest``'s job). ``force_branch`` ("broadcast" | "anti_join")
+    pins pass 2 for parity tests."""
     import ray as _ray
 
     from .agg import bucketed_map_groups
     from .joins import _fetch, hash_join
 
-    hashed = ds.map_batches(
-        lambda b: pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy(),
-                "_h": b[text_col].map(text_hash).to_numpy(),
-            }
-        ),
-        batch_format="pandas",
-    )
+    def hash_block(b: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _md5_halves(b[text_col].to_numpy())
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(), "_h1": h1, "_h2": h2})
+        # map-side pre-dedup: repeated (id, hash) rows add nothing to
+        # loser selection, so a double-ingested block ships once
+        return out.drop_duplicates()
+
+    hashed = ds.map_batches(hash_block, batch_format="pandas")
 
     def per_bucket_losers(bucket: pd.DataFrame) -> pd.DataFrame:
-        s = bucket.sort_values(id_col, kind="mergesort")
-        return s.loc[s.duplicated("_h", keep="first"), [id_col]]
+        # distinct pairs FIRST: a duplicate (id, hash) pair arriving from
+        # two blocks must not mark the winning id itself as a loser
+        # (that would delete every copy of the text — data loss)
+        u = bucket.drop_duplicates().sort_values(id_col, kind="mergesort")
+        return u.loc[u.duplicated(["_h1", "_h2"], keep="first"), [id_col]]
 
     empty = pd.DataFrame({id_col: pd.Series(dtype="int64")})
     losers = bucketed_map_groups(
-        hashed, "_h", per_bucket_losers, num_buckets=64, empty_result=empty
+        hashed, "_h1", per_bucket_losers, num_buckets=64, empty_result=empty
     ).materialize()
     n = losers.count()
     if n == 0:
