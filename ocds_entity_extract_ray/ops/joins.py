@@ -186,6 +186,15 @@ def broadcast_hash_join(
         return ds.map_batches(merge_arrow, batch_format="pyarrow", zero_copy_batch=True)
 
     small_df = small.to_pandas() if isinstance(small, pa.Table) else small
+    # SQL NULL-key semantics: pandas merge matches NaN==NaN (the Arrow
+    # path above and the shuffle hash_join both drop null keys), so a
+    # nullable key column would make the adaptive broadcast/shuffle gate
+    # a correctness flip. Dropping null-key rows on the small side fixes
+    # both modes: inner loses the row, left keeps it with NaN fill.
+    if len(small_df):
+        keymask = small_df[right_keys].notna().all(axis=1)
+        if not keymask.all():
+            small_df = small_df[keymask]
     ref = ray.put(small_df)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:

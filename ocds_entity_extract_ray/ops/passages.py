@@ -285,7 +285,13 @@ def dedup_lines(
     ``force_branch`` ("broadcast" | "join") pins the apply path for
     parity tests. Hash collisions conflate two distinct lines (~2^-64
     per pair); the SQL twin ranks by the same md5-low64 so the oracle
-    agrees exactly either way."""
+    agrees exactly either way.
+
+    TWO SCANS of ``docs`` (detect, then apply), like ``exact_dedup``:
+    callers whose ``docs`` is an expensive lazy chain should materialize
+    it first — and a NON-DETERMINISTIC chain (in-flight sampling or
+    filtering) MUST be materialized, or pass 1's loser positions are
+    applied to different documents in pass 2."""
     wpl = words_per_line
 
     def occurrences(batch: pd.DataFrame) -> pd.DataFrame:

@@ -110,16 +110,22 @@ def profile_table(
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for col in columns:
-            # map-side pre-dedup on the NATIVE values, stringify only the
-            # survivors: a low-cardinality column ships ~k rows per block
-            # instead of the block, and the str() rendering cost tracks
-            # distinct values, not rows. The bucketed pass re-dedups the
-            # strings, so the final count is unchanged (still distinct
-            # over the rendered value).
-            s = batch[col].dropna().drop_duplicates()
-            frames.append(
-                pd.DataFrame({"col_name": col, "value": s.astype(str).to_numpy()})
-            )
+            # map-side pre-dedup: a low-cardinality column ships ~k rows
+            # per block instead of the block. n_distinct is defined over
+            # the RENDERED string (matches the SQL twin), so deduping on
+            # native values is only safe where str() is injective on
+            # native equality — integer/bool dtypes. Anywhere else
+            # (object can hash-collapse 1/1.0/True; float equates
+            # 0.0/-0.0 which render apart) we stringify FIRST and dedup
+            # the strings, or the count would shrink AND become
+            # partition-dependent (equal natives in different blocks both
+            # survive pre-dedup).
+            s = batch[col].dropna()
+            if s.dtype.kind in "iub":
+                s = s.drop_duplicates().astype(str)
+            else:
+                s = s.astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({"col_name": col, "value": s.to_numpy()}))
         out = pd.concat(frames, ignore_index=True)
         return out.astype({"col_name": str, "value": str})
 

@@ -539,11 +539,16 @@ def salient_terms(
 
     # Adaptive df attach. The df table is vocabulary-sized (one int per
     # distinct term), far smaller than the (doc, term, tf) row set — when
-    # its map-side partials fit under ``broadcast_max_terms`` the df map
-    # is combined on the driver and BROADCAST, and the full row set never
-    # shuffles by term (one exchange saved). A web-scale vocabulary blows
-    # the cap, and the term-bucketed exchange takes over unchanged.
-    # ``force_branch`` ("broadcast" | "bucketed") pins it for parity tests.
+    # it fits under ``broadcast_max_terms`` the df map is combined and
+    # BROADCAST, and the full row set never shuffles by term (one
+    # exchange saved). The gate is two-tier so the partials pass is never
+    # wasted: if the map-side partial ROWS already fit, combine them on
+    # the driver (no extra exchange); past that, aggregate the partials
+    # distributedly (an exchange of block-distinct rows, tiny next to
+    # tf_rows) and gate on the TRUE vocabulary size — only a genuinely
+    # un-broadcastable vocabulary falls through to the term-bucketed
+    # exchange of the full row set. ``force_branch`` ("broadcast" |
+    # "bucketed") pins it for parity tests.
     tf_rows = tf_rows.materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -551,17 +556,37 @@ def salient_terms(
         return g.astype({"df": "int64"})
 
     use_broadcast = force_branch != "bucketed"
+    dfmap = None
     if use_broadcast:
         partials = tf_rows.map_batches(df_partial, batch_format="pandas").materialize()
-        if force_branch != "broadcast" and partials.count() > broadcast_max_terms:
-            use_broadcast = False
+        if force_branch == "broadcast" or partials.count() <= broadcast_max_terms:
+            pdf = partials.to_pandas()
+            dfmap = (
+                pdf.groupby("term")["df"].sum() if len(pdf) else pd.Series(dtype="int64")
+            )
+        else:
+            from .agg import grouped_agg
+
+            dfagg = grouped_agg(
+                partials,
+                ["term"],
+                {"df": ("df", "sum")},
+                final="bucketed",
+                num_buckets=num_buckets,
+                empty_result=pd.DataFrame(
+                    {"term": pd.Series(dtype="object"), "df": pd.Series(dtype="int64")}
+                ),
+            ).materialize()
+            if dfagg.count() <= broadcast_max_terms:
+                adf = dfagg.to_pandas()
+                dfmap = adf.set_index("term")["df"]
+            else:
+                use_broadcast = False
     if use_broadcast:
         import ray as _ray
 
         from .joins import _fetch
 
-        pdf = partials.to_pandas()
-        dfmap = pdf.groupby("term")["df"].sum() if len(pdf) else pd.Series(dtype="int64")
         ref = _ray.put(dfmap.to_dict())
 
         def attach_bcast(b: pd.DataFrame) -> pd.DataFrame:

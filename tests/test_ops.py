@@ -1070,6 +1070,42 @@ def test_adaptive_hash_join_branch_parity(ray_session):
     assert sorted(outs["broadcast"]["l_v"].tolist()) == [10, 11, 12]
 
 
+def test_adaptive_hash_join_null_keys(ray_session):
+    """NULL join keys must never match on EITHER branch (SQL semantics).
+    pandas merge treats NaN==NaN as equal, so the broadcast branch used to
+    return null-key matches that the shuffle branch dropped — a
+    scale-dependent correctness flip at the broadcast_max_rows gate."""
+    from ocds_entity_extract_ray.ops.joins import adaptive_hash_join
+
+    left = pd.DataFrame({"k": [1.0, None, 2.0], "l_v": [10, 11, 12]})
+    right = pd.DataFrame({"k": [1.0, None], "w": [100, 101]})
+    for branch in ("broadcast", "shuffle"):
+        out = adaptive_hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            "inner",
+            on=("k",),
+            force_branch=branch,
+        ).to_pandas()
+        assert sorted(out["l_v"].tolist()) == [10], branch
+
+
+def test_broadcast_hash_join_null_keys_left(ray_session):
+    """Left join: a null-key left row survives with NaN fill instead of
+    matching the small side's null-key row."""
+    from ocds_entity_extract_ray.ops.joins import broadcast_hash_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1.0, None], "l_v": [10, 11]})
+    )
+    small = pd.DataFrame({"k": [1.0, None], "w": [100, 101]})
+    out = broadcast_hash_join(left, small, left_on="k", how="left").to_pandas()
+    out = out.sort_values("l_v").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "w"] == 100
+    assert pd.isna(out.loc[1, "w"])
+
+
 def test_exact_dedup_branch_parity(ray_session):
     """exact_dedup's pass-2 branches (broadcast loser set vs distributed
     left_anti) must keep the identical survivor set — min id per distinct
@@ -1470,6 +1506,22 @@ def test_salient_terms_matches_bruteforce(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(forced, got)
+
+    # middle tier of the two-tier gate: partial ROWS exceed the cap but
+    # the TRUE vocabulary fits -> partials are aggregated distributedly
+    # and the df map still broadcasts (exact same result, and the
+    # partials pass is reused instead of wasted)
+    mid = (
+        salient_terms(
+            ray.data.from_pandas(docs).repartition(4),
+            top_k=2,
+            broadcast_max_terms=8,  # < partial rows (10), >= vocab (8)
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mid, got)
 
 
 def test_png_codec_real_path(ray_session):

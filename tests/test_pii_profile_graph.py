@@ -173,6 +173,20 @@ def test_profile_table_exact(ray_session):
     assert int(out["n_rows"].iloc[0]) == 5
 
 
+def test_profile_table_distinct_is_render_faithful(ray_session):
+    """n_distinct counts RENDERED strings (the SQL twin's COUNT(DISTINCT
+    rendered)). An object column mixing 1 / 1.0 / True hash-collapses
+    under native drop_duplicates — the map-side pre-dedup must not let
+    that shrink the count or make it block-boundary-dependent."""
+    from ocds_entity_extract_ray.ops.profile import profile_table
+
+    df = pd.DataFrame({"v": pd.Series([1, 1.0, True, 1, True], dtype="object")})
+    # two blocks so equal-native values straddle a block boundary
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    out = profile_table(ds, ["v"], num_buckets=2).set_index("col_name")
+    assert out.loc["v", "n_distinct"] == 3  # '1', '1.0', 'True'
+
+
 def test_profile_table_hll_mode(ray_session):
     """The HLL distinct path (the 100 TB default): same schema as the
     exact profile, n_distinct within the sketch's error bound, and the
