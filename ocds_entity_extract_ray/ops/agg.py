@@ -138,6 +138,29 @@ def grouped_agg(
     )
 
 
+def use_fast_branch(
+    force: str | None, *, fast: str, slow: str, count, cap: int
+) -> bool:
+    """The repo-wide adaptive-gate predicate, shared so its semantics
+    can't drift between call sites (exact_dedup, dedup_lines,
+    signature_dup_pairs, shared_key_pairs, salient_terms,
+    adaptive_hash_join): ``force`` OVERRIDES the count gate — the
+    forced-branch parity tests depend on that precedence — and an
+    unknown force value raises instead of silently falling through to
+    the count. ``count`` may be an int or a zero-arg callable (lazy, so
+    a forced branch never pays a materialize/count it doesn't need)."""
+    if force == slow:
+        return False
+    if force == fast:
+        return True
+    if force is not None:
+        raise ValueError(
+            f"unknown force_branch {force!r}: expected {fast!r} or {slow!r}"
+        )
+    n = count() if callable(count) else count
+    return n <= cap
+
+
 def bucketed_map_groups(
     ds: ray.data.Dataset,
     key_col: str,

@@ -107,7 +107,7 @@ def exact_dedup(
     pins pass 2 for parity tests."""
     import ray as _ray
 
-    from .agg import bucketed_map_groups
+    from .agg import bucketed_map_groups, use_fast_branch
     from .joins import _fetch, hash_join
 
     def hash_block(b: pd.DataFrame) -> pd.DataFrame:
@@ -133,8 +133,12 @@ def exact_dedup(
     n = losers.count()
     if n == 0:
         return ds
-    if force_branch != "anti_join" and (
-        force_branch == "broadcast" or n <= broadcast_max_losers
+    if use_fast_branch(
+        force_branch,
+        fast="broadcast",
+        slow="anti_join",
+        count=n,
+        cap=broadcast_max_losers,
     ):
         ref = _ray.put(frozenset(losers.to_pandas()[id_col].tolist()))
 
@@ -743,7 +747,7 @@ def signature_dup_pairs(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
 
-    from .agg import bucketed_map_groups
+    from .agg import bucketed_map_groups, use_fast_branch
 
     chunked = ds.map_batches(to_chunks, batch_format="pandas")
     pairs = bucketed_map_groups(
@@ -760,8 +764,12 @@ def signature_dup_pairs(
 
     partials = pairs.map_batches(dedup_block, batch_format="pandas").materialize()
     n_partials = partials.count()
-    if force_branch != "bucketed" and (
-        force_branch == "driver" or n_partials <= driver_combine_max_rows
+    if use_fast_branch(
+        force_branch,
+        fast="driver",
+        slow="bucketed",
+        count=n_partials,
+        cap=driver_combine_max_rows,
     ):
         pdf = partials.to_pandas() if n_partials else empty_out
         g = dedup_block(pdf).reset_index(drop=True)
@@ -886,7 +894,7 @@ def shared_key_pairs(
     the final combine for parity tests. Shared by
     ``fingerprint_overlap_pairs`` (winnowing), ``multimodal``'s audio
     landmark and video frame-pHash dedup."""
-    from .agg import bucketed_map_groups
+    from .agg import bucketed_map_groups, use_fast_branch
 
     empty_pairs = pd.DataFrame(
         {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
@@ -932,8 +940,12 @@ def shared_key_pairs(
         g = g[g["n_partial"] >= min_shared].rename(columns={"n_partial": "n_shared"})
         return g.astype({"id_a": "int64", "id_b": "int64", "n_shared": "int64"})
 
-    if force_branch != "bucketed" and (
-        force_branch == "driver" or n_partials <= driver_combine_max_rows
+    if use_fast_branch(
+        force_branch,
+        fast="driver",
+        slow="bucketed",
+        count=n_partials,
+        cap=driver_combine_max_rows,
     ):
         pdf = partials.to_pandas() if n_partials else empty_partial
         g = final_combine(pdf).reset_index(drop=True)

@@ -96,10 +96,18 @@ def adaptive_hash_join(
     measurement without touching call sites)."""
     import os
 
+    from .agg import use_fast_branch
+
     force_branch = force_branch or os.environ.get("GRAFT_ADAPTIVE_JOIN") or None
     if join_type == "inner" and force_branch != "shuffle":
         mat = right.materialize()
-        if force_branch == "broadcast" or mat.count() <= broadcast_max_rows:
+        if use_fast_branch(
+            force_branch,
+            fast="broadcast",
+            slow="shuffle",
+            count=mat.count,
+            cap=broadcast_max_rows,
+        ):
             small = mat.to_pandas()
             right_keys = list(right_on or on)
             ren = {rk: lk for rk, lk in zip(right_keys, on) if rk != lk}

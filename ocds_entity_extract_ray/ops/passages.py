@@ -347,8 +347,14 @@ def dedup_lines(
             }
         )
 
-    if force_branch != "join" and (
-        force_branch == "broadcast" or n_losers <= broadcast_max_losers
+    from .agg import use_fast_branch
+
+    if use_fast_branch(
+        force_branch,
+        fast="broadcast",
+        slow="join",
+        count=n_losers,
+        cap=broadcast_max_losers,
     ):
         by_doc: dict = {}
         if n_losers:

@@ -555,11 +555,19 @@ def salient_terms(
         g = b.groupby("term", as_index=False).size().rename(columns={"size": "df"})
         return g.astype({"df": "int64"})
 
+    from .agg import use_fast_branch
+
     use_broadcast = force_branch != "bucketed"
     dfmap = None
     if use_broadcast:
         partials = tf_rows.map_batches(df_partial, batch_format="pandas").materialize()
-        if force_branch == "broadcast" or partials.count() <= broadcast_max_terms:
+        if use_fast_branch(
+            force_branch,
+            fast="broadcast",
+            slow="bucketed",
+            count=partials.count,
+            cap=broadcast_max_terms,
+        ):
             pdf = partials.to_pandas()
             dfmap = (
                 pdf.groupby("term")["df"].sum() if len(pdf) else pd.Series(dtype="int64")

@@ -1070,6 +1070,24 @@ def test_adaptive_hash_join_branch_parity(ray_session):
     assert sorted(outs["broadcast"]["l_v"].tolist()) == [10, 11, 12]
 
 
+def test_use_fast_branch_gate():
+    """The shared adaptive-gate predicate: force overrides the count
+    (never evaluated on a forced branch), unknown force values raise."""
+    import pytest as _pytest
+
+    from ocds_entity_extract_ray.ops.agg import use_fast_branch
+
+    def boom():
+        raise AssertionError("count must not be evaluated on a forced branch")
+
+    assert use_fast_branch("fast", fast="fast", slow="slow", count=boom, cap=0)
+    assert not use_fast_branch("slow", fast="fast", slow="slow", count=boom, cap=10**9)
+    assert use_fast_branch(None, fast="fast", slow="slow", count=5, cap=5)
+    assert not use_fast_branch(None, fast="fast", slow="slow", count=lambda: 6, cap=5)
+    with _pytest.raises(ValueError, match="unknown force_branch"):
+        use_fast_branch("typo", fast="fast", slow="slow", count=0, cap=0)
+
+
 def test_adaptive_hash_join_null_keys(ray_session):
     """NULL join keys must never match on EITHER branch (SQL semantics).
     pandas merge treats NaN==NaN as equal, so the broadcast branch used to
