@@ -6465,6 +6465,81 @@ Q_GOPHER_QUALITY_SQL = "\nWITH t AS (\n  SELECT doc_id, unnest(regexp_extract_al
 SQL_QUERIES["q_gopher_quality"] = (q_gopher_quality, Q_GOPHER_QUALITY_SQL)
 
 
+def q_c4_quality(sf_dir: str) -> pd.DataFrame:
+    """C4 cleaning battery (Raffel et al. §2.2, ops/c4.py): terminal-
+    punctuation / min-words / 'javascript' line rules + lorem-ipsum /
+    curly-brace / min-kept-lines page rules, zero shuffle. The synthetic
+    corpus has no punctuation, so the input is punctuated
+    DETERMINISTICALLY in BOTH engines (the q_pii_redaction pattern):
+    'merge' -> 'merge.' makes the suffix rule live on interior lines,
+    and doc_id-keyed suffixes plant lorem/brace/javascript hits so every
+    rule fires on a nonempty subset. 8-word reflow lines, min 1 kept."""
+    from ..ops.c4 import add_c4_quality
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype("int64")
+        t = b["text"].astype(str).str.replace("merge", "merge.", regex=False)
+        t = t.to_numpy(dtype=object)
+        t = t + np.where((did % 89 == 0).to_numpy(), " lorem ipsum", "")
+        t = t + np.where((did % 97 == 0).to_numpy(), " {x}", "")
+        t = t + np.where((did % 101 == 0).to_numpy(), " javascript line here ok.", "")
+        return pd.DataFrame({"doc_id": did, "text": t})
+
+    out = add_c4_quality(
+        docs.map_batches(plant, batch_format="pandas"),
+        words_per_line=8,
+        min_kept_lines=1,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_C4_QUALITY_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         replace(text, 'merge', 'merge.')
+         || CASE WHEN doc_id % 89 = 0 THEN ' lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 97 = 0 THEN ' {x}' ELSE '' END
+         || CASE WHEN doc_id % 101 = 0 THEN ' javascript line here ok.' ELSE '' END
+           AS text
+  FROM documents),
+docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM src),
+spine AS (
+  SELECT doc_id, unnest(range(((array_length(ws) + 7) // 8)::BIGINT)) AS j, ws
+  FROM docs),
+lines AS (
+  SELECT doc_id, j,
+         array_to_string(ws[(j * 8 + 1)::INT : (j * 8 + 8)::INT], ' ') AS line
+  FROM spine),
+lf AS (
+  SELECT doc_id, j, line,
+         (substr(line, length(line), 1) IN ('.', '!', '?', '"')
+          AND array_length(regexp_extract_all(line, '[^ ]+')) >= 3
+          AND NOT contains(lower(line), 'javascript')) AS kept
+  FROM lines),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+         SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         STRING_AGG(CASE WHEN kept THEN line END, chr(10) ORDER BY j) AS kept_text
+  FROM lf GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, a.n_lines, a.n_kept,
+         contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+         contains(d.text, '{') AS has_brace,
+         a.kept_text
+  FROM docs d JOIN agg a USING (doc_id))
+SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND n_kept >= 1) AS c4_pass,
+       CASE WHEN NOT has_lorem AND NOT has_brace AND n_kept >= 1
+            THEN kept_text END AS clean_text
+FROM base ORDER BY doc_id
+"""
+
+SQL_QUERIES["q_c4_quality"] = (q_c4_quality, Q_C4_QUALITY_SQL)
+
+
 def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training over the documents corpus (ops/bpe.py):
     the learned merge table for 24 merges. Rows-only: the merge loop is

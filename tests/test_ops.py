@@ -2789,6 +2789,52 @@ def test_bm25_topk_validates_empty(ray_session):
         bm25_topk(ds, {0: []})
 
 
+def test_c4_clean_planted_rules():
+    """Every C4 rule trips on a purpose-built multi-line document
+    (newline mode), and the cleaned text keeps exactly the surviving
+    lines in order."""
+    import numpy as np
+
+    from ocds_entity_extract_ray.ops.c4 import c4_clean_batch
+
+    docs = [
+        # 0: healthy page — 5 good sentences survive, one bad line drops
+        "This is a good first sentence.\n"
+        "Another proper sentence follows here!\n"
+        "menu home about",  # no terminal punct AND <3 words after filter
+        # 1: javascript line dropped, page still passes on the others
+        "Please enable javascript to continue.\nA real sentence stays here.",
+        # 2: lorem ipsum kills the whole page
+        "Lorem ipsum dolor sit amet.\nA fine sentence otherwise.",
+        # 3: curly brace kills the whole page
+        "function f() { return 1; }\nGood sentence here though.",
+        # 4: too few words per line
+        "Yes.\nNo!\nOk?",
+        # 5: empty
+        "",
+    ]
+    out = c4_clean_batch(
+        np.arange(len(docs)), docs, min_words_per_line=3, min_kept_lines=1
+    )
+    assert out["n_lines"].tolist() == [3, 2, 2, 2, 3, 1]
+    assert out["n_kept"].tolist() == [2, 1, 2, 1, 0, 0]
+    assert out["has_lorem"].tolist() == [False, False, True, False, False, False]
+    assert out["has_brace"].tolist() == [False, False, False, True, False, False]
+    assert out["c4_pass"].tolist() == [True, True, False, False, False, False]
+    assert (
+        out.loc[0, "clean_text"]
+        == "This is a good first sentence.\nAnother proper sentence follows here!"
+    )
+    assert out.loc[1, "clean_text"] == "A real sentence stays here."
+    assert out.loc[2, "clean_text"] is None  # dropped pages carry no text
+
+    # min_kept_lines page rule: same docs, stricter sentence floor
+    strict = c4_clean_batch(
+        np.arange(len(docs)), docs, min_words_per_line=3, min_kept_lines=2
+    )
+    assert strict["c4_pass"].tolist() == [True, False, False, False, False, False]
+
+
 def test_gopher_quality_planted_flags():
     """Each Gopher rule trips on a purpose-built document; the healthy
     document passes all five."""
