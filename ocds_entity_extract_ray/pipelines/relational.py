@@ -6556,6 +6556,26 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
 ROWS_ONLY_QUERIES["q_bpe_merges"] = q_bpe_merges
 
 
+def q_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Train BPE on the corpus, then APPLY it back at corpus scale
+    (ops/bpe.py:add_bpe_token_counts) — the tokenize step every training
+    run pays before packing. The merge-rank table broadcasts once
+    (ray.put), each batch tokenizes DISTINCT words through a per-batch
+    memo, and nothing shuffles. Rows-only like q_bpe_merges (BPE has no
+    SQL expression); correctness is pinned by the from-scratch
+    reference parity + apply tests in test_ops.py."""
+    from ..ops.bpe import add_bpe_token_counts, bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=24)
+    out = add_bpe_token_counts(docs, merges).to_pandas()
+    out = out[["doc_id", "n_bpe_tokens"]].sort_values("doc_id")
+    return out.reset_index(drop=True)
+
+
+ROWS_ONLY_QUERIES["q_bpe_token_counts"] = q_bpe_token_counts
+
+
 # --- media near-dup dedup (image / audio / video) ----------------------------
 #
 # Rows-only by construction: the inputs are binary media payloads (no

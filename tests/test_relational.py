@@ -85,6 +85,11 @@ def test_no_unoracled_relational_queries():
         # reference implementation parity (test_ops.py) + total
         # determinism order
         "q_bpe_merges",
+        # BPE APPLY composes on the merge table above — same non-SQL
+        # iterative merge order per word; evidence = the apply-parity
+        # leg of test_ops.py::test_bpe_train_matches_reference (every
+        # doc's count re-derived with the from-scratch tokenizer)
+        "q_bpe_token_counts",
         # binary media payloads: no media table exists in the sf dirs and
         # pHash / spectral landmarks are not SQL-expressible; evidence =
         # the planted-pair ground-truth gate INSIDE each query
