@@ -55,10 +55,19 @@ def c4_clean_batch(
     ids = np.asarray(ids)
     doc_idx, line_strs = [], []
     for i, t in enumerate(texts):
-        ls = _doc_lines(t or "", words_per_line)
+        # NaN floats are truthy, so `t or ""` alone would crash _doc_lines
+        # on pandas-origin missing strings — any non-str is missing text
+        ls = _doc_lines(t if isinstance(t, str) else "", words_per_line)
         doc_idx.extend([i] * len(ls))
         line_strs.extend(ls)
-    lf = pd.DataFrame({"_i": np.asarray(doc_idx, dtype=np.int64), "line": line_strs})
+    lf = pd.DataFrame(
+        {
+            "_i": np.asarray(doc_idx, dtype=np.int64),
+            # explicit object dtype: an EMPTY batch would otherwise infer
+            # float64 and every .str accessor below would raise
+            "line": pd.Series(line_strs, dtype="object"),
+        }
+    )
     s = lf["line"]
     kept = (
         s.str.endswith(_TERMINAL)
@@ -92,7 +101,10 @@ def c4_clean_batch(
     out["c4_pass"] = (
         ~out["has_lorem"] & ~out["has_brace"] & (out["n_kept"] >= min_kept_lines)
     )
-    clean = joined.reindex(idx)
+    # contract: clean_text is str for passing docs, None for dropped ones
+    # — fillna keeps a min_kept_lines=0 pass with zero kept lines as ''
+    # instead of leaking the reindex NaN into the column
+    clean = joined.reindex(idx).fillna("")
     out["clean_text"] = np.where(out["c4_pass"].to_numpy(), clean.to_numpy(), None)
     return out
 

@@ -98,13 +98,16 @@ def exact_dedup(
     whose ``ds`` is an expensive lazy chain should materialize it first.
 
     ID CONTRACT: ``id_col`` is the row identity — pass 2 filters BY ID,
-    so it must be unique per row. Rows that repeat an id (e.g. a shard
-    ingested twice) are never data-lost: loser selection works on
-    distinct (id, hash) pairs, so the min id survives with ALL its copies
-    (collapsing byte-identical same-id rows needs row identity the engine
-    doesn't have without shuffling the text; re-ingest dedup is
-    ``ops.ingest``'s job). ``force_branch`` ("broadcast" | "anti_join")
-    pins pass 2 for parity tests."""
+    so it must be unique per TEXT-carrying row. BYTE-IDENTICAL rows that
+    repeat an id (a shard ingested twice) are safe: loser selection works
+    on distinct (id, hash) pairs, so the min id survives with all its
+    copies (collapsing those needs row identity the engine doesn't have
+    without shuffling the text; re-ingest dedup is ``ops.ingest``'s job).
+    But an id reused across DIFFERENT texts is undefined behavior — the
+    reused id can be another text's winner and a loser at once, and
+    dropping it by id deletes the text it won (id-based filtering cannot
+    distinguish the two rows). ``force_branch``
+    ("broadcast" | "anti_join") pins pass 2 for parity tests."""
     import ray as _ray
 
     from .agg import bucketed_map_groups, use_fast_branch

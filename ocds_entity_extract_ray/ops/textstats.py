@@ -541,14 +541,19 @@ def salient_terms(
     # distinct term), far smaller than the (doc, term, tf) row set — when
     # it fits under ``broadcast_max_terms`` the df map is combined and
     # BROADCAST, and the full row set never shuffles by term (one
-    # exchange saved). The gate is two-tier so the partials pass is never
-    # wasted: if the map-side partial ROWS already fit, combine them on
-    # the driver (no extra exchange); past that, aggregate the partials
-    # distributedly (an exchange of block-distinct rows, tiny next to
-    # tf_rows) and gate on the TRUE vocabulary size — only a genuinely
-    # un-broadcastable vocabulary falls through to the term-bucketed
-    # exchange of the full row set. ``force_branch`` ("broadcast" |
-    # "bucketed") pins it for parity tests.
+    # exchange saved). The gate is two-tier: if the map-side partial
+    # ROWS already fit, combine them on the driver (no extra exchange);
+    # in the ambiguous band above that (partial rows over the cap, but
+    # by at most ``_TIER2_FACTOR``x — a small vocab spread over many
+    # blocks), aggregate the partials distributedly (a vocab-ish-sized
+    # exchange, tiny next to tf_rows) and gate on the TRUE vocabulary
+    # size. Past the band the vocabulary cannot plausibly fit, so the
+    # probe is skipped and the term-bucketed exchange of the full row
+    # set takes over directly — the fall-through's price is the partials
+    # map pass (and, inside the band, one small probe exchange); that is
+    # the cost of a gate that wins whenever the vocab is broadcastable.
+    # ``force_branch`` ("broadcast" | "bucketed") pins it for parity
+    # tests.
     tf_rows = tf_rows.materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -557,22 +562,24 @@ def salient_terms(
 
     from .agg import use_fast_branch
 
+    _TIER2_FACTOR = 8
     use_broadcast = force_branch != "bucketed"
     dfmap = None
     if use_broadcast:
         partials = tf_rows.map_batches(df_partial, batch_format="pandas").materialize()
+        n_partial = partials.count()
         if use_fast_branch(
             force_branch,
             fast="broadcast",
             slow="bucketed",
-            count=partials.count,
+            count=n_partial,
             cap=broadcast_max_terms,
         ):
             pdf = partials.to_pandas()
             dfmap = (
                 pdf.groupby("term")["df"].sum() if len(pdf) else pd.Series(dtype="int64")
             )
-        else:
+        elif n_partial <= _TIER2_FACTOR * broadcast_max_terms:
             from .agg import grouped_agg
 
             dfagg = grouped_agg(
@@ -590,6 +597,8 @@ def salient_terms(
                 dfmap = adf.set_index("term")["df"]
             else:
                 use_broadcast = False
+        else:
+            use_broadcast = False
     if use_broadcast:
         import ray as _ray
 

@@ -2834,6 +2834,15 @@ def test_c4_clean_planted_rules():
     )
     assert strict["c4_pass"].tolist() == [True, False, False, False, False, False]
 
+    # hardening edges: empty batch (Ray delivers zero-row blocks), NaN
+    # text (pandas missing strings), and min_kept_lines=0 passes with
+    # zero kept lines must yield '' (str), never a leaked reindex NaN
+    empty = c4_clean_batch(np.array([], dtype=np.int64), [])
+    assert len(empty) == 0 and list(empty.columns)[0] == "doc_id"
+    nan = c4_clean_batch(np.array([7]), [float("nan")], min_kept_lines=0)
+    assert nan["n_kept"].tolist() == [0] and nan["c4_pass"].tolist() == [True]
+    assert nan.loc[0, "clean_text"] == ""
+
 
 def test_gopher_quality_planted_flags():
     """Each Gopher rule trips on a purpose-built document; the healthy
