@@ -535,11 +535,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_skew_join_type_weight",
     "q_bucketed_join_segments",
     "q_range_join",
-    # windows / sessions / temporal (running_total/moving_sum: the r04
-    # dtype class, freshly ::BIGINT-cast; late_events: new in r04)
+    # windows / sessions / temporal (running_total: the r04 dtype class,
+    # freshly ::BIGINT-cast; late_events: new in r04; moving_sum rotated
+    # out in r05 — running_total covers the same window+dtype shape)
     "q_events_tumbling",
     "q_running_total",
-    "q_moving_sum",
     "q_late_events",
     "q_scd2_user_value",
     "q_gapfill_daily_orders",
@@ -547,12 +547,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_rollup_orders",
     "q_supplier_rank",
     "q_label_centroids",
-    # deduplication family (passage/semantic: new in r04)
+    # deduplication family (passage/semantic: new in r04; line dedup:
+    # new in r05)
     "q_exact_dedup_stats",
     "q_minhash_dup_pairs",
     "q_simhash_dup_pairs",
     "q_passage_dedup",
     "q_semantic_dedup",
+    "q_line_dedup",
     "q_contamination",
     # media dedup (rows-only: binary payloads, planted-truth-gated)
     "q_image_dup_pairs",
@@ -567,9 +569,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_bfs_purchase_radius",
     "q_kcore_parts",
     "q_supplier_triangles",
-    # text analysis (gopher/ngram_char_fracs: new in r04)
+    # text analysis (gopher/ngram_char_fracs: new in r04; c4: new in
+    # r05; langid rotated out — q_doc_quality exercises the same
+    # segmentation kernel and langid stays in the full sweep)
     "q_doc_quality",
-    "q_langid",
+    "q_c4_quality",
     "q_gopher_quality",
     "q_ngram_char_fracs",
     "q_unigram_surprisal",
