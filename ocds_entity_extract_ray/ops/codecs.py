@@ -314,3 +314,99 @@ def decode_image(payload: bytes) -> np.ndarray:
         f"compressed image codec ({kind or 'unknown'}) not supported — "
         "BMP/PPM/PNG/JPEG/GIF decode natively in this build"
     )
+
+
+# --- compressed TEXT payloads (crawl / WARC bodies) ---------------------------
+#
+# Web-crawl page bodies arrive gzip- (WARC convention) or zlib-deflated;
+# the text pipeline needs a decode seam just like decode_image. stdlib
+# zlib is the same dependency the PNG path already uses.
+
+_TEXT_MAX_BYTES = 256 << 20  # decompression-bomb guard (same spirit as
+# decode_jpeg's max-pixels guard: a few-hundred-byte hostile payload can
+# declare gigabytes — refuse loudly instead of OOM-killing the actor)
+
+
+def sniff_text_encoding(payload: bytes) -> str:
+    """'gzip' (1f 8b magic), 'zlib' (0x78 CMF with a valid FCHECK — the
+    CMF<<8|FLG multiple-of-31 rule from RFC 1950), else 'raw'."""
+    if payload[:2] == b"\x1f\x8b":
+        return "gzip"
+    if (
+        len(payload) >= 2
+        and payload[0] == 0x78
+        and ((payload[0] << 8) | payload[1]) % 31 == 0
+    ):
+        return "zlib"
+    return "raw"
+
+
+def decode_text_payload(
+    payload: bytes,
+    *,
+    encoding: str = "utf-8",
+    errors: str = "replace",
+    max_bytes: int = _TEXT_MAX_BYTES,
+) -> str:
+    """Decode one crawl body: transparent gzip/zlib inflation by magic,
+    raw bytes otherwise, then charset decode (``errors='replace'`` — a
+    crawl ALWAYS contains mojibake; a decode crash must not kill the
+    stage). Inflation is streamed in 1 MiB slices against ``max_bytes``
+    so a zip bomb raises ValueError instead of exhausting worker heap."""
+    import zlib as _z
+
+    if payload is None:
+        return ""
+    kind = sniff_text_encoding(payload)
+    if kind == "raw":
+        return payload.decode(encoding, errors)
+    d = _z.decompressobj(wbits=31 if kind == "gzip" else 15)
+    out: list[bytes] = []
+    total = 0
+    data = payload
+    try:
+        while True:
+            chunk = d.decompress(data, 1 << 20)
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"decode_text_payload: inflated size exceeds "
+                    f"max_bytes={max_bytes} — refusing a decompression bomb"
+                )
+            out.append(chunk)
+            data = b""
+            if d.eof or not d.unconsumed_tail:
+                break
+            data = d.unconsumed_tail
+    except _z.error as exc:
+        raise ValueError(f"decode_text_payload: corrupt {kind} stream: {exc}") from exc
+    return b"".join(out).decode(encoding, errors)
+
+
+def decompress_text_column(
+    ds,
+    payload_col: str = "payload",
+    out_col: str = "text",
+    *,
+    encoding: str = "utf-8",
+    errors: str = "replace",
+    max_bytes: int = _TEXT_MAX_BYTES,
+):
+    """Dataset stage: binary crawl bodies -> text column (map-only, zero
+    shuffle; per-payload zlib work is inherently scalar but the hot loop
+    is C inside zlib). Keeps the payload column OUT of the result — at
+    100 TB the compressed bytes must not ride along through downstream
+    exchanges."""
+    import pandas as pd
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        o = b.drop(columns=[payload_col]).copy()
+        o[out_col] = [
+            decode_text_payload(
+                p, encoding=encoding, errors=errors, max_bytes=max_bytes
+            )
+            for p in b[payload_col]
+        ]
+        return o
+
+    return ds.map_batches(run, batch_format="pandas")

@@ -2789,6 +2789,51 @@ def test_bm25_topk_validates_empty(ray_session):
         bm25_topk(ds, {0: []})
 
 
+def test_decode_text_payload_codecs(ray_session):
+    """Crawl-body text decode: gzip/zlib inflate by magic, raw
+    passthrough, mojibake replaced (never a crash), zip bombs and corrupt
+    streams raise ValueError; the Dataset stage drops the payload column."""
+    import gzip
+    import zlib
+
+    import pytest as _pytest
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.codecs import (
+        decode_text_payload,
+        decompress_text_column,
+        sniff_text_encoding,
+    )
+
+    s = "héllo wörld — crawl body\n" * 40
+    assert decode_text_payload(gzip.compress(s.encode())) == s
+    assert decode_text_payload(zlib.compress(s.encode())) == s
+    assert decode_text_payload(s.encode()) == s
+    assert sniff_text_encoding(gzip.compress(b"x")) == "gzip"
+    assert sniff_text_encoding(zlib.compress(b"x")) == "zlib"
+    assert sniff_text_encoding(b"plain") == "raw"
+    # mojibake: replaced, not raised
+    assert "�" in decode_text_payload(b"\xff\xfe\xfa page")
+    with _pytest.raises(ValueError, match="decompression bomb"):
+        decode_text_payload(zlib.compress(b"\x00" * (1 << 22)), max_bytes=1 << 20)
+    with _pytest.raises(ValueError, match="corrupt gzip"):
+        decode_text_payload(b"\x1f\x8b garbage")
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [gzip.compress(b"alpha"), zlib.compress(b"beta"), b"gamma"],
+        }
+    )
+    out = (
+        decompress_text_column(ray.data.from_pandas(df), "payload", "text")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["text"].tolist() == ["alpha", "beta", "gamma"]
+    assert "payload" not in out.columns
+
+
 def test_c4_clean_planted_rules():
     """Every C4 rule trips on a purpose-built multi-line document
     (newline mode), and the cleaned text keeps exactly the surviving
