@@ -1468,3 +1468,219 @@ def top_jaccard_pairs(scored: ray.data.Dataset, k: int) -> pd.DataFrame:
             "jaccard": cn.astype("float64") / union.astype("float64"),
         }
     )
+
+
+# --- label propagation (community detection) ----------------------------------
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 5,
+    num_buckets: int = 32,
+    broadcast_max_edges: int = 1_000_000,
+    force_branch: str | None = None,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation communities (Raghavan et al. 2007),
+    made DETERMINISTIC so an iterative community algorithm gets a
+    hash-exact DuckDB twin (``label_propagation_sql`` — the pagerank
+    trick applied to LPA):
+
+    - edges are deduped and self-loops dropped; a vote travels src->dst,
+      so an undirected graph is expressed as a bidirected edge list
+      (exactly the shared purchase-graph convention);
+    - label0(v) = v;
+    - each round, v adopts the neighbor label with the HIGHEST vote
+      count, ties broken by SMALLEST label (total order — the classic
+      random tie-break is what makes textbook LPA non-deterministic);
+      a node with no in-edges keeps its label;
+    - JACOBI updates (every round reads the previous round's labels), so
+      ``rounds`` means the same thing on the driver path, the
+      distributed path, and in the unrolled SQL twin.
+
+    Adaptive like :func:`pagerank`: under ``broadcast_max_edges`` the
+    loop runs vectorized int64 numpy on the driver; above it, two
+    bucketed exchanges per round (co-locate labels with edges on src ->
+    votes; argmax votes per dst merged with prior labels), the bounded-
+    round ``bfs_distances`` shape — nothing node- or edge-sized lands on
+    the driver. ``force_branch`` ("driver" | "bucketed") pins the path
+    for parity tests. Returns (node, label) int64."""
+    from .agg import bucketed_map_groups, use_fast_branch
+
+    empty_e = pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+    )
+    dedup = bucketed_map_groups(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"src": b[src_col], "dst": b[dst_col]}
+            ).astype({"src": "int64", "dst": "int64"}),
+            batch_format="pandas",
+        ),
+        "src",
+        lambda b: b[b["src"] != b["dst"]].drop_duplicates(["src", "dst"]),
+        num_buckets=num_buckets,
+        empty_result=empty_e,
+    ).materialize()
+
+    empty_l = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
+    )
+    n_edges = dedup.count()
+    if n_edges == 0:
+        return ray.data.from_pandas(empty_l)
+
+    if use_fast_branch(
+        force_branch,
+        fast="driver",
+        slow="bucketed",
+        count=n_edges,
+        cap=broadcast_max_edges,
+    ):
+        edf = dedup.to_pandas()
+        nodes = np.unique(np.concatenate([edf["src"], edf["dst"]])).astype("int64")
+        s = np.searchsorted(nodes, edf["src"].to_numpy())
+        d = np.searchsorted(nodes, edf["dst"].to_numpy())
+        label = np.arange(len(nodes), dtype=np.int64)  # positions of nodes
+        for _ in range(rounds):
+            lv = label[s]  # src labels as POSITIONS (nodes order == id order,
+            # so min-position ties == min-label ties)
+            order = np.lexsort((lv, d))
+            ds_, ls_ = d[order], lv[order]
+            grp = np.empty(len(ds_), dtype=bool)
+            grp[0] = True
+            grp[1:] = (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])
+            gi = np.flatnonzero(grp)
+            counts = np.diff(np.append(gi, len(ds_)))
+            gd, gl = ds_[gi], ls_[gi]
+            o2 = np.lexsort((gl, -counts, gd))
+            gd2 = gd[o2]
+            first = np.empty(len(gd2), dtype=bool)
+            first[0] = True
+            first[1:] = gd2[1:] != gd2[:-1]
+            nxt = label.copy()
+            nxt[gd2[first]] = gl[o2][first]
+            label = nxt
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": nodes, "label": nodes[label]}).astype(
+                {"node": "int64", "label": "int64"}
+            )
+        )
+
+    # distributed: tagged-union bucket loop, 2 exchanges/round
+    empty_kvk = pd.DataFrame(
+        {
+            "key": pd.Series(dtype="int64"),
+            "val": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype="int64"),
+        }
+    )
+    edge2 = dedup.map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["src"], "val": b["dst"], "kind": 1}
+        ).astype({"key": "int64", "val": "int64", "kind": "int64"}),
+        batch_format="pandas",
+    ).materialize()
+
+    labels = bucketed_map_groups(
+        dedup.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": pd.concat([b["src"], b["dst"]], ignore_index=True)}
+            ).astype({"node": "int64"}),
+            batch_format="pandas",
+        ),
+        "node",
+        lambda b: b.drop_duplicates("node").assign(label=lambda f: f["node"]),
+        num_buckets=num_buckets,
+        empty_result=empty_l,
+    ).materialize()
+
+    def emit_votes(bucket: pd.DataFrame) -> pd.DataFrame:
+        lab = bucket[bucket["kind"] == 0]
+        edg = bucket[bucket["kind"] == 1]
+        v = edg.merge(lab[["key", "val"]].rename(columns={"val": "label"}), on="key")
+        # votes arrive at the DST bucket tagged kind=1
+        return pd.DataFrame(
+            {"key": v["val"].to_numpy(), "val": v["label"].to_numpy(), "kind": 1}
+        ).astype({"key": "int64", "val": "int64", "kind": "int64"})
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        prev = bucket[bucket["kind"] == 0]
+        votes = bucket[bucket["kind"] == 1]
+        out = prev[["key", "val"]].rename(columns={"key": "node", "val": "label"})
+        if len(votes):
+            c = (
+                votes.groupby(["key", "val"], as_index=False)
+                .size()
+                .sort_values(["key", "size", "val"], ascending=[True, False, True])
+            )
+            win = c.drop_duplicates("key")
+            m = out.merge(
+                win[["key", "val"]].rename(columns={"key": "node", "val": "_w"}),
+                on="node",
+                how="left",
+            )
+            out = pd.DataFrame(
+                {
+                    "node": m["node"].to_numpy(),
+                    "label": m["_w"].fillna(m["label"]).to_numpy(),
+                }
+            )
+        return out.astype({"node": "int64", "label": "int64"})
+
+    for _ in range(rounds):
+        tagged_labels = labels.map_batches(
+            lambda b: pd.DataFrame(
+                {"key": b["node"], "val": b["label"], "kind": 0}
+            ).astype({"key": "int64", "val": "int64", "kind": "int64"}),
+            batch_format="pandas",
+        )
+        votes = bucketed_map_groups(
+            tagged_labels.union(edge2),
+            "key",
+            emit_votes,
+            num_buckets=num_buckets,
+            empty_result=empty_kvk,
+        )
+        labels = bucketed_map_groups(
+            tagged_labels.union(votes),
+            "key",
+            combine,
+            num_buckets=num_buckets,
+            empty_result=empty_l,
+        ).materialize()
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, *, rounds: int = 5) -> str:
+    """DuckDB twin of :func:`label_propagation`: the Jacobi vote/argmax
+    recurrence unrolled as chained CTEs (``AS MATERIALIZED`` — DuckDB's
+    default CTE inlining re-expands a chained graph recurrence
+    EXPONENTIALLY, the k_core lesson). ``edges_sql`` must yield
+    (src, dst); dedup + self-loop drop happen here, mirroring the op."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        f"({edges_sql}) WHERE src <> dst),",
+        "n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM n),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT e.dst AS node, l.label, "
+            f"COUNT(*)::BIGINT AS c FROM e JOIN l{i - 1} l ON l.node = e.src "
+            f"GROUP BY e.dst, l.label),"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, label FROM v{i} QUALIFY "
+            f"ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1),"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.node, "
+            f"COALESCE(a.label, l.label)::BIGINT AS label "
+            f"FROM l{i - 1} l LEFT JOIN a{i} a ON a.node = l.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, label FROM l{rounds} ORDER BY node")
+    return "\n".join(parts)

@@ -2451,6 +2451,28 @@ Q_PAGERANK_SQL = _pagerank_sql(_PURCHASE_EDGES_SQL, iters=10)
 SQL_QUERIES["q_pagerank"] = (q_pagerank, Q_PAGERANK_SQL)
 
 
+def q_label_prop(sf_dir: str) -> pd.DataFrame:
+    """Deterministic label-propagation communities over the bidirected
+    purchase graph (ops/graph.py:label_propagation — synchronous Jacobi
+    rounds, votes argmax'd by (count DESC, label ASC), so the iterative
+    community algorithm is order-independent and hash-exact against the
+    unrolled-CTE twin, the pagerank trick). The graph is bipartite, so
+    LPA here measures deterministic label flow rather than converged
+    communities — the composition under test is dedup + 2 bucketed
+    exchanges per round + the argmax total order."""
+    from ..ops.graph import label_propagation
+
+    out = label_propagation(_purchase_graph_edges(sf_dir), rounds=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+from ..ops.graph import label_propagation_sql as _lpa_sql  # noqa: E402
+
+Q_LABEL_PROP_SQL = _lpa_sql(_PURCHASE_EDGES_SQL, rounds=4)
+
+SQL_QUERIES["q_label_prop"] = (q_label_prop, Q_LABEL_PROP_SQL)
+
+
 def q_salient_terms(sf_dir: str) -> pd.DataFrame:
     """TF-IDF-style keyword extraction: top-3 salient terms per document by
     the integer score (tf * 1e6) // df (ops/textstats.py:salient_terms —

@@ -817,3 +817,78 @@ def test_adaptive_paths_parity_on_edge_cases(ray_session):
             hops=0, num_buckets=4, broadcast_max_edges=bme,
         ).to_pandas()
         assert len(out) == 1 and out.iloc[0]["dist"] == 0
+
+
+def test_label_propagation_parity_and_communities(ray_session):
+    """Deterministic LPA: driver numpy path == bucketed distributed path
+    == the unrolled-CTE DuckDB twin, bit for bit (adaptive-two-path
+    rule), and two planted communities converge to their min-id labels
+    with only the two cross-edges to fight through."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.graph import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    rng = np.random.RandomState(7)
+    a, b = rng.randint(0, 30, 200), rng.randint(0, 30, 200)
+    c, d = rng.randint(100, 140, 260), rng.randint(100, 140, 260)
+    src = np.concatenate([a, c, [5, 7]])
+    dst = np.concatenate([b, d, [105, 120]])
+    edges = pd.DataFrame(
+        {"src": np.concatenate([src, dst]), "dst": np.concatenate([dst, src])}
+    ).astype("int64")
+    ds = ray.data.from_pandas(edges).repartition(3)
+
+    outs = {}
+    for br in ("driver", "bucketed"):
+        outs[br] = (
+            label_propagation(ds, rounds=5, num_buckets=4, force_branch=br)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["driver"], outs["bucketed"])
+
+    con = duckdb.connect()
+    con.register("edges_tbl", edges)
+    odf = con.execute(
+        label_propagation_sql("SELECT src, dst FROM edges_tbl", rounds=5)
+    ).df()
+    assert outs["driver"].equals(odf)
+    assert all(outs["driver"].dtypes == odf.dtypes)
+
+    # planted structure: every node labelled by its community's min id
+    g = outs["driver"]
+    assert set(g["label"]) == {0, 100}
+    assert (g.loc[g["node"] < 100, "label"] == 0).all()
+    assert (g.loc[g["node"] >= 100, "label"] == 100).all()
+
+
+def test_label_propagation_edge_cases(ray_session):
+    """Zero edges -> typed empty; self-loops dropped (a pure self-loop
+    graph has no votes, so every node keeps its own label); duplicate
+    edges count once (dedup), matching the SQL twin's DISTINCT."""
+    from ocds_entity_extract_ray.ops.graph import label_propagation
+
+    empty = label_propagation(
+        ray.data.from_pandas(
+            pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        )
+    )
+    assert empty.count() == 0
+
+    loops = pd.DataFrame({"src": [1, 2, 2], "dst": [1, 2, 2]})
+    out = label_propagation(ray.data.from_pandas(loops), rounds=3)
+    assert out.count() == 0  # all edges were self-loops -> no graph
+
+    # duplicated edge (3->4 twice) must not outvote two distinct edges:
+    # node 4 hears {3} once (dedup) and {5} once -> min label 3 wins ties
+    dup = pd.DataFrame({"src": [3, 3, 5], "dst": [4, 4, 4]})
+    out = (
+        label_propagation(ray.data.from_pandas(dup), rounds=1)
+        .to_pandas()
+        .set_index("node")["label"]
+    )
+    assert out[4] == 3
