@@ -112,10 +112,15 @@ BENCH_QUERIES = [
     "q_top_session_paths",
     "q_revenue_share",
     "q_url_frontier_dedup",
-    # round-5 additions (compare from r05 on): the media dedup trio
+    # round-5 additions (compare from r05 on): the media dedup trio +
+    # CCNet line dedup, C4 battery, BPE apply, LPA communities
     "q_image_dup_pairs",
     "q_audio_dup_pairs",
     "q_video_dup_pairs",
+    "q_line_dedup",
+    "q_c4_quality",
+    "q_bpe_token_counts",
+    "q_label_prop",
 ]
 
 

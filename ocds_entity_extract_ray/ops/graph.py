@@ -1505,7 +1505,14 @@ def label_propagation(
     bucketed exchanges per round (co-locate labels with edges on src ->
     votes; argmax votes per dst merged with prior labels), the bounded-
     round ``bfs_distances`` shape — nothing node- or edge-sized lands on
-    the driver. ``force_branch`` ("driver" | "bucketed") pins the path
+    the driver. COST NOTE: the union-loop re-ships the static edge list
+    through a sort exchange every round (O(rounds x edges) network, and
+    each Ray sort job carries ~tens of seconds of fixed overhead on a
+    small cluster) — it is the correctness fallback; a driver-sized
+    int64 pair list should raise ``broadcast_max_edges`` instead (the
+    bfs/bellman query-level precedent), and a true beyond-driver corpus
+    wants the edges pinned once on BSP actors like :func:`pagerank`'s
+    scale path. ``force_branch`` ("driver" | "bucketed") pins the path
     for parity tests. Returns (node, label) int64."""
     from .agg import bucketed_map_groups, use_fast_branch
 

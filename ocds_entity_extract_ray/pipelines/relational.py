@@ -2462,7 +2462,13 @@ def q_label_prop(sf_dir: str) -> pd.DataFrame:
     exchanges per round + the argmax total order."""
     from ..ops.graph import label_propagation
 
-    out = label_propagation(_purchase_graph_edges(sf_dir), rounds=4).to_pandas()
+    # query-level gate bump (the bfs/weighted-paths precedent): the
+    # purchase graph is ~1.2M int64 pairs (~19 MB) at sf0.1 — trivially
+    # driver-sized, while the bucketed fallback pays ~8 Ray sort jobs
+    # (40-70 s each on this box, the k_core lesson)
+    out = label_propagation(
+        _purchase_graph_edges(sf_dir), rounds=4, broadcast_max_edges=4_000_000
+    ).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
