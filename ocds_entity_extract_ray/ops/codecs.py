@@ -328,13 +328,20 @@ _TEXT_MAX_BYTES = 256 << 20  # decompression-bomb guard (same spirit as
 
 
 def sniff_text_encoding(payload: bytes) -> str:
-    """'gzip' (1f 8b magic), 'zlib' (0x78 CMF with a valid FCHECK — the
-    CMF<<8|FLG multiple-of-31 rule from RFC 1950), else 'raw'."""
+    """'gzip' (1f 8b magic — effectively unambiguous in text), 'zlib'
+    (RFC 1950: CM=8 in the CMF low nibble, window <= 32K, FDICT clear —
+    preset dictionaries can't be inflated here — and the CMF<<8|FLG
+    multiple-of-31 FCHECK), else 'raw'. The zlib magic is only TWO
+    bytes, so plain text like ``b'x '`` can pass it — callers must treat
+    a 'zlib' sniff as a HINT and fall back to raw when inflation fails
+    (decode_text_payload does)."""
     if payload[:2] == b"\x1f\x8b":
         return "gzip"
     if (
         len(payload) >= 2
-        and payload[0] == 0x78
+        and (payload[0] & 0x0F) == 8  # CM=8 (deflate)
+        and (payload[0] >> 4) <= 7  # window size <= 32K
+        and not (payload[1] & 0x20)  # FDICT clear
         and ((payload[0] << 8) | payload[1]) % 31 == 0
     ):
         return "zlib"
@@ -352,19 +359,30 @@ def decode_text_payload(
     raw bytes otherwise, then charset decode (``errors='replace'`` — a
     crawl ALWAYS contains mojibake; a decode crash must not kill the
     stage). Inflation is streamed in 1 MiB slices against ``max_bytes``
-    so a zip bomb raises ValueError instead of exhausting worker heap."""
+    so a zip bomb raises ValueError instead of exhausting worker heap.
+
+    Error policy by magic strength: the gzip magic (1f 8b) is
+    effectively unambiguous, so a corrupt or TRUNCATED gzip stream
+    raises ValueError (silent partial text would poison downstream dedup
+    and quality stats). The zlib magic is a 2-byte checksum rule that
+    plain text like ``b'x '`` can satisfy, so a 'zlib' sniff that fails
+    to inflate cleanly falls back to raw charset decode instead of
+    killing the stage on a valid document. Missing payloads (None or a
+    pandas NaN cell) decode to ''."""
     import zlib as _z
 
-    if payload is None:
-        return ""
+    if payload is None or not isinstance(payload, (bytes, bytearray, memoryview)):
+        return ""  # None, or a NaN cell from an outer join / parquet null
+    payload = bytes(payload)
     kind = sniff_text_encoding(payload)
     if kind == "raw":
         return payload.decode(encoding, errors)
-    d = _z.decompressobj(wbits=31 if kind == "gzip" else 15)
-    out: list[bytes] = []
-    total = 0
-    data = payload
-    try:
+
+    def inflate(kind: str) -> bytes:
+        d = _z.decompressobj(wbits=31 if kind == "gzip" else 15)
+        out: list[bytes] = []
+        total = 0
+        data = payload
         while True:
             chunk = d.decompress(data, 1 << 20)
             total += len(chunk)
@@ -374,13 +392,32 @@ def decode_text_payload(
                     f"max_bytes={max_bytes} — refusing a decompression bomb"
                 )
             out.append(chunk)
-            data = b""
-            if d.eof or not d.unconsumed_tail:
+            nxt = d.unconsumed_tail
+            if d.eof or not nxt:
                 break
-            data = d.unconsumed_tail
+            if nxt == data and not chunk:  # no progress — corrupt
+                raise _z.error("no progress inflating stream")
+            data = nxt
+        tail = d.flush()  # pending window output at a chunk boundary
+        total += len(tail)
+        if total > max_bytes:
+            raise ValueError(
+                f"decode_text_payload: inflated size exceeds "
+                f"max_bytes={max_bytes} — refusing a decompression bomb"
+            )
+        out.append(tail)
+        if not d.eof:
+            raise _z.error("stream truncated (input exhausted before EOF)")
+        return b"".join(out)
+
+    try:
+        return inflate(kind).decode(encoding, errors)
     except _z.error as exc:
+        if kind == "zlib":
+            # ambiguous 2-byte magic: a real text document can sniff as
+            # zlib — treat inflation failure as "it was raw after all"
+            return payload.decode(encoding, errors)
         raise ValueError(f"decode_text_payload: corrupt {kind} stream: {exc}") from exc
-    return b"".join(out).decode(encoding, errors)
 
 
 def decompress_text_column(

@@ -1624,15 +1624,19 @@ def label_propagation(
                 .sort_values(["key", "size", "val"], ascending=[True, False, True])
             )
             win = c.drop_duplicates("key")
-            m = out.merge(
-                win[["key", "val"]].rename(columns={"key": "node", "val": "_w"}),
-                on="node",
-                how="left",
-            )
+            # nullable Int64 BEFORE the left merge: the NaN upcast would
+            # otherwise route labels through float64 and silently round
+            # ids >= 2^53 on this branch only (the pagerank/bfs
+            # fillna-upcast bug class)
+            w = win[["key", "val"]].rename(columns={"key": "node", "val": "_w"})
+            m = out.merge(w.astype({"_w": "Int64"}), on="node", how="left")
             out = pd.DataFrame(
                 {
                     "node": m["node"].to_numpy(),
-                    "label": m["_w"].fillna(m["label"]).to_numpy(),
+                    "label": m["_w"]
+                    .fillna(m["label"].astype("Int64"))
+                    .astype("int64")
+                    .to_numpy(),
                 }
             )
         return out.astype({"node": "int64", "label": "int64"})

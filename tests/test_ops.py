@@ -2818,6 +2818,21 @@ def test_decode_text_payload_codecs(ray_session):
         decode_text_payload(zlib.compress(b"\x00" * (1 << 22)), max_bytes=1 << 20)
     with _pytest.raises(ValueError, match="corrupt gzip"):
         decode_text_payload(b"\x1f\x8b garbage")
+    # truncated gzip: silent partial text would poison dedup — raise
+    gz = gzip.compress(("body " * 4000).encode())
+    with _pytest.raises(ValueError, match="corrupt gzip"):
+        decode_text_payload(gz[: len(gz) // 2])
+    # the 2-byte zlib magic is ambiguous: raw text passing the FCHECK
+    # rule ('x ' == 0x7820, divisible by 31) must come back as raw text
+    assert decode_text_payload(b"x 2 matrix notes") == "x 2 matrix notes"
+    # small-window zlib (CMF 0x68, 2K window) still inflates
+    co = zlib.compressobj(wbits=11)
+    small = co.compress(s.encode()) + co.flush()
+    assert sniff_text_encoding(small) == "zlib"
+    assert decode_text_payload(small) == s
+    # NaN payload cell (outer join / parquet null) -> '' like None
+    assert decode_text_payload(float("nan")) == ""
+    assert decode_text_payload(None) == ""
 
     df = pd.DataFrame(
         {

@@ -866,10 +866,42 @@ def test_label_propagation_parity_and_communities(ray_session):
     assert (g.loc[g["node"] >= 100, "label"] == 100).all()
 
 
+def test_label_propagation_big_ids_bucketed(ray_session):
+    """64-bit hashed node ids (> 2^53): the bucketed branch's combine
+    must not route labels through float64 (the fillna-upcast bug class)
+    — driver and bucketed branches stay bit-identical."""
+    from ocds_entity_extract_ray.ops.graph import label_propagation
+
+    base = (1 << 62) + 1  # not representable in float64
+    # base+5 has an OUT-edge only: it receives no votes, so the combine
+    # keeps its prior label through the fillna path — exactly the row
+    # whose NaN used to upcast the whole label column to float64
+    e = pd.DataFrame(
+        {
+            "src": [base, base + 1, base + 2, base + 9, base + 5],
+            "dst": [base + 1, base, base + 9, base + 2, base + 9],
+        }
+    ).astype("int64")
+    outs = {}
+    for br in ("driver", "bucketed"):
+        outs[br] = (
+            label_propagation(
+                ray.data.from_pandas(e), rounds=3, num_buckets=2, force_branch=br
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["driver"], outs["bucketed"])
+    assert outs["bucketed"]["label"].min() == base  # exact, not rounded
+
+
 def test_label_propagation_edge_cases(ray_session):
-    """Zero edges -> typed empty; self-loops dropped (a pure self-loop
-    graph has no votes, so every node keeps its own label); duplicate
-    edges count once (dedup), matching the SQL twin's DISTINCT."""
+    """Zero edges -> typed empty; self-loops dropped BEFORE the node
+    universe is built, so nodes whose only edges are self-loops leave
+    the graph entirely (count()==0 below — matching the SQL twin, whose
+    node CTE is derived from the self-loop-filtered edge set); duplicate
+    edges count once (dedup), matching the twin's DISTINCT."""
     from ocds_entity_extract_ray.ops.graph import label_propagation
 
     empty = label_propagation(
