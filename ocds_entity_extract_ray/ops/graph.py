@@ -1501,20 +1501,16 @@ def label_propagation(
       distributed path, and in the unrolled SQL twin.
 
     Adaptive like :func:`pagerank`: under ``broadcast_max_edges`` the
-    loop runs vectorized int64 numpy on the driver; above it, two
-    bucketed exchanges per round (co-locate labels with edges on src ->
-    votes; argmax votes per dst merged with prior labels), the bounded-
-    round ``bfs_distances`` shape — nothing node- or edge-sized lands on
-    the driver. COST NOTE: the union-loop re-ships the static edge list
-    through a sort exchange every round (O(rounds x edges) network, and
-    each Ray sort job carries ~tens of seconds of fixed overhead on a
-    small cluster) — it is the correctness fallback; a driver-sized
-    int64 pair list should raise ``broadcast_max_edges`` instead (the
-    bfs/bellman query-level precedent), and a true beyond-driver corpus
-    wants the edges pinned once on BSP actors like :func:`pagerank`'s
-    scale path. ``force_branch`` ("driver" | "bucketed") pins the path
-    for parity tests. Returns (node, label) int64."""
-    from .agg import bucketed_map_groups, use_fast_branch
+    loop runs vectorized int64 numpy on the driver; above it, the
+    pagerank-shaped BSP path — edges split ONCE onto shard actors by
+    hash(src), each round shipping only node-sized label frames in and
+    per-(dst, label) compressed vote partials out (a first union-loop
+    version re-sorted the edge list twice per round: 453 s at sf0.1
+    for a 19 MB pair list, ~8 Ray sort jobs at 40-70 s fixed cost).
+    Nothing node- or edge-sized lands on the driver on this path.
+    ``force_branch`` ("driver" | "bsp") pins the path for parity tests.
+    Returns (node, label) int64."""
+    from .agg import bucketed_map_groups, grouped_agg, use_fast_branch
 
     empty_e = pd.DataFrame(
         {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
@@ -1542,7 +1538,7 @@ def label_propagation(
     if use_fast_branch(
         force_branch,
         fast="driver",
-        slow="bucketed",
+        slow="bsp",
         count=n_edges,
         cap=broadcast_max_edges,
     ):
@@ -1576,93 +1572,132 @@ def label_propagation(
             )
         )
 
-    # distributed: tagged-union bucket loop, 2 exchanges/round
-    empty_kvk = pd.DataFrame(
-        {
-            "key": pd.Series(dtype="int64"),
-            "val": pd.Series(dtype="int64"),
-            "kind": pd.Series(dtype="int64"),
-        }
-    )
-    edge2 = dedup.map_batches(
-        lambda b: pd.DataFrame(
-            {"key": b["src"], "val": b["dst"], "kind": 1}
-        ).astype({"key": "int64", "val": "int64", "kind": "int64"}),
-        batch_format="pandas",
-    ).materialize()
+    # ---- distributed path: BSP with edge shards pinned on actors ----------
+    # Same shape as pagerank's scale path: edges are split ONCE onto shard
+    # actors by hash(src); per round only node-sized label frames ship in
+    # and per-(dst, label) COMPRESSED vote partials ship out — the edges
+    # never move again (the earlier union-loop re-sorted the edge list
+    # twice per round: ~8 Ray sort jobs for 4 rounds, 40-70 s each).
+    import ray as _ray
 
-    labels = bucketed_map_groups(
+    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+
+    nodes_ds = grouped_agg(
         dedup.map_batches(
             lambda b: pd.DataFrame(
-                {"node": pd.concat([b["src"], b["dst"]], ignore_index=True)}
-            ).astype({"node": "int64"}),
+                {
+                    "node": pd.concat([b["src"], b["dst"]], ignore_index=True),
+                    "one": 1,
+                }
+            ).astype({"node": "int64", "one": "int64"}),
             batch_format="pandas",
         ),
-        "node",
-        lambda b: b.drop_duplicates("node").assign(label=lambda f: f["node"]),
-        num_buckets=num_buckets,
-        empty_result=empty_l,
+        ["node"],
+        {"one": ("one", "min")},
+        final="bucketed",
+        num_buckets=nb,
+        empty_result=pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "one": pd.Series(dtype="int64")}
+        ),
     ).materialize()
 
-    def emit_votes(bucket: pd.DataFrame) -> pd.DataFrame:
-        lab = bucket[bucket["kind"] == 0]
-        edg = bucket[bucket["kind"] == 1]
-        v = edg.merge(lab[["key", "val"]].rename(columns={"val": "label"}), on="key")
-        # votes arrive at the DST bucket tagged kind=1
-        return pd.DataFrame(
-            {"key": v["val"].to_numpy(), "val": v["label"].to_numpy(), "kind": 1}
-        ).astype({"key": "int64", "val": "int64", "kind": "int64"})
+    @_ray.remote
+    def _split(df: pd.DataFrame, col: str, cols: tuple):
+        if col not in df.columns:  # schema-less empty block (sparse bucket)
+            df = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        bkt = df[col].to_numpy() % nb
+        return tuple(df[bkt == b] for b in range(nb))
 
-    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
-        prev = bucket[bucket["kind"] == 0]
-        votes = bucket[bucket["kind"] == 1]
-        out = prev[["key", "val"]].rename(columns={"key": "node", "val": "label"})
-        if len(votes):
+    edge_pieces = [
+        _split.options(num_returns=nb).remote(r, "src", ("src", "dst"))
+        for r in dedup.to_pandas_refs()
+    ]
+    node_pieces = [
+        _split.options(num_returns=nb).remote(r, "node", ("node", "one"))
+        for r in nodes_ds.to_pandas_refs()
+    ]
+
+    @_ray.remote
+    class _LPAShard:
+        """One src-bucket of edges for the whole job, pre-grouped by
+        destination bucket."""
+
+        def __init__(self, *parts):
+            e = pd.concat(parts, ignore_index=True)
+            e["_db"] = (e["dst"].to_numpy() % nb).astype("int64")
+            self.e = e
+
+        def votes(self, labels: pd.DataFrame):
+            j = self.e.merge(labels, left_on="src", right_on="node")
+            # compress to per-(dst, label) partial counts before shipping
             c = (
-                votes.groupby(["key", "val"], as_index=False)
+                j.groupby(["dst", "label", "_db"], as_index=False)
                 .size()
-                .sort_values(["key", "size", "val"], ascending=[True, False, True])
+                .rename(columns={"size": "cnt"})
+                .astype({"dst": "int64", "label": "int64", "cnt": "int64"})
             )
-            win = c.drop_duplicates("key")
-            # nullable Int64 BEFORE the left merge: the NaN upcast would
-            # otherwise route labels through float64 and silently round
-            # ids >= 2^53 on this branch only (the pagerank/bfs
-            # fillna-upcast bug class)
-            w = win[["key", "val"]].rename(columns={"key": "node", "val": "_w"})
-            m = out.merge(w.astype({"_w": "Int64"}), on="node", how="left")
-            out = pd.DataFrame(
-                {
-                    "node": m["node"].to_numpy(),
-                    "label": m["_w"]
-                    .fillna(m["label"].astype("Int64"))
-                    .astype("int64")
-                    .to_numpy(),
-                }
+            return tuple(
+                c.loc[c["_db"] == b, ["dst", "label", "cnt"]] for b in range(nb)
             )
-        return out.astype({"node": "int64", "label": "int64"})
+
+    shards = [
+        _LPAShard.remote(*[edge_pieces[i][b] for i in range(len(edge_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote
+    def _init_labels(*parts):
+        m = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"node": pd.Series(dtype="int64")})
+        )
+        return pd.DataFrame({"node": m["node"], "label": m["node"]}).astype(
+            {"node": "int64", "label": "int64"}
+        )
+
+    label_refs = [
+        _init_labels.remote(*[node_pieces[i][b] for i in range(len(node_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote
+    def _reduce(prev: pd.DataFrame, *pieces):
+        allv = pd.concat(pieces, ignore_index=True)
+        out = prev.copy()
+        if len(allv):
+            c = (
+                allv.groupby(["dst", "label"], as_index=False)["cnt"]
+                .sum()
+                .sort_values(["dst", "cnt", "label"], ascending=[True, False, True])
+            )
+            win = c.drop_duplicates("dst")
+            # int64 end to end: positional indexer instead of a merge —
+            # a left-merge NaN would upcast labels >= 2^53 through
+            # float64 (the pagerank _reduce comment's bug class)
+            idx = pd.Index(win["dst"].to_numpy())
+            pos = idx.get_indexer(out["node"].to_numpy())
+            lab = out["label"].to_numpy().copy()
+            m = pos >= 0
+            lab[m] = win["label"].to_numpy()[pos[m]]
+            out["label"] = lab
+        return out[["node", "label"]].astype({"node": "int64", "label": "int64"})
 
     for _ in range(rounds):
-        tagged_labels = labels.map_batches(
-            lambda b: pd.DataFrame(
-                {"key": b["node"], "val": b["label"], "kind": 0}
-            ).astype({"key": "int64", "val": "int64", "kind": "int64"}),
-            batch_format="pandas",
-        )
-        votes = bucketed_map_groups(
-            tagged_labels.union(edge2),
-            "key",
-            emit_votes,
-            num_buckets=num_buckets,
-            empty_result=empty_kvk,
-        )
-        labels = bucketed_map_groups(
-            tagged_labels.union(votes),
-            "key",
-            combine,
-            num_buckets=num_buckets,
-            empty_result=empty_l,
-        ).materialize()
-    return labels
+        grid = [
+            shards[b].votes.options(num_returns=nb).remote(label_refs[b])
+            for b in range(nb)
+        ]
+        label_refs = [
+            _reduce.remote(label_refs[d], *[grid[b][d] for b in range(nb)])
+            for d in range(nb)
+        ]
+
+    out = ray.data.from_pandas_refs(label_refs)
+    return out.map_batches(
+        lambda b: b[["node", "label"]].astype({"node": "int64", "label": "int64"}),
+        batch_format="pandas",
+    )
 
 
 def label_propagation_sql(edges_sql: str, *, rounds: int = 5) -> str:

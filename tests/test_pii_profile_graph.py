@@ -842,14 +842,14 @@ def test_label_propagation_parity_and_communities(ray_session):
     ds = ray.data.from_pandas(edges).repartition(3)
 
     outs = {}
-    for br in ("driver", "bucketed"):
+    for br in ("driver", "bsp"):
         outs[br] = (
             label_propagation(ds, rounds=5, num_buckets=4, force_branch=br)
             .to_pandas()
             .sort_values("node")
             .reset_index(drop=True)
         )
-    pd.testing.assert_frame_equal(outs["driver"], outs["bucketed"])
+    pd.testing.assert_frame_equal(outs["driver"], outs["bsp"])
 
     con = duckdb.connect()
     con.register("edges_tbl", edges)
@@ -883,7 +883,7 @@ def test_label_propagation_big_ids_bucketed(ray_session):
         }
     ).astype("int64")
     outs = {}
-    for br in ("driver", "bucketed"):
+    for br in ("driver", "bsp"):
         outs[br] = (
             label_propagation(
                 ray.data.from_pandas(e), rounds=3, num_buckets=2, force_branch=br
@@ -892,8 +892,8 @@ def test_label_propagation_big_ids_bucketed(ray_session):
             .sort_values("node")
             .reset_index(drop=True)
         )
-    pd.testing.assert_frame_equal(outs["driver"], outs["bucketed"])
-    assert outs["bucketed"]["label"].min() == base  # exact, not rounded
+    pd.testing.assert_frame_equal(outs["driver"], outs["bsp"])
+    assert outs["bsp"]["label"].min() == base  # exact, not rounded
 
 
 def test_label_propagation_edge_cases(ray_session):
