@@ -26,6 +26,19 @@ import ray.data
 
 from .agg import bucketed_map_groups, grouped_agg
 
+
+@ray.remote
+def _split_by_bucket(df: pd.DataFrame, col: str, cols: tuple, nb: int):
+    """Shared BSP fan-out splitter (pagerank + label_propagation): route
+    one pandas block's rows to ``nb`` bucket pieces by ``col % nb``
+    (numpy modulo is non-negative for negative ids). Schema-less empty
+    blocks from sparse bucketed stages are replaced with typed empties."""
+    if col not in df.columns:
+        df = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    bkt = df[col].to_numpy() % nb
+    return tuple(df[bkt == b] for b in range(nb))
+
+
 def connected_components(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -332,21 +345,14 @@ def pagerank(
         base = ((damp_den - damp_num) * scale) // (damp_den * n_s)
         r0 = scale // n_s
 
-    @_ray.remote
-    def _split(df: pd.DataFrame, col: str, cols: tuple):
-        if col not in df.columns:  # schema-less empty block (sparse bucket)
-            df = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-        bkt = df[col].to_numpy() % nb
-        return tuple(df[bkt == b] for b in range(nb))
-
     # pieces[i][b]: block i's rows for bucket b — each edge/node row moves
-    # through the object store exactly once
+    # through the object store exactly once (shared BSP splitter below)
     edge_pieces = [
-        _split.options(num_returns=nb).remote(r, "src", ("src", "dst"))
+        _split_by_bucket.options(num_returns=nb).remote(r, "src", ("src", "dst"), nb)
         for r in dedup.to_pandas_refs()
     ]
     rank_pieces = [
-        _split.options(num_returns=nb).remote(r, "node", ("node", "deg"))
+        _split_by_bucket.options(num_returns=nb).remote(r, "node", ("node", "deg"), nb)
         for r in meta.to_pandas_refs()
     ]
 
@@ -1599,21 +1605,20 @@ def label_propagation(
         empty_result=pd.DataFrame(
             {"node": pd.Series(dtype="int64"), "one": pd.Series(dtype="int64")}
         ),
+    ).map_batches(
+        # the 'one' column existed only to satisfy grouped_agg's spec —
+        # drop it BEFORE the BSP fan-out so node pieces ship 8 B/node,
+        # not 16
+        lambda b: b[["node"]],
+        batch_format="pandas",
     ).materialize()
 
-    @_ray.remote
-    def _split(df: pd.DataFrame, col: str, cols: tuple):
-        if col not in df.columns:  # schema-less empty block (sparse bucket)
-            df = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-        bkt = df[col].to_numpy() % nb
-        return tuple(df[bkt == b] for b in range(nb))
-
     edge_pieces = [
-        _split.options(num_returns=nb).remote(r, "src", ("src", "dst"))
+        _split_by_bucket.options(num_returns=nb).remote(r, "src", ("src", "dst"), nb)
         for r in dedup.to_pandas_refs()
     ]
     node_pieces = [
-        _split.options(num_returns=nb).remote(r, "node", ("node", "one"))
+        _split_by_bucket.options(num_returns=nb).remote(r, "node", ("node",), nb)
         for r in nodes_ds.to_pandas_refs()
     ]
 
@@ -1631,7 +1636,7 @@ def label_propagation(
             j = self.e.merge(labels, left_on="src", right_on="node")
             # compress to per-(dst, label) partial counts before shipping
             c = (
-                j.groupby(["dst", "label", "_db"], as_index=False)
+                j.groupby(["dst", "label", "_db"], as_index=False, sort=False)
                 .size()
                 .rename(columns={"size": "cnt"})
                 .astype({"dst": "int64", "label": "int64", "cnt": "int64"})
@@ -1667,7 +1672,7 @@ def label_propagation(
         out = prev.copy()
         if len(allv):
             c = (
-                allv.groupby(["dst", "label"], as_index=False)["cnt"]
+                allv.groupby(["dst", "label"], as_index=False, sort=False)["cnt"]
                 .sum()
                 .sort_values(["dst", "cnt", "label"], ascending=[True, False, True])
             )
@@ -1693,6 +1698,10 @@ def label_propagation(
             for d in range(nb)
         ]
 
+    # NB: don't ray.kill the shards here — the final round's votes calls
+    # may still be queued; the handles go out of scope on return and Ray
+    # reaps the actors once their pending calls drain (same contract as
+    # pagerank's shard pool).
     out = ray.data.from_pandas_refs(label_refs)
     return out.map_batches(
         lambda b: b[["node", "label"]].astype({"node": "int64", "label": "int64"}),

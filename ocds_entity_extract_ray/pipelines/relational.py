@@ -2458,14 +2458,14 @@ def q_label_prop(sf_dir: str) -> pd.DataFrame:
     community algorithm is order-independent and hash-exact against the
     unrolled-CTE twin, the pagerank trick). The graph is bipartite, so
     LPA here measures deterministic label flow rather than converged
-    communities — the composition under test is dedup + 2 bucketed
-    exchanges per round + the argmax total order."""
+    communities — the composition under test is the edge dedup + the
+    adaptive driver/BSP vote-argmax rounds under a total order."""
     from ..ops.graph import label_propagation
 
     # query-level gate bump (the bfs/weighted-paths precedent): the
     # purchase graph is ~1.2M int64 pairs (~19 MB) at sf0.1 — trivially
-    # driver-sized, while the bucketed fallback pays ~8 Ray sort jobs
-    # (40-70 s each on this box, the k_core lesson)
+    # driver-sized (numpy path ~5 s vs ~12 s on the BSP shard-actor
+    # fallback, whose per-round fan-out only pays off past the driver)
     out = label_propagation(
         _purchase_graph_edges(sf_dir), rounds=4, broadcast_max_edges=4_000_000
     ).to_pandas()
