@@ -6568,6 +6568,65 @@ FROM base ORDER BY doc_id
 SQL_QUERIES["q_c4_quality"] = (q_c4_quality, Q_C4_QUALITY_SQL)
 
 
+def q_text_decompress(sf_dir: str) -> pd.DataFrame:
+    """The crawl-body decode seam (ops/codecs.py:decompress_text_column)
+    under the driver's eye: each document's text is deterministically
+    compressed by doc_id — gzip (mtime=0) / zlib / raw bytes — and
+    inflated back through the map-only decode stage; the oracle checks
+    the FINAL values (enc tag + inflated char count), so any decode
+    corruption breaks the hash. Raw docs whose text happens to start
+    with an FCHECK-valid 'x…' also exercise the ambiguous-zlib-magic raw
+    fallback. Zero shuffle; the payload column never leaves the stage."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from ..ops.codecs import decompress_text_column
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for did, t in zip(b["doc_id"], b["text"]):
+            bt = str(t).encode()
+            m = did % 3
+            payloads.append(
+                _gzip.compress(bt, mtime=0)
+                if m == 0
+                else (_zlib.compress(bt) if m == 1 else bt)
+            )
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+    out = decompress_text_column(
+        docs.map_batches(pack, batch_format="pandas"), "payload", "text"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["doc_id"].to_numpy() % 3
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "enc": np.where(m == 0, "gzip", np.where(m == 1, "zlib", "raw")),
+                "n_chars": b["text"].str.len().astype("int64"),
+            }
+        )
+
+    res = out.map_batches(finish, batch_format="pandas").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_TEXT_DECOMPRESS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib' ELSE 'raw' END AS enc,
+       length(text)::BIGINT AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+SQL_QUERIES["q_text_decompress"] = (q_text_decompress, Q_TEXT_DECOMPRESS_SQL)
+
+
 def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training over the documents corpus (ops/bpe.py):
     the learned merge table for 24 merges. Rows-only: the merge loop is
