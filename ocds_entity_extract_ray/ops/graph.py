@@ -99,80 +99,115 @@ def connected_components(
 
         return nodes.map_batches(assign, batch_format="pandas")
 
-    # undirected edges, tagged for the union: (key=src, kind=1, val=dst)
+    # ---- distributed path: BSP with edge shards pinned on actors ----------
+    # Same harness as pagerank/label_propagation: the bidirected edge
+    # list is split ONCE onto shard actors by hash(key); each round ships
+    # node-sized label frames in and per-(node, bucket) MIN-label partials
+    # out — the edges never re-shuffle (the previous union-loop re-sorted
+    # them twice per round, up to 2 x max_iters Ray sort jobs).
+    import ray as _ray
+
+    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"key": b[src_col], "val": b[dst_col]})
         rev = pd.DataFrame({"key": b[dst_col], "val": b[src_col]})
-        out = pd.concat([fwd, rev], ignore_index=True)
-        out["kind"] = 1
-        return out.astype({"key": "int64", "val": "int64", "kind": "int64"})
+        return pd.concat([fwd, rev], ignore_index=True).astype(
+            {"key": "int64", "val": "int64"}
+        )
 
     edge2 = edges.map_batches(both_dirs, batch_format="pandas").materialize()
 
-    labels = nodes.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b[node_col].to_numpy().astype("int64"),
-             "label": b[node_col].to_numpy().astype("int64")}
-        ),
-        batch_format="pandas",
-    ).materialize()
+    edge_pieces = [
+        _split_by_bucket.options(num_returns=nb).remote(r, "key", ("key", "val"), nb)
+        for r in edge2.to_pandas_refs()
+    ]
+    node_pieces = [
+        _split_by_bucket.options(num_returns=nb).remote(r, node_col, (node_col,), nb)
+        for r in nodes.to_pandas_refs()
+    ]
 
-    def label_sum(ds: ray.data.Dataset) -> int:
-        parts = ds.map_batches(
-            lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
-            batch_format="pandas",
-        ).to_pandas()
-        return int(parts["s"].sum())
+    @_ray.remote
+    class _CCShard:
+        """One key-bucket of bidirected edges, pre-grouped by the
+        destination's bucket."""
 
-    empty_lab = pd.DataFrame(
-        {"node": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
-    )
+        def __init__(self, *parts):
+            e = pd.concat(parts, ignore_index=True)
+            e["_db"] = (e["val"].to_numpy() % nb).astype("int64")
+            self.e = e
 
-    def propagate(bucket: pd.DataFrame) -> pd.DataFrame:
-        lab = bucket[bucket["kind"] == 0]
-        edg = bucket[bucket["kind"] == 1]
-        own = pd.DataFrame(
-            {"node": lab["key"].to_numpy(), "label": lab["val"].to_numpy()}
+        def carry(self, labels: pd.DataFrame):
+            j = self.e.merge(labels, left_on="key", right_on="node")
+            # compress to ONE min-label row per (destination, bucket)
+            c = (
+                j.groupby(["val", "_db"], as_index=False, sort=False)["label"]
+                .min()
+                .rename(columns={"val": "node"})
+                .astype({"node": "int64", "label": "int64"})
+            )
+            return tuple(
+                c.loc[c["_db"] == b, ["node", "label"]] for b in range(nb)
+            )
+
+    shards = [
+        _CCShard.remote(*[edge_pieces[i][b] for i in range(len(edge_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote
+    def _init_cc(*parts):
+        m = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({node_col: pd.Series(dtype="int64")})
         )
-        carried = edg.merge(
-            lab[["key", "val"]].rename(columns={"val": "label"}), on="key"
-        )
-        car = pd.DataFrame(
-            {"node": carried["val"].to_numpy(), "label": carried["label"].to_numpy()}
-        )
-        return pd.concat([own, car], ignore_index=True).astype(
+        n = m[node_col].drop_duplicates().to_numpy().astype("int64")
+        return pd.DataFrame({"node": n, "label": n}).astype(
             {"node": "int64", "label": "int64"}
         )
 
-    prev = label_sum(labels)
+    label_refs = [
+        _init_cc.remote(*[node_pieces[i][b] for i in range(len(node_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote
+    def _cc_reduce(prev: pd.DataFrame, *pieces):
+        # int64 end to end via a positional indexer (no merge NaN upcast),
+        # and restricted to prev's node universe — carried labels for
+        # endpoints outside ``nodes`` are dropped, matching the driver
+        # union-find path's assign-over-nodes semantics
+        allc = pd.concat(pieces, ignore_index=True)
+        out = prev.copy()
+        if len(allc):
+            c = allc.groupby("node", as_index=False, sort=False)["label"].min()
+            idx = pd.Index(c["node"].to_numpy())
+            pos = idx.get_indexer(out["node"].to_numpy())
+            lab = out["label"].to_numpy().copy()
+            m = pos >= 0
+            lab[m] = np.minimum(lab[m], c["label"].to_numpy()[pos[m]])
+            out["label"] = lab
+        return out[["node", "label"]].astype({"node": "int64", "label": "int64"})
+
+    @_ray.remote
+    def _lab_sum(df: pd.DataFrame) -> int:
+        return int(df["label"].sum())
+
+    prev_sum = sum(_ray.get([_lab_sum.remote(r) for r in label_refs]))
     for _it in range(max_iters):
-        tagged = labels.map_batches(
-            lambda b: pd.DataFrame(
-                {"key": b["node"], "val": b["label"], "kind": 0}
-            ).astype({"key": "int64", "val": "int64", "kind": "int64"}),
-            batch_format="pandas",
-        )
-        # shuffle 1: co-locate each edge with its source's label -> carry
-        prop = bucketed_map_groups(
-            tagged.union(edge2),
-            "key",
-            propagate,
-            num_buckets=num_buckets,
-            empty_result=empty_lab,
-        )
-        # shuffle 2: min label per node
-        labels = grouped_agg(
-            prop,
-            ["node"],
-            {"label": ("label", "min")},
-            final="bucketed",
-            num_buckets=num_buckets,
-            empty_result=empty_lab,
-        ).materialize()
-        cur = label_sum(labels)
-        if cur == prev:
+        grid = [
+            shards[b].carry.options(num_returns=nb).remote(label_refs[b])
+            for b in range(nb)
+        ]
+        label_refs = [
+            _cc_reduce.remote(label_refs[d], *[grid[b][d] for b in range(nb)])
+            for d in range(nb)
+        ]
+        cur = sum(_ray.get([_lab_sum.remote(r) for r in label_refs]))
+        if cur == prev_sum:
             break
-        prev = cur
+        prev_sum = cur
     else:
         # returning partially-converged labels would silently split any
         # component whose diameter exceeds max_iters (e.g. a long chain of
@@ -180,8 +215,12 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: not converged in {max_iters} rounds — "
             "a component's diameter exceeds max_iters; raise max_iters "
-            "(rounds cost 2 bucketed shuffles each)"
+            "(rounds ship node-sized label frames, the edges stay pinned)"
         )
+
+    # NB: don't ray.kill the shards — the final round's carry calls may
+    # still be queued; Ray reaps the actors once their handles drop.
+    labels = ray.data.from_pandas_refs(label_refs)
 
     return labels.map_batches(
         lambda b: b.rename(columns={"label": "cluster_id"}).astype(
