@@ -38,6 +38,136 @@ def _split_by_bucket(df: pd.DataFrame, col: str, cols: tuple, nb: int):
     bkt = df[col].to_numpy() % nb
     return tuple(df[bkt == b] for b in range(nb))
 
+def _bsp_relax(
+    edge_ds: "ray.data.Dataset",
+    reached0: "ray.data.Dataset",
+    *,
+    rounds: int,
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """Shared BSP relaxation harness behind :func:`bfs_distances` and
+    :func:`shortest_path_distances` (the pagerank/LPA/CC shard-actor
+    shape): ``edge_ds`` is (key, val, w) directed weighted edges, pinned
+    ONCE on shard actors by hash(key); ``reached0`` is the deduped
+    (node, dist) source frame. Each of the ``rounds`` Jacobi rounds
+    ships only the IMPROVED frontier frames in and per-(dst, bucket)
+    min-(dist+w) partials out — the edges never re-shuffle. Early exit
+    when a round improves nothing (identical to running the remaining
+    no-op rounds, so bounded-round SQL-twin parity is preserved).
+    Everything stays int64 (positional indexers, no merge NaN upcast)."""
+    import ray as _ray
+
+    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+
+    edge_pieces = [
+        _split_by_bucket.options(num_returns=nb).remote(r, "key", ("key", "val", "w"), nb)
+        for r in edge_ds.to_pandas_refs()
+    ]
+    reach_pieces = [
+        _split_by_bucket.options(num_returns=nb).remote(r, "node", ("node", "dist"), nb)
+        for r in reached0.to_pandas_refs()
+    ]
+
+    @_ray.remote
+    class _RelaxShard:
+        def __init__(self, *parts):
+            e = pd.concat(parts, ignore_index=True)
+            e["_db"] = (e["val"].to_numpy() % nb).astype("int64")
+            self.e = e
+
+        def relax(self, frontier: pd.DataFrame):
+            j = self.e.merge(frontier, left_on="key", right_on="node")
+            j["nd"] = j["dist"].to_numpy() + j["w"].to_numpy()
+            c = (
+                j.groupby(["val", "_db"], as_index=False, sort=False)["nd"]
+                .min()
+                .rename(columns={"val": "node", "nd": "dist"})
+                .astype({"node": "int64", "dist": "int64"})
+            )
+            return tuple(c.loc[c["_db"] == b, ["node", "dist"]] for b in range(nb))
+
+    shards = [
+        _RelaxShard.remote(*[edge_pieces[i][b] for i in range(len(edge_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote
+    def _init(*parts):
+        m = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
+            )
+        )
+        g = m.groupby("node", as_index=False, sort=False)["dist"].min()
+        return g.astype({"node": "int64", "dist": "int64"})
+
+    reached_refs = [
+        _init.remote(*[reach_pieces[i][b] for i in range(len(reach_pieces))])
+        for b in range(nb)
+    ]
+    frontier_refs = list(reached_refs)  # round 0: every source expands
+
+    @_ray.remote(num_returns=2)
+    def _combine(prev: pd.DataFrame, *pieces):
+        allc = pd.concat(pieces, ignore_index=True)
+        empty = prev.iloc[0:0]
+        if not len(allc):
+            return prev, empty
+        c = allc.groupby("node", as_index=False, sort=False)["dist"].min()
+        pos = pd.Index(prev["node"].to_numpy()).get_indexer(c["node"].to_numpy())
+        cd = c["dist"].to_numpy()
+        exist = pos >= 0
+        upd = prev["dist"].to_numpy().copy()
+        ep, ev = pos[exist], cd[exist]
+        better = ev < upd[ep]
+        upd[ep[better]] = ev[better]
+        out = pd.DataFrame({"node": prev["node"].to_numpy(), "dist": upd})
+        new_rows = c.loc[~exist, ["node", "dist"]]
+        if len(new_rows):
+            out = pd.concat([out, new_rows], ignore_index=True)
+        improved = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "node": prev["node"].to_numpy()[ep[better]],
+                        "dist": ev[better],
+                    }
+                ),
+                new_rows,
+            ],
+            ignore_index=True,
+        )
+        return (
+            out.astype({"node": "int64", "dist": "int64"}),
+            improved.astype({"node": "int64", "dist": "int64"}),
+        )
+
+    @_ray.remote
+    def _nrows(df: pd.DataFrame) -> int:
+        return len(df)
+
+    for _rnd in range(rounds):
+        grid = [
+            shards[b].relax.options(num_returns=nb).remote(frontier_refs[b])
+            for b in range(nb)
+        ]
+        pairs = [
+            _combine.remote(reached_refs[d], *[grid[b][d] for b in range(nb)])
+            for d in range(nb)
+        ]
+        reached_refs = [pr[0] for pr in pairs]
+        frontier_refs = [pr[1] for pr in pairs]
+        if sum(_ray.get([_nrows.remote(f) for f in frontier_refs])) == 0:
+            break
+
+    # NB: don't ray.kill the shards — the final round's relax calls may
+    # still be queued; Ray reaps the actors once their handles drop.
+    return ray.data.from_pandas_refs(reached_refs)
+
+
+
 
 def connected_components(
     nodes: ray.data.Dataset,
@@ -886,61 +1016,24 @@ def bfs_distances(
             source_col=source_col, weight_col=None, empty=empty,
         )
 
-    # grouped min at init: duplicate source rows must collapse to ONE
-    # (matches the driver path's np.unique and the SQL twin's GROUP BY —
-    # visible at hops=0, where no combine round would otherwise run)
-    reached = grouped_agg(
-        sources.map_batches(
-            lambda b: pd.DataFrame(
-                {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
-            ).astype({"dist": "int64"}),
-            batch_format="pandas",
-        ),
-        ["node"],
-        {"dist": ("dist", "min")},
-        final="bucketed",
-        num_buckets=num_buckets,
-        empty_result=empty,
-    ).materialize()
-
-    def expand(bucket: pd.DataFrame) -> pd.DataFrame:
-        cur = bucket[bucket["kind"] == 0]
-        edg = bucket[bucket["kind"] == 1]
-        stepped = edg.merge(
-            cur[["key", "val"]].rename(columns={"val": "dist"}), on="key"
-        )
-        return pd.DataFrame(
-            {
-                "node": stepped["val"].to_numpy(),
-                "dist": stepped["dist"].to_numpy() + 1,
-            }
-        ).astype({"node": "int64", "dist": "int64"})
-
-    for rnd in range(hops):
-        frontier = reached.map_batches(
-            lambda b, r=rnd: (
-                lambda f: pd.DataFrame(
-                    {"key": f["node"], "val": f["dist"], "kind": 0}
-                ).astype({"key": "int64", "val": "int64", "kind": "int64"})
-            )(b[b["dist"] == r]),
-            batch_format="pandas",
-        )
-        candidates = bucketed_map_groups(
-            frontier.union(edge2),
-            "key",
-            expand,
-            num_buckets=num_buckets,
-            empty_result=empty,
-        )
-        reached = grouped_agg(
-            candidates.union(reached),
-            ["node"],
-            {"dist": ("dist", "min")},
-            final="bucketed",
-            num_buckets=num_buckets,
-            empty_result=empty,
-        ).materialize()
-    return reached
+    # shared BSP relaxer (edges pinned once on shard actors; duplicate
+    # sources collapse in its per-bucket init groupby-min — visible at
+    # hops=0, matching the driver path's np.unique and the twin's
+    # GROUP BY; for unit weights the improved set IS the newly-reached
+    # frontier, so semantics equal the dist==round expansion)
+    reached0 = sources.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
+        ).astype({"node": "int64", "dist": "int64"}),
+        batch_format="pandas",
+    )
+    unit = edge2.map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["key"], "val": b["val"], "w": np.int64(1)}
+        ).astype({"key": "int64", "val": "int64", "w": "int64"}),
+        batch_format="pandas",
+    )
+    return _bsp_relax(unit, reached0, rounds=hops, num_buckets=num_buckets)
 
 
 def bfs_sql(
@@ -1027,117 +1120,20 @@ def shortest_path_distances(
             source_col=source_col, weight_col="w", empty=empty,
         )
 
-    empty_flag = pd.DataFrame(
-        {
-            "node": pd.Series(dtype="int64"),
-            "dist": pd.Series(dtype="int64"),
-            "imp": pd.Series(dtype="int64"),
-        }
+    # shared BSP relaxer — edges pinned once on shard actors, the
+    # improved set is the frontier (a weighted dist can improve after
+    # first reach, which _bsp_relax's combine flags exactly); duplicate
+    # sources collapse in its per-bucket init groupby-min
+    reached0 = sources.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
+        ).astype({"node": "int64", "dist": "int64"}),
+        batch_format="pandas",
     )
-
-    edge2 = edge2w
-
-    # grouped min at init: a duplicated source node must yield ONE row
-    # (the SQL twin GROUP BYs every round; duplicate old rows here would
-    # survive every combine and break row-count parity)
-    reached = grouped_agg(
-        sources.map_batches(
-            lambda b: pd.DataFrame(
-                {"node": b[source_col].to_numpy().astype("int64"), "dist": 0}
-            ).astype({"dist": "int64"}),
-            batch_format="pandas",
-        ),
-        ["node"],
-        {"dist": ("dist", "min")},
-        final="bucketed",
-        num_buckets=num_buckets,
-        empty_result=empty,
-    ).materialize()
-    frontier = reached
-
-    def relax(bucket: pd.DataFrame) -> pd.DataFrame:
-        cur = bucket[bucket["kind"] == 0]
-        edg = bucket[bucket["kind"] == 1]
-        stepped = edg.merge(
-            cur[["key", "w"]].rename(columns={"w": "dist"}), on="key"
-        )
-        return pd.DataFrame(
-            {
-                "node": stepped["val"].to_numpy(),
-                "dist": stepped["dist"].to_numpy() + stepped["w"].to_numpy(),
-            }
-        ).astype({"node": "int64", "dist": "int64"})
-
-    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
-        # nullable Int64 through the outer merge: the float64 upcast NaN
-        # would otherwise silently corrupt distances >= 2^53 (the exact
-        # bug class dataset_diff hit; distances must stay integer-exact
-        # for the SQL twin's BIGINT min to match bit for bit)
-        old = bucket[bucket["kind"] == 0][["node", "dist"]].astype(
-            {"dist": "Int64"}
-        )
-        cand = bucket[bucket["kind"] == 1][["node", "dist"]].astype(
-            {"dist": "Int64"}
-        )
-        cbest = cand.groupby("node", as_index=False)["dist"].min()
-        m = old.merge(cbest, on="node", how="outer", suffixes=("_old", "_new"))
-        o = m["dist_old"]
-        n = m["dist_new"]
-        # every row exists on >= one side, so improved implies n present
-        improved = n.notna() & (o.isna() | (n < o).fillna(False))
-        best = o.copy()
-        best[improved] = n[improved]
-        return pd.DataFrame(
-            {
-                "node": m["node"].astype("int64"),
-                "dist": best.astype("int64"),
-                "imp": improved.astype("int64"),
-            }
-        )
-
-    for _rnd in range(rounds):
-        tagged = frontier.map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "key": b["node"],
-                    "val": np.int64(0),
-                    "w": b["dist"],
-                    "kind": 0,
-                }
-            ).astype(
-                {"key": "int64", "val": "int64", "w": "int64", "kind": "int64"}
-            ),
-            batch_format="pandas",
-        )
-        candidates = bucketed_map_groups(
-            tagged.union(edge2),
-            "key",
-            relax,
-            num_buckets=num_buckets,
-            empty_result=empty,
-        )
-        old_tag = reached.map_batches(
-            lambda b: b.assign(kind=np.int64(0)), batch_format="pandas"
-        )
-        cand_tag = candidates.map_batches(
-            lambda b: b.assign(kind=np.int64(1)), batch_format="pandas"
-        )
-        flagged = bucketed_map_groups(
-            old_tag.union(cand_tag),
-            "node",
-            combine,
-            num_buckets=num_buckets,
-            empty_result=empty_flag,
-        ).materialize()
-        reached = flagged.map_batches(
-            lambda b: b[["node", "dist"]], batch_format="pandas"
-        ).materialize()
-        frontier = flagged.map_batches(
-            lambda b: b[b["imp"] == 1][["node", "dist"]], batch_format="pandas"
-        ).materialize()
-        if frontier.count() == 0:
-            break
-    return reached
+    wcols = edge2w.map_batches(
+        lambda b: b[["key", "val", "w"]], batch_format="pandas"
+    )
+    return _bsp_relax(wcols, reached0, rounds=rounds, num_buckets=num_buckets)
 
 
 def k_core(
