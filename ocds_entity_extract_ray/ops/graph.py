@@ -1167,75 +1167,20 @@ def k_core(
     microseconds, so the distributed machinery only engages when the
     edges genuinely don't fit.
 
-    Distributed path, per round (the driver holds one removal-count int
-    per round):
-      1. degree = bucketed count over both edge directions;
-      2. edges are semi-filtered against survivors TWICE (once keyed by
-         each endpoint) via the tagged-union bucketed merge — survivor
-         rows ride the same shuffle as the edges, so no node-sized
-         broadcast exists (head-entity skew is bounded by bucket count,
-         exactly the canonicalize-stage argument in SCALE.md). That is 3
-         bucketed shuffles of the SHRINKING edge set per round; a
-         BSP-actor variant (pagerank's shape, deltas only) would cut the
-         per-round traffic further if k-core ever becomes a hot path.
+    Distributed path: the BSP shard-actor shape shared with the other
+    iterative graph ops — edges are pinned ONCE on shard actors (which
+    keep a mutable alive-mask, the canonical drop-to-raw-actors case);
+    per round the shards emit per-(node, bucket) degree partials, the
+    per-bucket reduce finds the DROPPED nodes (0 < deg < k), and the
+    round's dropped frames go back to every shard to kill incident
+    edges. Per-round traffic = degree partials + the dropped set
+    (peel-delta-sized after round 1; round 1 can be large when k is
+    high, the one documented fat round) — the edge list itself never
+    re-shuffles, where the previous loop paid 3 edge-sized sorts/round.
     """
     empty_deg = pd.DataFrame(
         {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
     )
-    empty_uv = pd.DataFrame(
-        {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
-    )
-
-    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": np.concatenate(
-                    [
-                        b[src_col].to_numpy().astype("int64"),
-                        b[dst_col].to_numpy().astype("int64"),
-                    ]
-                )
-            }
-        )
-
-    def degrees(e: ray.data.Dataset) -> ray.data.Dataset:
-        return grouped_agg(
-            e.map_batches(both_dirs, batch_format="pandas"),
-            ["node"],
-            {"deg": ("node", "count")},
-            final="bucketed",
-            num_buckets=num_buckets,
-            empty_result=empty_deg,
-        )
-
-    def semi_filter(e: ray.data.Dataset, surv: ray.data.Dataset, end: str):
-        """Keep edges whose ``end`` endpoint appears in ``surv``."""
-
-        def tag_surv(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"key": b["node"], "u": np.int64(0), "v": np.int64(0), "kind": 0}
-            ).astype({"key": "int64", "kind": "int64"})
-
-        def tag_edge(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"key": b[end], "u": b["u"], "v": b["v"], "kind": 1}
-            ).astype(
-                {"key": "int64", "u": "int64", "v": "int64", "kind": "int64"}
-            )
-
-        def keep(bucket: pd.DataFrame) -> pd.DataFrame:
-            alive = bucket.loc[bucket["kind"] == 0, ["key"]].drop_duplicates()
-            edg = bucket[bucket["kind"] == 1]
-            kept = edg.merge(alive, on="key")
-            return kept[["u", "v"]].astype({"u": "int64", "v": "int64"})
-
-        tagged = surv.map_batches(tag_surv, batch_format="pandas").union(
-            e.map_batches(tag_edge, batch_format="pandas")
-        )
-        return bucketed_map_groups(
-            tagged, "key", keep, num_buckets=num_buckets, empty_result=empty_uv
-        )
-
     cur = edges.map_batches(
         lambda b: pd.DataFrame(
             {"u": b[src_col], "v": b[dst_col]}
@@ -1275,26 +1220,88 @@ def k_core(
             )
         )
 
-    deg = degrees(cur).materialize()
-    for _ in range(rounds):
-        # removal count: one int on the driver (per-block partial sums)
-        parts = deg.map_batches(
-            lambda b, kk=k: pd.DataFrame(
-                {"n": [int((b["deg"].to_numpy() < kk).sum())]}
-            ),
-            batch_format="pandas",
-        ).to_pandas()
-        # all-empty blocks bypass the UDF and lose the schema (see
-        # SCALE.md's empty-block note): an empty parts frame means the
-        # core peeled to nothing -> converged
-        if "n" not in parts.columns or int(parts["n"].sum()) == 0:
+    # ---- distributed path: BSP peel with a mutable alive-mask -------------
+    import ray as _ray
+
+    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+
+    edge_pieces = [
+        _split_by_bucket.options(num_returns=nb).remote(r, "u", ("u", "v"), nb)
+        for r in cur.to_pandas_refs()
+    ]
+
+    @_ray.remote
+    class _KCoreShard:
+        """One u-bucket of edges with a per-edge alive mask — the only
+        mutable state; the edges never move after load."""
+
+        def __init__(self, *parts):
+            e = pd.concat(parts, ignore_index=True)
+            self.u = e["u"].to_numpy().astype(np.int64)
+            self.v = e["v"].to_numpy().astype(np.int64)
+            self.alive = np.ones(len(e), dtype=bool)
+
+        def deg_partials(self):
+            both = np.concatenate([self.u[self.alive], self.v[self.alive]])
+            nodes, counts = np.unique(both, return_counts=True)
+            c = pd.DataFrame({"node": nodes, "deg": counts}).astype(
+                {"node": "int64", "deg": "int64"}
+            )
+            db = (nodes % nb).astype(np.int64)
+            return tuple(c[db == b] for b in range(nb))
+
+        def drop(self, *dropped_frames):
+            d = pd.concat(dropped_frames, ignore_index=True)
+            if len(d):
+                bad = d["node"].to_numpy()
+                kill = np.isin(self.u, bad) | np.isin(self.v, bad)
+                self.alive &= ~kill
+            return 0  # barrier token: the round is applied
+
+    shards = [
+        _KCoreShard.remote(*[edge_pieces[i][b] for i in range(len(edge_pieces))])
+        for b in range(nb)
+    ]
+
+    @_ray.remote(num_returns=2)
+    def _deg_reduce(kk: int, *pieces):
+        allc = pd.concat(pieces, ignore_index=True)
+        if not len(allc):
+            e = pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+            )
+            return e, e[["node"]]
+        deg = allc.groupby("node", as_index=False, sort=False)["deg"].sum()
+        deg = deg.astype({"node": "int64", "deg": "int64"})
+        # nodes appear only while they have an alive edge, so deg > 0
+        dropped = deg.loc[deg["deg"] < kk, ["node"]]
+        return deg, dropped
+
+    @_ray.remote
+    def _nrows(df: pd.DataFrame) -> int:
+        return len(df)
+
+    deg_refs = None
+    for _ in range(rounds + 1):
+        grid = [
+            shards[b].deg_partials.options(num_returns=nb).remote()
+            for b in range(nb)
+        ]
+        pairs = [
+            _deg_reduce.remote(k, *[grid[b][d] for b in range(nb)])
+            for d in range(nb)
+        ]
+        deg_refs = [pr[0] for pr in pairs]
+        dropped_refs = [pr[1] for pr in pairs]
+        if _ == rounds:
+            break  # exactly `rounds` peels; this pass only recomputed deg
+        if sum(_ray.get([_nrows.remote(r) for r in dropped_refs])) == 0:
             break
-        surv = deg.map_batches(
-            lambda b, kk=k: b.loc[b["deg"] >= kk, ["node"]],
-            batch_format="pandas",
-        )
-        cur = semi_filter(semi_filter(cur, surv, "u"), surv, "v").materialize()
-        deg = degrees(cur).materialize()
+        # apply the round's drops on every shard (full dropped set — the
+        # one per-round fat payload; delta-sized after round 1)
+        _ray.get([sh.drop.remote(*dropped_refs) for sh in shards])
+
+    deg = ray.data.from_pandas_refs(deg_refs)
     return deg.map_batches(
         lambda b, kk=k: b[b["deg"] >= kk], batch_format="pandas"
     )
