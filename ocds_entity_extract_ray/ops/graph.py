@@ -4,18 +4,22 @@ near-dup detection and actual corpus deduplication: duplicate PAIRS chain
 the connected component, not the pair.
 
 ``connected_components``: distributed min-label propagation. Labels start
-as the node id; each round hash-joins labels across edges and takes the
+as the node id; each round carries labels across edges and takes the
 per-node min; converged when the (exact, driver-side Python int) sum of
 labels stops decreasing — a monotone scalar, so convergence detection
 costs one tiny aggregate per round instead of a full old-vs-new join.
 Rounds needed = graph diameter; near-dup clusters are shallow (a few
 hops), so this terminates in a handful of rounds at any corpus size.
-Every round is two bucketed shuffles (co-locate edges with their source
-label -> carry; min-combine per node) — union + bucketed merge rather
-than ``Dataset.join`` because the iterative loop must tolerate the
-schema-less empty blocks sparse bucketed stages emit (Arrow's hash join
-rejects them; pandas merges inside our own buckets do not). Nothing is
-driver-side but the convergence scalar.
+
+Every iterative op here (components, pagerank, label propagation, the
+BFS/Bellman-Ford relaxer, k-core) shares ONE scale shape: the BSP
+shard-actor harness (``_split_by_bucket`` + per-op shard classes) —
+edges are split ONCE onto actors by hash(src) and never re-shuffle;
+each round ships node-sized frames in and per-(node, bucket) compressed
+partials out, with only convergence scalars on the driver. Below each
+op's ``broadcast_max_edges`` a vectorized driver numpy path runs
+instead (forced-branch parity tests pin the two paths to each other and
+to the unrolled SQL twins).
 """
 
 from __future__ import annotations
@@ -29,14 +33,33 @@ from .agg import bucketed_map_groups, grouped_agg
 
 @ray.remote
 def _split_by_bucket(df: pd.DataFrame, col: str, cols: tuple, nb: int):
-    """Shared BSP fan-out splitter (pagerank + label_propagation): route
-    one pandas block's rows to ``nb`` bucket pieces by ``col % nb``
-    (numpy modulo is non-negative for negative ids). Schema-less empty
-    blocks from sparse bucketed stages are replaced with typed empties."""
+    """Shared BSP fan-out splitter (pagerank / LPA / CC / relaxation /
+    k_core): PROJECT one pandas block to ``cols`` and route its rows to
+    ``nb`` bucket pieces by ``col % nb`` (numpy modulo is non-negative
+    for negative ids). The projection happens HERE, inside the split
+    task, so callers never pay an extra full pass (or a transient
+    duplicate dataset) just to drop payload columns before the fan-out —
+    a nodes frame carrying document text ships only its int64 key.
+    Schema-less empty blocks from sparse bucketed stages are replaced
+    with typed empties."""
     if col not in df.columns:
         df = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    df = df[list(cols)]
     bkt = df[col].to_numpy() % nb
     return tuple(df[bkt == b] for b in range(nb))
+
+
+def _bsp_nb(num_buckets: int) -> int:
+    """Shard count for the BSP harness: capped at the cluster's CPUs so
+    the actor pool never oversubscribes worker processes."""
+    import ray as _ray
+
+    return max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+
+
+@ray.remote
+def _nrows(df: pd.DataFrame) -> int:
+    return len(df)
 
 def _bsp_relax(
     edge_ds: "ray.data.Dataset",
@@ -44,6 +67,7 @@ def _bsp_relax(
     *,
     rounds: int,
     num_buckets: int,
+    unit_weight: bool = False,
 ) -> "ray.data.Dataset":
     """Shared BSP relaxation harness behind :func:`bfs_distances` and
     :func:`shortest_path_distances` (the pagerank/LPA/CC shard-actor
@@ -54,13 +78,16 @@ def _bsp_relax(
     min-(dist+w) partials out — the edges never re-shuffle. Early exit
     when a round improves nothing (identical to running the remaining
     no-op rounds, so bounded-round SQL-twin parity is preserved).
-    Everything stays int64 (positional indexers, no merge NaN upcast)."""
+    Everything stays int64 (positional indexers, no merge NaN upcast).
+    ``unit_weight=True`` (BFS) reads edges as (key, val) and steps by 1 —
+    no weight column ever ships."""
     import ray as _ray
 
-    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+    nb = _bsp_nb(num_buckets)
 
+    ecols = ("key", "val") if unit_weight else ("key", "val", "w")
     edge_pieces = [
-        _split_by_bucket.options(num_returns=nb).remote(r, "key", ("key", "val", "w"), nb)
+        _split_by_bucket.options(num_returns=nb).remote(r, "key", ecols, nb)
         for r in edge_ds.to_pandas_refs()
     ]
     reach_pieces = [
@@ -77,7 +104,8 @@ def _bsp_relax(
 
         def relax(self, frontier: pd.DataFrame):
             j = self.e.merge(frontier, left_on="key", right_on="node")
-            j["nd"] = j["dist"].to_numpy() + j["w"].to_numpy()
+            step = 1 if unit_weight else j["w"].to_numpy()
+            j["nd"] = j["dist"].to_numpy() + step
             c = (
                 j.groupby(["val", "_db"], as_index=False, sort=False)["nd"]
                 .min()
@@ -143,10 +171,6 @@ def _bsp_relax(
             out.astype({"node": "int64", "dist": "int64"}),
             improved.astype({"node": "int64", "dist": "int64"}),
         )
-
-    @_ray.remote
-    def _nrows(df: pd.DataFrame) -> int:
-        return len(df)
 
     for _rnd in range(rounds):
         grid = [
@@ -237,7 +261,7 @@ def connected_components(
     # them twice per round, up to 2 x max_iters Ray sort jobs).
     import ray as _ray
 
-    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+    nb = _bsp_nb(num_buckets)
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"key": b[src_col], "val": b[dst_col]})
@@ -255,6 +279,21 @@ def connected_components(
     node_pieces = [
         _split_by_bucket.options(num_returns=nb).remote(r, node_col, (node_col,), nb)
         for r in nodes.to_pandas_refs()
+    ]
+    # labels must flow THROUGH edge endpoints absent from ``nodes`` (a
+    # bridge node outside the universe must still connect its
+    # neighbours, exactly like the driver union-find path) — so the
+    # PROPAGATION universe is nodes UNION endpoints, and the output is
+    # filtered back to ``nodes`` at the end
+    ends = edge2.map_batches(
+        lambda b: pd.DataFrame(
+            {node_col: pd.concat([b["key"], b["val"]], ignore_index=True)}
+        ).astype({node_col: "int64"}),
+        batch_format="pandas",
+    )
+    end_pieces = [
+        _split_by_bucket.options(num_returns=nb).remote(r, node_col, (node_col,), nb)
+        for r in ends.to_pandas_refs()
     ]
 
     @_ray.remote
@@ -297,17 +336,17 @@ def connected_components(
             {"node": "int64", "label": "int64"}
         )
 
+    all_pieces = node_pieces + end_pieces
     label_refs = [
-        _init_cc.remote(*[node_pieces[i][b] for i in range(len(node_pieces))])
+        _init_cc.remote(*[all_pieces[i][b] for i in range(len(all_pieces))])
         for b in range(nb)
     ]
 
     @_ray.remote
     def _cc_reduce(prev: pd.DataFrame, *pieces):
-        # int64 end to end via a positional indexer (no merge NaN upcast),
-        # and restricted to prev's node universe — carried labels for
-        # endpoints outside ``nodes`` are dropped, matching the driver
-        # union-find path's assign-over-nodes semantics
+        # int64 end to end via a positional indexer (no merge NaN upcast);
+        # prev's universe is nodes UNION endpoints, so every carried
+        # label has a row to land on
         allc = pd.concat(pieces, ignore_index=True)
         out = prev.copy()
         if len(allc):
@@ -347,6 +386,26 @@ def connected_components(
             "a component's diameter exceeds max_iters; raise max_iters "
             "(rounds ship node-sized label frames, the edges stay pinned)"
         )
+
+    @_ray.remote
+    def _only_nodes(lab: pd.DataFrame, *nparts):
+        m = (
+            pd.concat(nparts, ignore_index=True)
+            if nparts
+            else pd.DataFrame({node_col: pd.Series(dtype="int64")})
+        )
+        want = pd.Index(m[node_col].drop_duplicates().to_numpy().astype("int64"))
+        keep = want.get_indexer(lab["node"].to_numpy()) >= 0
+        return lab[keep].reset_index(drop=True)
+
+    # filter the propagated universe back to ``nodes`` (bridge-only
+    # endpoints did their job and are not part of the output)
+    label_refs = [
+        _only_nodes.remote(
+            label_refs[b], *[node_pieces[i][b] for i in range(len(node_pieces))]
+        )
+        for b in range(nb)
+    ]
 
     # NB: don't ray.kill the shards — the final round's carry calls may
     # still be queued; Ray reaps the actors once their handles drop.
@@ -475,7 +534,7 @@ def pagerank(
 
     # one shard actor per bucket: cap at the cluster's CPU count so the
     # pool doesn't oversubscribe worker processes on small clusters
-    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+    nb = _bsp_nb(num_buckets)
 
     # node -> outdeg (0 for sinks), via the Dataset API, then split into
     # per-bucket frames WITHOUT a driver round-trip (num_returns fan-out)
@@ -982,18 +1041,14 @@ def bfs_distances(
     round count means exactly what the distributed version and the SQL
     twin mean); above ``broadcast_max_edges`` the BSP loop below runs.
 
-    BSP frontier expansion with the same two-bucketed-shuffles-per-round
-    shape as :func:`connected_components`: co-locate the FRONTIER (only
-    the nodes first reached last round — unit-weight BFS finalizes a
-    node's dist the round it appears, so re-expanding older nodes can
-    never improve the min) with edges on the edge source (shuffle 1),
-    emit ``dist+1`` candidates, then min-combine candidates with the full
-    reached ball per node (shuffle 2). Exactly ``hops`` rounds — every
-    path of length <= hops is explored, so the min is exact; no
-    convergence scalar needed. The only growing state is the reached ball
-    itself, which stays distributed (nothing node-sized or edge-sized
-    ever lands on the driver); each edge crosses the expand shuffle at
-    most once per frontier crossing, not once per round.
+    Distributed path: the shared BSP relaxer (:func:`_bsp_relax`, the
+    pagerank shard-actor shape) — edges pinned once by hash(src), each
+    round ships only the newly-reached frontier frames in and
+    per-(dst, bucket) min-dist partials out (unit-weight BFS finalizes a
+    node's dist the round it appears, so the improved set IS the
+    frontier). At most ``hops`` rounds, early exit on an empty frontier
+    (equal to running the remaining no-op rounds); nothing node- or
+    edge-sized lands on the driver.
     """
     empty = pd.DataFrame(
         {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
@@ -1027,13 +1082,12 @@ def bfs_distances(
         ).astype({"node": "int64", "dist": "int64"}),
         batch_format="pandas",
     )
-    unit = edge2.map_batches(
-        lambda b: pd.DataFrame(
-            {"key": b["key"], "val": b["val"], "w": np.int64(1)}
-        ).astype({"key": "int64", "val": "int64", "w": "int64"}),
-        batch_format="pandas",
+    # the tagged edge2 (key, val, kind) feeds the relaxer directly —
+    # _split_by_bucket projects to (key, val) inside the split task, so
+    # no extra edge-sized pass or transient duplicate is paid
+    return _bsp_relax(
+        edge2, reached0, rounds=hops, num_buckets=num_buckets, unit_weight=True
     )
-    return _bsp_relax(unit, reached0, rounds=hops, num_buckets=num_buckets)
 
 
 def bfs_sql(
@@ -1089,11 +1143,11 @@ def shortest_path_distances(
 
     Unlike unit-weight BFS, a node's distance can IMPROVE after first
     reach, so the frontier is the IMPROVED set, not the newly-reached
-    set: each round expands only nodes whose dist changed last round
-    (two bucketed shuffles: relax along edges, then min-combine against
-    the reached ball while flagging improvements). Integer arithmetic
-    keeps the result independent of relaxation order, so the unrolled
-    SQL twin (:func:`bfs_sql` with a weight expression) is hash-exact.
+    set: each round of the shared BSP relaxer (:func:`_bsp_relax`, edges
+    pinned once on shard actors) expands only nodes whose dist changed
+    last round. Integer arithmetic keeps the result independent of
+    relaxation order, so the unrolled SQL twin (:func:`bfs_sql` with a
+    weight expression) is hash-exact.
     """
     empty = pd.DataFrame(
         {"node": pd.Series(dtype="int64"), "dist": pd.Series(dtype="int64")}
@@ -1130,10 +1184,7 @@ def shortest_path_distances(
         ).astype({"node": "int64", "dist": "int64"}),
         batch_format="pandas",
     )
-    wcols = edge2w.map_batches(
-        lambda b: b[["key", "val", "w"]], batch_format="pandas"
-    )
-    return _bsp_relax(wcols, reached0, rounds=rounds, num_buckets=num_buckets)
+    return _bsp_relax(edge2w, reached0, rounds=rounds, num_buckets=num_buckets)
 
 
 def k_core(
@@ -1223,7 +1274,7 @@ def k_core(
     # ---- distributed path: BSP peel with a mutable alive-mask -------------
     import ray as _ray
 
-    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+    nb = _bsp_nb(num_buckets)
 
     edge_pieces = [
         _split_by_bucket.options(num_returns=nb).remote(r, "u", ("u", "v"), nb)
@@ -1276,10 +1327,6 @@ def k_core(
         # nodes appear only while they have an alive edge, so deg > 0
         dropped = deg.loc[deg["deg"] < kk, ["node"]]
         return deg, dropped
-
-    @_ray.remote
-    def _nrows(df: pd.DataFrame) -> int:
-        return len(df)
 
     deg_refs = None
     for _ in range(rounds + 1):
@@ -1628,7 +1675,7 @@ def label_propagation(
     # twice per round: ~8 Ray sort jobs for 4 rounds, 40-70 s each).
     import ray as _ray
 
-    nb = max(2, min(num_buckets, int(_ray.cluster_resources().get("CPU", num_buckets))))
+    nb = _bsp_nb(num_buckets)
 
     nodes_ds = grouped_agg(
         dedup.map_batches(

@@ -924,3 +924,32 @@ def test_label_propagation_edge_cases(ray_session):
         .set_index("node")["label"]
     )
     assert out[4] == 3
+
+
+def test_connected_components_bridge_outside_universe(ray_session):
+    """Labels must flow THROUGH edge endpoints absent from ``nodes``: a
+    5-7-9 chain with 7 outside the universe still merges 5 and 9, and
+    the bridge node itself stays out of the output — on BOTH adaptive
+    branches (the BSP path propagates over nodes UNION endpoints and
+    filters back)."""
+    from ocds_entity_extract_ray.ops.graph import connected_components
+
+    nodes = pd.DataFrame({"node": [5, 9, 42]})
+    e = pd.DataFrame({"id_a": [5, 7], "id_b": [7, 9]})
+    both = pd.concat(
+        [e, e.rename(columns={"id_a": "id_b", "id_b": "id_a"})], ignore_index=True
+    )
+    want = {5: 5, 9: 5, 42: 42}
+    for bme in (10**6, 0):
+        got = (
+            connected_components(
+                ray.data.from_pandas(nodes),
+                ray.data.from_pandas(both),
+                broadcast_max_edges=bme,
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(got["node"], got["cluster_id"])) == want, bme
