@@ -561,7 +561,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_audio_dup_pairs",
     "q_video_dup_pairs",
     # similarity search + lexical retrieval (bm25: new in r04)
-    "q_ann_topk",
+    "q_ann_ivf_topk",
     "q_bm25_topk",
     # graph algorithms (pagerank/ppr: the r04 driver-RED dtype rows)
     "q_pagerank",

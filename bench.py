@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q_c4_quality",
     "q_bpe_token_counts",
     "q_label_prop",
+    "q_ann_ivf_topk",
 ]
 
 

@@ -29,6 +29,7 @@ from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    ivf_topk_int,
     lsh_bucketed_topk,
 )
 from .sketches import (
@@ -84,6 +85,7 @@ __all__ = [
     "hash_sample",
     "heavy_hitters",
     "ivf_topk",
+    "ivf_topk_int",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard",

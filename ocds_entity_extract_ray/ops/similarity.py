@@ -164,6 +164,86 @@ def ivf_topk(
     )
 
 
+def ivf_topk_int(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    nprobe: int = 3,
+    iters: int = 2,
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """IVF top-k with a HASH-EXACT oracle: the coarse quantizer is the
+    fixed-point integer k-means (``ops/kmeans.py``), the inverted lists are
+    one final assignment pass against its centroids, and the score is the
+    signed integer dot product of the floor-quantized vectors (inner-product
+    / MIPS regime, faiss ``IndexIVFFlat(METRIC_INNER_PRODUCT)`` shape).
+    Every step is int64 and order-independent, so the whole ANN pipeline —
+    train -> probe -> prune -> rank — is bit-identical to a DuckDB twin
+    (``Q_ANN_IVF_SQL``), unlike the float ``ivf_topk`` above which is
+    verified by recall tests only.
+
+    Scale shape: training is ``kmeans_int``'s broadcast E-step (only the
+    K×D centroid table lands on the driver); the search is ONE map-only
+    scan — assign, prune to the ``nprobe`` probed lists, score, per-batch
+    top-k — so k rows per block reach the driver and nothing shuffles. At
+    100 TB the corpus would be PRE-partitioned by cid so non-probed
+    partitions are pruned at the read.
+    """
+    from .kmeans import OFFSET, SCALE, _quantize, kmeans_int, label_init_centroids
+
+    init = label_init_centroids(ds, vec_col=vec_col, label_col=label_col)
+    _summary, cents = kmeans_int(ds, init, vec_col=vec_col, id_col=id_col, iters=iters)
+
+    q = np.asarray(query, dtype=np.float64)
+    xq = (np.floor(q * SCALE) + OFFSET).astype(np.int64)
+    qdist = ((cents - xq[None, :]) ** 2).sum(axis=1)
+    # ties -> lowest cid: stable sort on dist keeps index order within ties
+    probed = np.sort(np.argsort(qdist, kind="stable")[:nprobe]).astype(np.int64)
+    sq = xq - OFFSET  # signed quantized query, for the integer dot score
+    ref = ray.put((cents, probed, sq, frozenset(exclude_ids or ())))
+
+    def search(batch: pd.DataFrame) -> pd.DataFrame:
+        cs, pr, qv, excl = _fetch(ref)
+        x = _quantize(batch[vec_col])
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            + (cs * cs).sum(axis=1)[None, :]
+            - 2 * (x @ cs.T)
+        )
+        assign = d2.argmin(axis=1)  # ties -> lowest cid, same as kmeans_int
+        keep = np.isin(assign, pr)
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[keep],
+                "cluster": assign[keep].astype(np.int64),
+                "score": (x[keep] - OFFSET) @ qv,
+            }
+        )
+        if excl:
+            out = out[~out[id_col].isin(excl)]
+        return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    pdf = ds.map_batches(search, batch_format="pandas").to_pandas()
+    if not len(pdf):
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        pdf.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out.astype({id_col: "int64", "cluster": "int64", "score": "int64"})
+
+
 def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     *,

@@ -4268,8 +4268,11 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     return summary
 
 
-Q_KMEANS_SQL = """
-WITH dims AS (SELECT i FROM range(1, 65) t(i)),
+# Shared unrolled 2-iteration integer-Lloyd CTE chain (label-mean init ->
+# assign/recenter twice). Q_KMEANS_SQL summarizes c2/a2; Q_ANN_IVF_SQL
+# extends the SAME chain with a final assignment + probe + integer-dot rank
+# so the kmeans oracle and the IVF oracle can never drift apart.
+_KMEANS_CTES = """dims AS (SELECT i FROM range(1, 65) t(i)),
 q AS (
   SELECT e.vec_id, e.label, d.i AS d,
          (FLOOR(list_extract(e.embedding, d.i)::DOUBLE * 1000000.0) + 1000000)::BIGINT AS v
@@ -4298,7 +4301,10 @@ a2 AS (
     FROM d2) WHERE rn = 1),
 c2 AS (
   SELECT a.cid, q.d, (SUM(q.v) // COUNT(*))::BIGINT AS cv
-  FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d),
+  FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d)"""
+
+Q_KMEANS_SQL = f"""
+WITH {_KMEANS_CTES},
 n2 AS (SELECT cid, COUNT(*)::BIGINT AS n_points FROM a2 GROUP BY cid)
 SELECT c2.cid AS cluster, ANY_VALUE(n2.n_points) AS n_points,
        SUM(c2.cv)::BIGINT AS centroid_checksum
@@ -4307,6 +4313,49 @@ GROUP BY c2.cid ORDER BY cluster
 """
 
 SQL_QUERIES["q_kmeans_clusters"] = (q_kmeans_clusters, Q_KMEANS_SQL)
+
+
+def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-probed ANN top-k with a hash-exact oracle: the coarse quantizer
+    is the SAME fixed-point integer k-means the kmeans query runs (shared
+    CTE chain in the twin), the inverted lists are a final assignment pass
+    against its centroids, and candidates from the query's nprobe=3 nearest
+    lists are ranked by the signed integer dot product (MIPS). The whole
+    ANN path — train, probe, prune, rank — is int64 end-to-end, so the
+    driver hash-compares an approximate-nearest-neighbor pipeline exactly."""
+    from ..ops.similarity import ivf_topk_int
+
+    ds = _read(sf_dir, "embeddings")
+    q = _query_vec(sf_dir)
+    return ivf_topk_int(ds, q, k=10, nprobe=3, exclude_ids={0})
+
+
+Q_ANN_IVF_SQL = f"""
+WITH {_KMEANS_CTES},
+d3 AS (
+  SELECT q.vec_id, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS dist
+  FROM q JOIN c2 c USING (d) GROUP BY q.vec_id, c.cid),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d3) WHERE rn = 1),
+probed AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+    FROM d3 WHERE vec_id = 0) WHERE rn <= 3),
+score AS (
+  SELECT x.vec_id, SUM((x.v - 1000000) * (qv.v - 1000000))::BIGINT AS score
+  FROM q x JOIN (SELECT d, v FROM q WHERE vec_id = 0) qv USING (d)
+  WHERE x.vec_id <> 0
+  GROUP BY x.vec_id)
+SELECT s.vec_id, a3.cid::BIGINT AS cluster, s.score
+FROM score s JOIN a3 USING (vec_id) JOIN probed p ON a3.cid = p.cid
+ORDER BY s.score DESC, s.vec_id
+LIMIT 10
+"""
+
+SQL_QUERIES["q_ann_ivf_topk"] = (q_ann_ivf_topk, Q_ANN_IVF_SQL)
 
 
 def q_customer_order_counts_left(sf_dir: str) -> pd.DataFrame:

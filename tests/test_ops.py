@@ -191,6 +191,34 @@ def test_ivf_topk_recalls_planted_neighbor(vec_corpus):
     assert list(got["vec_id"]) == list(got2["vec_id"])
 
 
+def test_ivf_topk_int_recalls_planted_neighbor(ray_session):
+    """The hash-exact IVF path (integer quantizer + integer dot ranking):
+    the planted near-copy must land in the same inverted list as the query
+    and win the integer-MIPS ranking; the run is deterministic and all
+    output columns are int64 (the oracle-twin contract)."""
+    from ocds_entity_extract_ray.ops.similarity import ivf_topk_int
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(240, 16)
+    vecs /= np.abs(vecs).max(axis=1, keepdims=True) + 1e-9  # |x| <= 1 contract
+    vecs[150] = np.clip(vecs[10] + rng.randn(16) * 0.005, -1.0, 1.0)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(240, dtype="int64"),
+                "embedding": [v.tolist() for v in vecs],
+                "label": (np.arange(240) % 6).astype("int64"),
+            }
+        )
+    )
+    got = ivf_topk_int(ds, vecs[10], k=5, nprobe=2, exclude_ids={10})
+    assert len(got) == 5
+    assert got["vec_id"].iloc[0] == 150  # planted neighbor wins the MIPS rank
+    assert {str(got[c].dtype) for c in ("vec_id", "cluster", "score")} == {"int64"}
+    got2 = ivf_topk_int(ds, vecs[10], k=5, nprobe=2, exclude_ids={10})
+    assert got.equals(got2)
+
+
 # --- frozen-fixture regression + degenerate-group guards ---------------------
 
 FIXDIR = __import__("os").path.join(__import__("os").path.dirname(__file__), "fixtures")
