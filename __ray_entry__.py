@@ -579,7 +579,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_unigram_surprisal",
     "q_pii_redaction",
     # sampling / splits / mixing
-    "q_training_mix",
+    "q_temperature_mix",
     "q_cap_docs_per_source",
     # CDC / diff
     "q_latest_event_per_user",

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q_bpe_token_counts",
     "q_label_prop",
     "q_ann_ivf_topk",
+    "q_temperature_mix",
 ]
 
 

@@ -23,7 +23,7 @@ from .joins import (
 from .multimodal import featurize_images, resize_images, sample_frames, transcribe_audio
 from .quantiles import approx_quantiles
 from .rangejoin import range_join
-from .sampling import assign_splits, hash_sample, stratified_hash_sample
+from .sampling import assign_splits, hash_sample, stratified_hash_sample, temperature_targets
 from .scan import pack_documents
 from .similarity import (
     cosine_topk,
@@ -102,6 +102,7 @@ __all__ = [
     "simhash64",
     "simhash_dup_pairs",
     "stratified_hash_sample",
+    "temperature_targets",
     "token_count",
     "transcribe_audio",
     "tumbling_window_agg",

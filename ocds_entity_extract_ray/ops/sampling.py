@@ -187,6 +187,34 @@ def mix_sources(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def temperature_targets(counts: dict, budget: int) -> dict:
+    """Temperature-smoothed per-source sampling targets at alpha = 1/2 —
+    the multilingual/multi-source rebalancing rule (sample source i with
+    probability proportional to n_i^alpha) used by multilingual LM data
+    pipelines to up-weight small sources. All-integer so ``mix_sources``
+    keeps its bit-reproducible / SQL-twinnable guarantee:
+
+        w_i      = isqrt(n_i)                      (n_i^0.5, exact)
+        target_i = min(n_i, w_i * budget // sum_w)
+
+    Only alpha = 1/2 is offered because it is the one exponent with an
+    exact integer form on both engines: DuckDB's
+    ``FLOOR(SQRT(n::DOUBLE))::BIGINT`` equals ``math.isqrt(n)`` for
+    n < ~10^12 (the float-sqrt error is orders of magnitude below the
+    distance from sqrt(n) to the next integer at these magnitudes; the
+    corpus-per-source counts this sees are far below the bound). Other
+    exponents would need rational-power integer arithmetic that no SQL
+    twin can mirror exactly.
+    """
+    import math
+
+    w = {s: math.isqrt(int(c)) for s, c in counts.items()}
+    sw = sum(w.values())
+    if sw == 0:
+        return {s: 0 for s in counts}
+    return {s: min(int(counts[s]), (w[s] * int(budget)) // sw) for s in counts}
+
+
 def weighted_hash_sample(
     ds: ray.data.Dataset,
     key_col: str,

@@ -4493,6 +4493,70 @@ GROUP BY d.source ORDER BY d.source
 SQL_QUERIES["q_training_mix"] = (q_training_mix, Q_TRAINING_MIX_SQL)
 
 
+def q_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-smoothed source rebalancing (alpha = 1/2, the
+    multilingual-LM sampling rule): per-source targets proportional to
+    isqrt(n_i) under a budget of half the corpus, then the same integer
+    keep-rate hash predicate as q_training_mix. Reports docs, target and
+    realized sample per source; the whole chain (isqrt weights, floor-div
+    targets, hash cut) is integer-exact on both engines."""
+    from ..ops.sampling import mix_sources, temperature_targets
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = grouped_agg(
+        _read(sf_dir, "documents", columns=["source"]),
+        ["source"],
+        {"cnt": ("source", "count")},
+        final="driver",
+    )
+    cnt_map = {src: int(c) for src, c in zip(counts["source"], counts["cnt"])}
+    budget = sum(cnt_map.values()) // 2
+    targets = temperature_targets(cnt_map, budget)
+    mixed = mix_sources(docs, "doc_id", "source", targets, counts=cnt_map)
+    sampled = grouped_agg(
+        mixed, ["source"], {"n_sampled": ("doc_id", "count")}, final="driver"
+    )
+    out = pd.DataFrame(
+        {
+            "source": sorted(cnt_map),
+            "n_docs": [cnt_map[s] for s in sorted(cnt_map)],
+            "n_target": [targets[s] for s in sorted(cnt_map)],
+        }
+    )
+    out = out.merge(sampled, on="source", how="left")
+    out["n_sampled"] = out["n_sampled"].fillna(0).astype("int64")
+    out = out.astype({"n_docs": "int64", "n_target": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_TEMPERATURE_MIX_SQL = """
+WITH c AS (SELECT source, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY source),
+w AS (SELECT source, cnt, CAST(FLOOR(SQRT(cnt::DOUBLE)) AS BIGINT) AS wt FROM c),
+t AS (
+  -- SUM(BIGINT) is HUGEINT in DuckDB: cast the scalars back to BIGINT so
+  -- tgt (and everything downstream) keeps the engine's int64 dtype
+  SELECT source, cnt,
+         LEAST(cnt, wt * ((SELECT SUM(cnt) FROM c)::BIGINT // 2)
+                       // (SELECT SUM(wt) FROM w)::BIGINT)::BIGINT AS tgt
+  FROM w),
+thr AS (
+  SELECT source, cnt, tgt,
+         LEAST(4294967296, tgt * 4294967296 // cnt) AS cut
+  FROM t),
+k AS (
+  SELECT d.source, COUNT(*)::BIGINT AS n_sampled
+  FROM documents d JOIN thr USING (source)
+  WHERE ((d.doc_id % 4294967296)::UBIGINT * 2654435761) % 4294967296 < thr.cut
+  GROUP BY d.source)
+SELECT thr.source, thr.cnt AS n_docs, thr.tgt AS n_target,
+       COALESCE(k.n_sampled, 0)::BIGINT AS n_sampled
+FROM thr LEFT JOIN k USING (source)
+ORDER BY thr.source
+"""
+
+SQL_QUERIES["q_temperature_mix"] = (q_temperature_mix, Q_TEMPERATURE_MIX_SQL)
+
+
 def q_supplier_clustering(sf_dir: str) -> pd.DataFrame:
     """Local clustering coefficients over the supplier co-occurrence
     graph: per-node triangle counts (ops/graph.py:triangles_per_node, the

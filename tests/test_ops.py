@@ -2232,6 +2232,33 @@ def test_mix_sources_rates_and_determinism(ray_session):
     assert len(all_keep) == len(df)
 
 
+def test_temperature_targets_boost_small_sources():
+    """alpha=1/2 smoothing is non-vacuous: keep-RATE (target/count) must be
+    strictly higher for smaller sources, targets never exceed counts, and
+    isqrt weighting matches DuckDB's FLOOR(SQRT(::DOUBLE)) on awkward
+    near-square counts (the documented < 1e12 agreement bound)."""
+    import duckdb
+
+    from ocds_entity_extract_ray.ops.sampling import temperature_targets
+
+    counts = {"big": 640_000, "mid": 40_000, "small": 2_500, "tiny": 100}
+    t = temperature_targets(counts, budget=10_000)  # small enough that no source saturates
+    assert all(t[s] <= counts[s] for s in counts)
+    rates = {s: t[s] / counts[s] for s in counts}
+    assert rates["tiny"] > rates["small"] > rates["mid"] > rates["big"]
+    # engine/SQL weight parity on perfect squares and near-squares
+    probe = [99, 100, 101, 2**30 - 1, 2**30, 999_999_999_999]
+    sql = duckdb.sql(
+        "SELECT CAST(FLOOR(SQRT(n::DOUBLE)) AS BIGINT) FROM "
+        f"(VALUES {','.join(f'({n})' for n in probe)}) t(n)"
+    ).fetchall()
+    import math
+
+    assert [r[0] for r in sql] == [math.isqrt(n) for n in probe]
+    # zero-weight degenerate corpus
+    assert temperature_targets({"a": 0}, 10) == {"a": 0}
+
+
 def test_triangles_per_node_planted_graph(ray_session):
     """K4 on {0,1,2,3} (every node in 3 triangles) plus a pendant edge
     (node 9 and its neighbor gain nothing)."""
