@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q_label_prop",
     "q_ann_ivf_topk",
     "q_temperature_mix",
+    "q_domain_split_leakage",
 ]
 
 

@@ -2650,6 +2650,75 @@ Q_SPLIT_SQL = _split_sql()
 SQL_QUERIES["q_split_counts"] = (q_split_counts, Q_SPLIT_SQL)
 
 
+def q_domain_split_leakage(sf_dir: str) -> pd.DataFrame:
+    """Group-level (domain-disjoint) train/val/test split — the
+    leakage-safe variant of q_split_counts: the split key is the crawl
+    SOURCE, not the document, so near-duplicate pages from one domain can
+    never straddle train and test (the eval-contamination vector a
+    row-keyed split leaves open). The query RAISES if any source lands in
+    two splits — a regression guard should the key ever drift back to row
+    granularity. Per-(split, source) partials are dimension-sized here
+    (driver combine); at web scale the same rollup runs
+    ``final=\"bucketed\"`` since domains number in the millions."""
+    from ..ops.sampling import assign_splits
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_num": b["source"].str.slice(3).astype("int64"),
+                "source": b["source"].to_numpy(),
+                "n_chars": b["text"].str.len().astype("int64"),
+            }
+        )
+
+    ds = assign_splits(docs.map_batches(pre, batch_format="pandas"), "src_num")
+    per_src = grouped_agg(
+        ds,
+        ["split", "source"],
+        {"n_docs": ("source", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+    leaked = per_src.groupby("source")["split"].nunique()
+    if (leaked > 1).any():
+        raise AssertionError(
+            f"domain split leaked across splits: {leaked[leaked > 1].index.tolist()}"
+        )
+    out = (
+        per_src.groupby("split")
+        .agg(
+            n_sources=("source", "count"),
+            n_docs=("n_docs", "sum"),
+            sum_chars=("sum_chars", "sum"),
+        )
+        .reset_index()
+    )
+    for c in ("n_sources", "n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def _domain_split_sql() -> str:
+    from ..ops.sampling import KNUTH_MULT, MOD, split_cut_ints
+
+    cuts = split_cut_ints([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    h = f"((CAST(SUBSTR(source, 4) AS BIGINT) % {MOD})::UBIGINT * {KNUTH_MULT}) % {MOD}"
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN {h} < {cuts[0]} THEN 'train'
+              WHEN {h} < {cuts[1]} THEN 'val'
+              ELSE 'test' END AS split,
+         source, COUNT(*)::BIGINT AS n_docs, SUM(length(text))::BIGINT AS sum_chars
+  FROM documents GROUP BY split, source)
+SELECT split, COUNT(*)::BIGINT AS n_sources,
+       SUM(n_docs)::BIGINT AS n_docs, SUM(sum_chars)::BIGINT AS sum_chars
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+SQL_QUERIES["q_domain_split_leakage"] = (q_domain_split_leakage, _domain_split_sql())
+
+
 def q_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
     """MOSS-style substring-reuse pairs: docs sharing >= 3 distinct
     30-char winnowing fingerprints, with the shared count
