@@ -576,7 +576,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_c4_quality",
     "q_gopher_quality",
     "q_ngram_char_fracs",
-    "q_unigram_surprisal",
+    "q_bigram_lm_filter",
     "q_pii_redaction",
     # sampling / splits / mixing
     "q_temperature_mix",

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q_ann_ivf_topk",
     "q_temperature_mix",
     "q_domain_split_leakage",
+    "q_bigram_lm_filter",
 ]
 
 

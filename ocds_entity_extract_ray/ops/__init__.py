@@ -41,6 +41,7 @@ from .sketches import (
 )
 from .textstats import (
     add_langid,
+    bigram_lm_scores,
     add_repetition_stats,
     add_simhash,
     add_text_stats,
@@ -58,6 +59,7 @@ __all__ = [
     "assign_splits",
     "contamination_counts",
     "add_langid",
+    "bigram_lm_scores",
     "add_repetition_stats",
     "add_simhash",
     "add_text_stats",

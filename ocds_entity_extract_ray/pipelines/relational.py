@@ -2719,6 +2719,63 @@ FROM s GROUP BY split ORDER BY split
 SQL_QUERIES["q_domain_split_leakage"] = (q_domain_split_leakage, _domain_split_sql())
 
 
+def q_bigram_lm_filter(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity filtering (ops/textstats.py:bigram_lm_scores):
+    score every document under the corpus's own bigram LM (integer
+    conditional-frequency mass per adjacent pair, '<unk>' outside the
+    top-1000 vocabulary) and report the 20 LEAST-predictable documents by
+    per-bigram average — the tail a perplexity filter trims. The whole LM
+    (train, normalize, score, rank) is int64 end-to-end, so an n-gram
+    language model gets a hash-exact DuckDB twin."""
+    from ..ops.textstats import bigram_lm_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = bigram_lm_scores(docs)
+
+    def bottom(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(avg_bigram_score=b["lm_score"] // b["n_bigrams"])
+        return b.sort_values(["avg_bigram_score", "doc_id"]).head(20)
+
+    pdf = scored.map_batches(bottom, batch_format="pandas").to_pandas()
+    out = pdf.sort_values(["avg_bigram_score", "doc_id"]).head(20).reset_index(drop=True)
+    return out[["doc_id", "n_bigrams", "lm_score", "avg_bigram_score"]].astype("int64")
+
+
+Q_BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+tf AS (
+  SELECT t AS tok, COUNT(*)::BIGINT AS c
+  FROM (SELECT unnest(ws) AS t FROM toks) GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM tf)
+  WHERE rn <= 1000),
+spine AS (
+  SELECT doc_id, ws, unnest(range(1, array_length(ws)::BIGINT)) AS i
+  FROM toks WHERE array_length(ws) >= 2),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN v1.tok IS NOT NULL THEN ws[i::INT] ELSE '<unk>' END AS w1,
+         CASE WHEN v2.tok IS NOT NULL THEN ws[(i + 1)::INT] ELSE '<unk>' END AS w2
+  FROM spine
+  LEFT JOIN vocab v1 ON ws[i::INT] = v1.tok
+  LEFT JOIN vocab v2 ON ws[(i + 1)::INT] = v2.tok),
+c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c)::BIGINT AS c FROM c2 GROUP BY w1),
+sc AS (
+  SELECT p.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         SUM(1000000 * c2.c // c1.c)::BIGINT AS lm_score
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY p.doc_id)
+SELECT doc_id, n_bigrams, lm_score,
+       (lm_score // n_bigrams)::BIGINT AS avg_bigram_score
+FROM sc ORDER BY avg_bigram_score, doc_id LIMIT 20
+"""
+
+SQL_QUERIES["q_bigram_lm_filter"] = (q_bigram_lm_filter, Q_BIGRAM_LM_SQL)
+
+
 def q_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
     """MOSS-style substring-reuse pairs: docs sharing >= 3 distinct
     30-char winnowing fingerprints, with the shared count

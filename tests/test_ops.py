@@ -2232,6 +2232,36 @@ def test_mix_sources_rates_and_determinism(ray_session):
     assert len(all_keep) == len(df)
 
 
+def test_bigram_lm_scores_flag_surprising_continuations(ray_session):
+    """Self-trained bigram LM: docs re-using a COMMON context with rare
+    followers score far below the corpus norm (the perplexity-filter
+    signal), while the formulaic majority scores near ``scale``. Note the
+    hapax-context property: a context seen once is perfectly predictable
+    (C2 == C1), so pure-gibberish docs do NOT rank lowest — the flagged
+    tail is 'common context, surprising continuation', which is the
+    well-defined self-trained analogue of CCNet's external-LM filter."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.textstats import bigram_lm_scores
+
+    docs = ["a b a b a b"] * 30 + ["a z1 a z2 a z3"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(31, dtype="int64"), "text": docs})
+    )
+    out = bigram_lm_scores(ds).to_pandas()
+    assert len(out) == 31 and (out["n_bigrams"] == 5).all()
+    avg = (out["lm_score"] // out["n_bigrams"]).to_numpy()
+    outlier = out["doc_id"].to_numpy() == 30
+    assert avg[outlier][0] < avg[~outlier].min() * 0.6
+    # determinism across a different partitioning
+    parts = [pd.DataFrame({"doc_id": [i], "text": [docs[i]]}) for i in range(31)]
+    out2 = bigram_lm_scores(ray.data.from_pandas(parts)).to_pandas()
+    assert (
+        out.sort_values("doc_id").reset_index(drop=True)["lm_score"]
+        == out2.sort_values("doc_id").reset_index(drop=True)["lm_score"]
+    ).all()
+
+
 def test_temperature_targets_boost_small_sources():
     """alpha=1/2 smoothing is non-vacuous: keep-RATE (target/count) must be
     strictly higher for smaller sources, targets never exceed counts, and
