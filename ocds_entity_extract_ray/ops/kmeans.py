@@ -47,6 +47,21 @@ def _quantize(col) -> np.ndarray:
     return (np.floor(m * SCALE) + OFFSET).astype(np.int64)
 
 
+def assign_nearest(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """THE assignment rule every consumer must share (kmeans_int's E-step
+    and ivf_topk_int's inverted-list build both call this, so the two
+    oracles can't drift): exact int64 squared euclidean via the expanded
+    square (||x||^2 + ||c||^2 - 2 x.c, all < 2^62 for d=64, |v| <= 2e6),
+    argmin ties -> lowest cluster id (numpy argmin first-minimum rule ==
+    the SQL twins' ROW_NUMBER ... ORDER BY dist, cid)."""
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        + (cents * cents).sum(axis=1)[None, :]
+        - 2 * (x @ cents.T)
+    )
+    return d2.argmin(axis=1)
+
+
 def label_init_centroids(
     ds: ray.data.Dataset, *, vec_col: str = "embedding", label_col: str = "label"
 ) -> np.ndarray:
@@ -91,14 +106,7 @@ def kmeans_int(
         def estep(batch: pd.DataFrame) -> pd.DataFrame:
             c = _fetch(ref)
             x = _quantize(batch[vec_col])
-            # exact int64: ||x||^2 + ||c||^2 - 2 x.c  (all < 2^62 for
-            # d=64, |v| <= 2e6); argmin ties -> lowest cid by argmin rule
-            d2 = (
-                (x * x).sum(axis=1)[:, None]
-                + (c * c).sum(axis=1)[None, :]
-                - 2 * (x @ c.T)
-            )
-            assign = d2.argmin(axis=1)
+            assign = assign_nearest(x, c)
             sums = pd.DataFrame(x, columns=[f"s{i}" for i in range(x.shape[1])])
             sums["_n"] = np.int64(1)
             sums["_cid"] = assign

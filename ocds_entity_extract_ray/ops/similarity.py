@@ -207,14 +207,11 @@ def ivf_topk_int(
     ref = ray.put((cents, probed, sq, frozenset(exclude_ids or ())))
 
     def search(batch: pd.DataFrame) -> pd.DataFrame:
+        from .kmeans import assign_nearest
+
         cs, pr, qv, excl = _fetch(ref)
         x = _quantize(batch[vec_col])
-        d2 = (
-            (x * x).sum(axis=1)[:, None]
-            + (cs * cs).sum(axis=1)[None, :]
-            - 2 * (x @ cs.T)
-        )
-        assign = d2.argmin(axis=1)  # ties -> lowest cid, same as kmeans_int
+        assign = assign_nearest(x, cs)  # THE shared rule (ties -> lowest cid)
         keep = np.isin(assign, pr)
         out = pd.DataFrame(
             {

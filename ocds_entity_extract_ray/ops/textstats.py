@@ -743,19 +743,24 @@ def unigram_surprisal(
     return ds.map_batches(score, batch_format="pandas")
 
 
-def _bigram_frame(
-    b: pd.DataFrame, text_col: str, vocab: frozenset
-) -> tuple[pd.DataFrame, pd.Index]:
+def _bigram_frame(b: pd.DataFrame, text_col: str, vocab: frozenset) -> pd.DataFrame:
     """Vectorized bigram construction shared by the count and score passes:
     explode tokens, map out-of-vocab to '<unk>' (tokens are [a-z0-9]+ so the
     sentinel cannot collide), pair each token with its successor WITHIN the
-    same row via a shifted-index mask. Returns (frame with row/w1/w2,
-    original batch index) — one output row per bigram occurrence."""
+    same row via a shifted-index mask. Returns a frame with row/w1/w2 — one
+    output row per bigram occurrence; the empty case is TYPED (object w1/w2)
+    so token-free blocks can't poison downstream block-schema unification."""
     b = b.reset_index(drop=True)
     words = b[text_col].str.lower().str.findall(r"[a-z0-9]+")
     ex = words.explode().dropna()
     if not len(ex):
-        return pd.DataFrame({"row": [], "w1": [], "w2": []}), b.index
+        return pd.DataFrame(
+            {
+                "row": pd.Series(dtype="int64"),
+                "w1": pd.Series(dtype="object"),
+                "w2": pd.Series(dtype="object"),
+            }
+        )
     mapped = ex.where(ex.isin(vocab), "<unk>")
     idx = ex.index.to_numpy()
     w = mapped.to_numpy(dtype=object)
@@ -763,10 +768,7 @@ def _bigram_frame(
     same = np.empty(len(idx), dtype=bool)
     same[:-1] = idx[:-1] == idx[1:]
     same[-1] = False
-    return (
-        pd.DataFrame({"row": idx[same], "w1": w[same], "w2": nxt[same]}),
-        b.index,
-    )
+    return pd.DataFrame({"row": idx[same], "w1": w[same], "w2": nxt[same]})
 
 
 def bigram_lm_scores(
@@ -807,8 +809,7 @@ def bigram_lm_scores(
 
     def pair_pre(b: pd.DataFrame) -> pd.DataFrame:
         vc = _fetch(vref)
-        bf, _ = _bigram_frame(b, text_col, vc)
-        return bf[["w1", "w2"]]
+        return _bigram_frame(b, text_col, vc)[["w1", "w2"]]
 
     c2 = grouped_agg(
         ds,
@@ -828,7 +829,7 @@ def bigram_lm_scores(
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         vc, m2, m1 = _fetch(mref)
-        bf, bidx = _bigram_frame(b, text_col, vc)
+        bf = _bigram_frame(b, text_col, vc)
         ids = b[id_col].reset_index(drop=True)
         if not len(bf):
             return pd.DataFrame(
