@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q_temperature_mix",
     "q_domain_split_leakage",
     "q_bigram_lm_filter",
+    "q_length_trim",
 ]
 
 

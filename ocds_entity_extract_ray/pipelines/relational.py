@@ -2776,6 +2776,72 @@ FROM sc ORDER BY avg_bigram_score, doc_id LIMIT 20
 SQL_QUERIES["q_bigram_lm_filter"] = (q_bigram_lm_filter, Q_BIGRAM_LM_SQL)
 
 
+def q_length_trim(sf_dir: str) -> pd.DataFrame:
+    """Length-outlier trimming, the cheap first gate of a cleaning
+    pipeline: corpus-wide EXACT p05/p95 of document length from a length
+    HISTOGRAM (one grouped count whose cardinality is bounded by distinct
+    lengths, not rows — the q_median_order_cents sufficient-statistic
+    trick, corpus-wide), then one map-only pass counting kept vs dropped
+    docs per source. Quantile rule matches DuckDB quantile_disc (value at
+    rank ceil(q*n), float expression — parity probed across boundary n in
+    pytest)."""
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"len": b["text"].str.len().astype("int64")})
+
+    hist = grouped_agg(
+        docs,
+        ["len"],
+        {"n": ("len", "count")},
+        pre=pre,
+    ).sort_values("len")
+    vals = hist["len"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1])
+    lo = int(vals[np.searchsorted(cum, int(np.ceil(0.05 * n)))])
+    hi = int(vals[np.searchsorted(cum, int(np.ceil(0.95 * n)))])
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        ln = b["text"].str.len().astype("int64")
+        keep = (ln >= lo) & (ln <= hi)
+        return pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(),
+                "kept": keep.astype("int64").to_numpy(),
+                "dropped": (~keep).astype("int64").to_numpy(),
+            }
+        )
+
+    out = grouped_agg(
+        docs,
+        ["source"],
+        {"n_kept": ("kept", "sum"), "n_dropped": ("dropped", "sum")},
+        pre=counts,
+    )
+    out["p_lo"] = np.int64(lo)
+    out["p_hi"] = np.int64(hi)
+    for c in ("n_kept", "n_dropped"):
+        out[c] = out[c].astype("int64")
+    out = out[["source", "p_lo", "p_hi", "n_kept", "n_dropped"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_LENGTH_TRIM_SQL = """
+WITH L AS (SELECT source, length(text)::BIGINT AS len FROM documents),
+q AS (SELECT quantile_disc(len, 0.05)::BIGINT AS lo,
+             quantile_disc(len, 0.95)::BIGINT AS hi FROM L)
+SELECT source, (SELECT lo FROM q) AS p_lo, (SELECT hi FROM q) AS p_hi,
+       SUM(CASE WHEN len >= (SELECT lo FROM q) AND len <= (SELECT hi FROM q)
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN len < (SELECT lo FROM q) OR len > (SELECT hi FROM q)
+                THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM L GROUP BY source ORDER BY source
+"""
+
+SQL_QUERIES["q_length_trim"] = (q_length_trim, Q_LENGTH_TRIM_SQL)
+
+
 def q_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
     """MOSS-style substring-reuse pairs: docs sharing >= 3 distinct
     30-char winnowing fingerprints, with the shared count

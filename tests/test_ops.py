@@ -2262,6 +2262,24 @@ def test_bigram_lm_scores_flag_surprising_continuations(ray_session):
     ).all()
 
 
+def test_quantile_disc_rank_rule_matches_duckdb_at_boundaries():
+    """q_length_trim replicates DuckDB quantile_disc as 'value at rank
+    ceil(q*n)' with the FLOAT product (np.ceil(q*n)) — pin the parity on
+    boundary n where a naive rational ceil((n*1)/20) could diverge from
+    the float expression (exact multiples of 20, primes, 1 element)."""
+    import duckdb
+
+    for n in (1, 19, 20, 21, 39, 40, 41, 60, 997, 1000):
+        lo_d, hi_d = duckdb.sql(
+            f"SELECT quantile_disc(v, 0.05), quantile_disc(v, 0.95) "
+            f"FROM (SELECT unnest(range(1, {n} + 1)) v)"
+        ).fetchone()
+        vals = np.arange(1, n + 1)
+        lo_e = vals[max(0, int(np.ceil(0.05 * n)) - 1)]
+        hi_e = vals[max(0, int(np.ceil(0.95 * n)) - 1)]
+        assert (lo_e, hi_e) == (lo_d, hi_d), n
+
+
 def test_temperature_targets_boost_small_sources():
     """alpha=1/2 smoothing is non-vacuous: keep-RATE (target/count) must be
     strictly higher for smaller sources, targets never exceed counts, and
