@@ -119,7 +119,10 @@ def grouped_agg(
     if final == "driver":
         pdf = partials.to_pandas()
         if not len(pdf):
-            return pdf
+            # an ALL-empty Dataset to_pandas loses columns (0 blocks to
+            # concat) — honor empty_result on the driver path too so
+            # degenerate corpora keep the declared schema
+            return empty_result.copy() if empty_result is not None else pdf
         return pdf.groupby(keys, as_index=False).agg(
             **{out: spec for out, spec in recombine.items()}
         )

@@ -684,7 +684,12 @@ def word_frequencies(
             ["n", "word"], ascending=[False, True], kind="mergesort"
         ).head(top_v)
 
-    cand = per_word.map_batches(bucket_top, batch_format="pandas").to_pandas()
+    from .agg import to_pandas_safe
+
+    cand = to_pandas_safe(
+        per_word.map_batches(bucket_top, batch_format="pandas"),
+        pd.DataFrame({"word": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}),
+    )
     return (
         cand.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
         .head(top_v)

@@ -2262,6 +2262,73 @@ def test_bigram_lm_scores_flag_surprising_continuations(ray_session):
     ).all()
 
 
+def test_bigram_lm_scores_match_pure_python_reference(ray_session):
+    """Property test: the vectorized distributed bigram LM must equal a
+    from-scratch pure-Python reference (dict counters, per-doc loops) on
+    random corpora covering the nasty shapes — empty docs, one-token docs,
+    punctuation-only docs, repeated tokens, OOV under a tiny vocabulary
+    (top_v=3 forces heavy '<unk>' traffic), mixed partitionings."""
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocds_entity_extract_ray.ops.textstats import bigram_lm_scores
+
+    token = st.sampled_from(["a", "b", "cc", "d9", "zz1", "q", "!!", ""])
+    doc = st.lists(token, min_size=0, max_size=8).map(" ".join)
+
+    def reference(docs: list, top_v: int, scale: int) -> dict:
+        import re as _re
+
+        toks = [_re.findall(r"[a-z0-9]+", d.lower()) for d in docs]
+        from collections import Counter
+
+        tf = Counter(t for ts in toks for t in ts)
+        vocab = set(
+            t for t, _ in sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+        )
+        mapped = [[t if t in vocab else "<unk>" for t in ts] for ts in toks]
+        c2: Counter = Counter()
+        for ts in mapped:
+            c2.update(zip(ts, ts[1:]))
+        c1: Counter = Counter()
+        for (w1, _w2), c in c2.items():
+            c1[w1] += c
+        out = {}
+        for i, ts in enumerate(mapped):
+            pairs = list(zip(ts, ts[1:]))
+            if pairs:
+                out[i] = (len(pairs), sum(scale * c2[p] // c1[p[0]] for p in pairs))
+        return out
+
+    @settings(max_examples=25, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=12), nparts=st.integers(1, 3))
+    def check(docs, nparts):
+        parts = [
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(i, len(docs), nparts, dtype="int64"),
+                    "text": [docs[j] for j in range(i, len(docs), nparts)],
+                }
+            )
+            for i in range(nparts)
+        ]
+        parts = [p for p in parts if len(p)]
+        got_pdf = bigram_lm_scores(ray.data.from_pandas(parts), top_v=3).to_pandas()
+        want = reference(docs, top_v=3, scale=1_000_000)
+        if not len(got_pdf):
+            # all-empty to_pandas loses columns (documented Ray gotcha);
+            # the property here is just "no doc scored"
+            assert want == {}
+            return
+        got = got_pdf.set_index("doc_id")
+        assert set(got.index) == set(want)
+        for i, (nb, sc) in want.items():
+            assert (got.loc[i, "n_bigrams"], got.loc[i, "lm_score"]) == (nb, sc), docs
+
+    check()
+
+
 def test_quantile_disc_rank_rule_matches_duckdb_at_boundaries():
     """q_length_trim replicates DuckDB quantile_disc as 'value at rank
     ceil(q*n)' with the FLOAT product (np.ceil(q*n)) — pin the parity on
