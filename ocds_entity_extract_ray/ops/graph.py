@@ -285,10 +285,13 @@ def connected_components(
     # neighbours, exactly like the driver union-find path) — so the
     # PROPAGATION universe is nodes UNION endpoints, and the output is
     # filtered back to ``nodes`` at the end
+    # edge2 is already bidirected, so the key column ALONE contains every
+    # endpoint; per-block dedup shrinks the fan-out further (_init_cc
+    # dedups globally anyway)
     ends = edge2.map_batches(
-        lambda b: pd.DataFrame(
-            {node_col: pd.concat([b["key"], b["val"]], ignore_index=True)}
-        ).astype({node_col: "int64"}),
+        lambda b: pd.DataFrame({node_col: b["key"].drop_duplicates()}).astype(
+            {node_col: "int64"}
+        ),
         batch_format="pandas",
     )
     end_pieces = [
@@ -388,20 +391,27 @@ def connected_components(
         )
 
     @_ray.remote
-    def _only_nodes(lab: pd.DataFrame, *nparts):
+    def _per_node_rows(lab: pd.DataFrame, *nparts):
+        # one output row per INPUT node row (duplicate node rows keep
+        # their multiplicity — exactly what the driver branch's 1:1
+        # assign map emits, pinned by the forced-branch parity test)
         m = (
             pd.concat(nparts, ignore_index=True)
             if nparts
             else pd.DataFrame({node_col: pd.Series(dtype="int64")})
         )
-        want = pd.Index(m[node_col].drop_duplicates().to_numpy().astype("int64"))
-        keep = want.get_indexer(lab["node"].to_numpy()) >= 0
-        return lab[keep].reset_index(drop=True)
+        n = m[node_col].to_numpy().astype("int64")
+        pos = pd.Index(lab["node"].to_numpy()).get_indexer(n)
+        if len(n) and (pos < 0).any():
+            raise RuntimeError("connected_components: node missing from init universe")
+        return pd.DataFrame(
+            {"node": n, "label": lab["label"].to_numpy()[pos]}
+        ).astype({"node": "int64", "label": "int64"})
 
-    # filter the propagated universe back to ``nodes`` (bridge-only
+    # map the propagated universe back to ``nodes`` (bridge-only
     # endpoints did their job and are not part of the output)
     label_refs = [
-        _only_nodes.remote(
+        _per_node_rows.remote(
             label_refs[b], *[node_pieces[i][b] for i in range(len(node_pieces))]
         )
         for b in range(nb)
@@ -1694,12 +1704,9 @@ def label_propagation(
         empty_result=pd.DataFrame(
             {"node": pd.Series(dtype="int64"), "one": pd.Series(dtype="int64")}
         ),
-    ).map_batches(
-        # the 'one' column existed only to satisfy grouped_agg's spec —
-        # drop it BEFORE the BSP fan-out so node pieces ship 8 B/node,
-        # not 16
-        lambda b: b[["node"]],
-        batch_format="pandas",
+        # the 'one' column exists only to satisfy grouped_agg's spec;
+        # _split_by_bucket projects to ("node",) INSIDE the split task, so
+        # no separate drop pass is needed before the BSP fan-out
     ).materialize()
 
     edge_pieces = [

@@ -953,3 +953,28 @@ def test_connected_components_bridge_outside_universe(ray_session):
             .reset_index(drop=True)
         )
         assert dict(zip(got["node"], got["cluster_id"])) == want, bme
+
+
+def test_connected_components_duplicate_node_rows_parity(ray_session):
+    """Output multiplicity contract: ONE row per input node row, so
+    duplicate node ids keep their multiplicity — identical on both
+    adaptive branches (the BSP filter-back maps labels onto the input
+    rows rather than deduping the universe)."""
+    from ocds_entity_extract_ray.ops.graph import connected_components
+
+    nodes = pd.DataFrame({"node": [5, 5, 9, 42]})
+    e = pd.DataFrame({"id_a": [5, 9], "id_b": [9, 5]})
+    for bme in (10**6, 0):
+        got = (
+            connected_components(
+                ray.data.from_pandas(nodes),
+                ray.data.from_pandas(e),
+                broadcast_max_edges=bme,
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["node", "cluster_id"])
+            .reset_index(drop=True)
+        )
+        assert list(got["node"]) == [5, 5, 9, 42], bme
+        assert list(got["cluster_id"]) == [5, 5, 5, 42], bme
