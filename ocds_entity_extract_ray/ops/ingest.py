@@ -146,7 +146,14 @@ def ingest_dedup_two_phase(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tmp = os.path.join(state_dir, f".tmp_hashes_{os.getpid()}.parquet")
+        # pid alone is NOT unique across threads / deferred closures in one
+        # process — two concurrent commits would truncate each other's tmp
+        # and silently drop one batch's hashes from the log
+        import uuid
+
+        tmp = os.path.join(
+            state_dir, f".tmp_hashes_{os.getpid()}_{uuid.uuid4().hex}.parquet"
+        )
         pq.write_table(pa.Table.from_pandas(hdf, preserve_index=False), tmp)
         # claim the next free log slot AT COMMIT TIME with an atomic
         # create (os.link fails on an existing target): an ingest that

@@ -82,6 +82,31 @@ def _norm(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tag_ord(ds: ray.data.Dataset, v: int) -> ray.data.Dataset:
+    """Append a constant ``_ord`` column (0 = old store rows, 1 = delta
+    rows). The groupby merge sorts on it inside each group so the
+    old-before-delta first-writer order is EXPLICIT — the serialized state
+    blobs' JSON field order and sortkey-tie winners must not inherit the
+    exchange's internal block ordering (which Ray does not contractually
+    fix for equal keys)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column("_ord", pa.array(np.full(len(t), v, dtype=np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _recombine_ordered(tbl: pa.Table) -> pa.Table:
+    """recombine_batch with the _ord discipline: old rows first. Each
+    entity key has at most one old and one delta row, so sorting on _ord
+    alone fixes every per-key merge order."""
+    if "_ord" in tbl.column_names:
+        tbl = tbl.sort_by([("_ord", "ascending")]).drop_columns(["_ord"])
+    return recombine_batch(tbl)
+
+
 def _merged_states(
     pages: ray.data.Dataset,
     classifier_list: dict | None,
@@ -159,6 +184,15 @@ def kg_init(
 
     states_dir = os.path.join(store_dir, _STATES)
     raw_dir = os.path.join(store_dir, _ENTITIES_RAW)
+    # crash-safety: INVALIDATE the store first (meta.json is the validity
+    # marker every consumer routes on) and re-assert it LAST, atomically —
+    # a crash anywhere in between leaves a store with no meta.json, which
+    # reads as uninitialized (re-run kg_init) instead of a half-gutted
+    # store that kg_update would silently merge against
+    os.makedirs(store_dir, exist_ok=True)
+    meta_path = os.path.join(store_dir, _META)
+    if os.path.exists(meta_path):
+        os.unlink(meta_path)
     shutil.rmtree(states_dir, ignore_errors=True)
     shutil.rmtree(raw_dir, ignore_errors=True)
     # a fresh store invalidates any prior update journal/staging
@@ -169,9 +203,10 @@ def kg_init(
     entities = _render_states(states).materialize()
     entities.write_parquet(raw_dir, partition_cols=["bucket"], mode="overwrite")
 
-    os.makedirs(store_dir, exist_ok=True)
-    with open(os.path.join(store_dir, _META), "w") as fh:
+    tmp_meta = meta_path + ".tmp"
+    with open(tmp_meta, "w") as fh:
         json.dump({"num_buckets": num_buckets, "version": 1}, fh)
+    os.replace(tmp_meta, meta_path)
     return {
         "state_rows": states.count(),
         "entities": entities.count(),
@@ -224,12 +259,17 @@ def _delta_id(delta_path: str, config: dict) -> str:
     yields the same id. The file set comes from the SAME helper the
     resume manifests use (state/manifest.py:data_files)."""
     import hashlib
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..state.manifest import config_digest, data_files
 
-    entries = [
-        (rel, _file_content_digest(full)) for full, rel in data_files(delta_path)
-    ]
+    files = data_files(delta_path)
+    # hashlib releases the GIL on large buffers, so a thread pool keeps the
+    # journal-id cost ~parallel-I/O-bound on many-file deltas instead of a
+    # serial driver scan of every shard
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+        digests = list(ex.map(lambda fr: _file_content_digest(fr[0]), files))
+    entries = [(rel, d) for (_full, rel), d in zip(files, digests)]
     blob = json.dumps(
         {"files": entries, "config": config_digest(config)}, sort_keys=True
     ).encode("utf-8")
@@ -279,6 +319,18 @@ def _write_journal(store_dir: str, delta_id: str, entry: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(entry, fh)
     os.replace(tmp, path)  # atomic: the journal is never half-written
+
+
+def _journal_entries(store_dir: str) -> list[tuple[str, dict]]:
+    """(delta_id, entry) for every journal record, sorted by id."""
+    jdir = os.path.join(store_dir, _JOURNAL)
+    out = []
+    if os.path.isdir(jdir):
+        for f in sorted(os.listdir(jdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(jdir, f)) as fh:
+                    out.append((f[: -len(".json")], json.load(fh)))
+    return out
 
 
 def kg_update(
@@ -350,6 +402,33 @@ def kg_update(
             timings["path"] = "already_applied"
         return {**entry["report"], "already_applied": True}
 
+    # Two loud refusals before any work starts:
+    # 1. ANOTHER delta stuck in 'staged' (crashed mid-swap) — staging a new
+    #    delta now and later resuming the stuck one would swap its
+    #    PRE-CRASH partitions over this delta's contribution. Re-running
+    #    the stuck delta completes its swap via the resume path above.
+    # 2. The SAME delta directory already applied under a different
+    #    content id — re-merging a mutated-in-place delta would
+    #    double-count the additive accumulators (deltas are immutable once
+    #    applied; changed/new pages belong in a new delta directory).
+    real = os.path.realpath(delta_path)
+    for other_id, other in _journal_entries(store_dir):
+        if other_id == delta_id:
+            continue
+        if other.get("phase") == "staged":
+            raise RuntimeError(
+                f"kg_update: delta {other_id} is mid-swap (phase='staged'); "
+                "re-run that delta first to complete its swap before "
+                "applying a new one"
+            )
+        if other.get("delta_realpath") == real:
+            raise RuntimeError(
+                f"kg_update: delta directory {delta_path} was already applied "
+                f"as {other_id} with DIFFERENT content — deltas are immutable "
+                "once applied; stage changed or new pages as a NEW delta "
+                "directory instead of mutating an applied one"
+            )
+
     import time as _time
 
     t = _time.monotonic
@@ -401,7 +480,7 @@ def kg_update(
             ]
             if part_files:
                 old = _norm(ray.data.read_parquet(part_files))
-                combined = old.union(delta)
+                combined = _tag_ord(old, 0).union(_tag_ord(delta, 1))
             else:
                 # touched buckets exist but are empty partitions (a previous
                 # update retired their contents) — nothing old to merge
@@ -416,7 +495,7 @@ def kg_update(
         # the staging write below, so materializing it would store a copy
         # no one reads.
         merged = _norm(
-            combined.groupby("bucket").map_groups(recombine_batch, batch_format="pyarrow")
+            combined.groupby("bucket").map_groups(_recombine_ordered, batch_format="pyarrow")
         ).materialize()
         t_merge = t()
         rendered = _render_states(merged)
@@ -443,11 +522,15 @@ def kg_update(
         for b in touched:
             os.makedirs(os.path.join(staging, sub, f"bucket={b}"), exist_ok=True)
     _write_journal(
-        store_dir, delta_id, {"phase": "staged", "report": report}
+        store_dir,
+        delta_id,
+        {"phase": "staged", "report": report, "delta_realpath": real},
     )
     _swap_staged(store_dir, delta_id, touched)
     _write_journal(
-        store_dir, delta_id, {"phase": "applied", "report": report}
+        store_dir,
+        delta_id,
+        {"phase": "applied", "report": report, "delta_realpath": real},
     )
     _cleanup_scratch(store_dir, delta_id)
     if timings is not None:

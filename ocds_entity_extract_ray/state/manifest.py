@@ -47,7 +47,13 @@ def data_files(path: str) -> list[tuple[str, str]]:
     if os.path.isfile(path):
         return [(path, os.path.basename(path))]
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # skip _/.-prefixed DIRECTORY components too (Spark _temporary /
+        # _logs leftovers): Arrow/Ray parquet discovery ignores those whole
+        # subtrees, and a fingerprint must cover exactly what a reader
+        # consumes — or a reader-invisible write would change a delta's
+        # journal id and re-merge (double-count) an already-applied delta
+        dirs[:] = [d for d in dirs if not (d.startswith("_") or d.startswith("."))]
         for f in sorted(files):
             if f.startswith("_") or f.startswith("."):
                 continue

@@ -448,6 +448,61 @@ def test_incremental_update_crash_recovery(ray_session, pages_dir, tmp_path, mon
     got = states_table(store)
     assert got.column("key").to_pylist() == want.column("key").to_pylist()
     assert got.column("state").to_pylist() == want.column("state").to_pylist()
+
+
+def test_kg_update_refuses_interleave_and_mutated_delta(
+    ray_session, pages_dir, tmp_path, monkeypatch
+):
+    """Two loud refusals that keep the journal protocol exactly-once:
+    (1) while one delta is stuck mid-swap (phase='staged'), staging a
+    DIFFERENT delta raises — resuming the stuck swap later would
+    otherwise clobber the interleaved delta's buckets with pre-crash
+    partitions; (2) a delta directory whose content changed after being
+    applied raises instead of re-merging (deltas are immutable once
+    applied — a re-merge would double-count the additive accumulators)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ocds_entity_extract_ray.pipelines import kg_incremental as ki
+
+    clist = build_classifier_list_from_text([classifier_csv()])
+    pidx = product_index()
+    files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    a_dir, b_dir, c_dir = (str(tmp_path / d) for d in ("ia", "ib", "ic"))
+    for d in (a_dir, b_dir, c_dir):
+        os.makedirs(d)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(pages_dir, f), (a_dir, b_dir, c_dir)[i % 3])
+
+    store = str(tmp_path / "store_guard")
+    ki.kg_init(a_dir, store, clist, pidx, num_buckets=8)
+
+    # crash delta B mid-swap (before any bucket moves)
+    real_swap = ki._swap_staged
+    monkeypatch.setattr(
+        ki,
+        "_swap_staged",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash mid-swap")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ki.kg_update(b_dir, store, clist, pidx)
+    monkeypatch.setattr(ki, "_swap_staged", real_swap)
+
+    # (1) a DIFFERENT delta must refuse while B is staged
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        ki.kg_update(c_dir, store, clist, pidx)
+    # re-running B completes its swap; then C applies cleanly
+    assert ki.kg_update(b_dir, store, clist, pidx)["already_applied"] is True
+    ki.kg_update(c_dir, store, clist, pidx)
+
+    # (2) mutate applied delta dir C in place -> different content id
+    victim = sorted(f for f in os.listdir(c_dir) if f.endswith(".parquet"))[0]
+    t = _pq.read_table(os.path.join(c_dir, victim))
+    _pq.write_table(t.slice(0, max(1, t.num_rows // 2)), os.path.join(c_dir, victim))
+    with pytest.raises(RuntimeError, match="immutable"):
+        ki.kg_update(c_dir, store, clist, pidx)
     # staging/retired scratch is cleaned up after recovery
     assert not os.path.exists(os.path.join(store, "_staging"))
     assert not os.path.exists(os.path.join(store, "_retired"))
