@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q_domain_split_leakage",
     "q_bigram_lm_filter",
     "q_length_trim",
+    "q_target_lm_selection",
 ]
 
 

@@ -784,6 +784,8 @@ def bigram_lm_scores(
     top_v: int = 1000,
     scale: int = 1_000_000,
     num_buckets: int = 16,
+    model_ds: ray.data.Dataset | None = None,
+    miss: str = "raise",
 ) -> ray.data.Dataset:
     """CCNet-style LM predictability scoring with an INTEGER-EXACT oracle:
     score each document under the corpus's OWN bigram language model. Each
@@ -801,15 +803,27 @@ def bigram_lm_scores(
     V=1000 the dense-worst-case table is ~16 MB, broadcast-sized by
     construction); then one stateless scoring map with the model dicts
     ``ray.put`` once. Documents with fewer than two tokens are omitted
-    (the SQL twin's pair spine does the same). Every scored bigram was
-    counted from the same corpus, so a model miss is a bug: the scoring
-    map raises rather than imputing."""
+    (the SQL twin's pair spine does the same).
+
+    ``model_ds`` (default: ``ds`` itself) is the TRAINING corpus — pass a
+    target-domain subset for CCNet/DSIR-style data selection, where docs
+    are ranked by how predictable they are under the TARGET's model (this
+    also sidesteps the self-trained hapax-context caveat). With the
+    default self-trained model every scored bigram was counted from the
+    same corpus, so a model miss is a bug and the scoring map raises
+    (``miss='raise'``); an external model makes unseen bigrams legitimate
+    — pass ``miss='zero'`` and they contribute 0 mass."""
     import ray as _ray
 
     from .agg import grouped_agg
     from .joins import _fetch
 
-    vocab = frozenset(word_frequencies(ds, text_col, top_v=top_v, num_buckets=num_buckets)["word"])
+    if miss not in ("raise", "zero"):
+        raise ValueError(f"miss={miss!r}: expected 'raise' or 'zero'")
+    train = model_ds if model_ds is not None else ds
+    vocab = frozenset(
+        word_frequencies(train, text_col, top_v=top_v, num_buckets=num_buckets)["word"]
+    )
     vref = _ray.put(vocab)
 
     def pair_pre(b: pd.DataFrame) -> pd.DataFrame:
@@ -817,7 +831,7 @@ def bigram_lm_scores(
         return _bigram_frame(b, text_col, vc)[["w1", "w2"]]
 
     c2 = grouped_agg(
-        ds,
+        train,
         ["w1", "w2"],
         {"c": ("w1", "count")},
         pre=pair_pre,
@@ -844,9 +858,20 @@ def bigram_lm_scores(
                     "lm_score": pd.Series(dtype="int64"),
                 }
             )
-        c2v = (bf["w1"] + sep + bf["w2"]).map(m2).astype("int64")  # miss -> raise
-        c1v = bf["w1"].map(m1).astype("int64")
-        bf = bf.assign(contrib=(np.int64(scale) * c2v) // c1v)
+        c2v = (bf["w1"] + sep + bf["w2"]).map(m2)
+        if miss == "raise":
+            c2v = c2v.astype("int64")  # NaN (model miss) raises loudly
+            c1v = bf["w1"].map(m1).astype("int64")
+            contrib = (np.int64(scale) * c2v) // c1v
+        else:
+            # external model: an unseen bigram contributes 0 mass (c2
+            # present implies c1 present, so the fill-1 denominator only
+            # ever divides a 0 numerator)
+            hit = c2v.notna()
+            c1v = bf["w1"].map(m1).fillna(1).astype("int64")
+            contrib = (np.int64(scale) * c2v.fillna(0).astype("int64")) // c1v
+            contrib[~hit] = 0
+        bf = bf.assign(contrib=contrib)
         g = bf.groupby("row")
         out = pd.DataFrame(
             {

@@ -2842,6 +2842,93 @@ FROM L GROUP BY source ORDER BY source
 SQL_QUERIES["q_length_trim"] = (q_length_trim, Q_LENGTH_TRIM_SQL)
 
 
+def q_target_lm_selection(sf_dir: str) -> pd.DataFrame:
+    """Target-domain data selection (the CCNet/DSIR setup proper): train
+    the bigram LM on a TARGET subset (source='src0' stands in for the
+    wiki-like reference corpus), score EVERY document under that external
+    model (unseen bigrams contribute 0 mass), and keep the 20 most
+    target-like docs by per-bigram average — the selection step a
+    pretraining pipeline uses to mine crawl data resembling a trusted
+    domain. Integer end-to-end, so even cross-corpus LM selection
+    hash-matches its DuckDB twin."""
+    from ..ops.textstats import bigram_lm_scores
+
+    import pyarrow.dataset as pads
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    target = _read(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter=pads.field("source") == "src0",  # pruned INSIDE the scan
+    )
+    scored = bigram_lm_scores(docs, model_ds=target, miss="zero")
+
+    def top(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(avg_bigram_score=b["lm_score"] // b["n_bigrams"])
+        return b.sort_values(
+            ["avg_bigram_score", "doc_id"], ascending=[False, True]
+        ).head(20)
+
+    pdf = scored.map_batches(top, batch_format="pandas").to_pandas()
+    out = (
+        pdf.sort_values(["avg_bigram_score", "doc_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "n_bigrams", "lm_score", "avg_bigram_score"]].astype("int64")
+
+
+Q_TARGET_LM_SQL = """
+WITH tgt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents WHERE source = 'src0'),
+tf AS (
+  SELECT t AS tok, COUNT(*)::BIGINT AS c
+  FROM (SELECT unnest(ws) AS t FROM tgt) GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM tf)
+  WHERE rn <= 1000),
+tspine AS (
+  SELECT doc_id, ws, unnest(range(1, array_length(ws)::BIGINT)) AS i
+  FROM tgt WHERE array_length(ws) >= 2),
+tpairs AS (
+  SELECT CASE WHEN v1.tok IS NOT NULL THEN ws[i::INT] ELSE '<unk>' END AS w1,
+         CASE WHEN v2.tok IS NOT NULL THEN ws[(i + 1)::INT] ELSE '<unk>' END AS w2
+  FROM tspine
+  LEFT JOIN vocab v1 ON ws[i::INT] = v1.tok
+  LEFT JOIN vocab v2 ON ws[(i + 1)::INT] = v2.tok),
+c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM tpairs GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c)::BIGINT AS c FROM c2 GROUP BY w1),
+alltoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+spine AS (
+  SELECT doc_id, ws, unnest(range(1, array_length(ws)::BIGINT)) AS i
+  FROM alltoks WHERE array_length(ws) >= 2),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN v1.tok IS NOT NULL THEN ws[i::INT] ELSE '<unk>' END AS w1,
+         CASE WHEN v2.tok IS NOT NULL THEN ws[(i + 1)::INT] ELSE '<unk>' END AS w2
+  FROM spine
+  LEFT JOIN vocab v1 ON ws[i::INT] = v1.tok
+  LEFT JOIN vocab v2 ON ws[(i + 1)::INT] = v2.tok),
+sc AS (
+  SELECT p.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         SUM(CASE WHEN c2.c IS NULL THEN 0
+                  ELSE 1000000 * c2.c // c1.c END)::BIGINT AS lm_score
+  FROM pairs p
+  LEFT JOIN c2 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  GROUP BY p.doc_id)
+SELECT doc_id, n_bigrams, lm_score,
+       (lm_score // n_bigrams)::BIGINT AS avg_bigram_score
+FROM sc ORDER BY avg_bigram_score DESC, doc_id LIMIT 20
+"""
+
+SQL_QUERIES["q_target_lm_selection"] = (q_target_lm_selection, Q_TARGET_LM_SQL)
+
+
 def q_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
     """MOSS-style substring-reuse pairs: docs sharing >= 3 distinct
     30-char winnowing fingerprints, with the shared count

@@ -2329,6 +2329,41 @@ def test_bigram_lm_scores_match_pure_python_reference(ray_session):
     check()
 
 
+def test_bigram_lm_external_model_selects_target_like_docs(ray_session):
+    """The model_ds/miss='zero' path (CCNet/DSIR selection): docs reusing
+    the TARGET's bigrams outscore docs of bigrams the target never saw
+    (which contribute exactly 0 mass), and self-vs-external scoring
+    agree when model_ds is the corpus itself."""
+    import ray.data
+
+    from ocds_entity_extract_ray.ops.textstats import bigram_lm_scores
+
+    target = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [100, 101], "text": ["x y x y", "x y z"]})
+    )
+    corpus = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": ["x y x y x y", "p q p q", "x y p q"]}
+        )
+    )
+    got = (
+        bigram_lm_scores(corpus, model_ds=target, miss="zero")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "lm_score"] == 0  # no target bigram at all
+    assert got.loc[0, "lm_score"] > got.loc[2, "lm_score"] > 0
+    # self-trained == external-with-self, including the miss='zero' leg
+    a = bigram_lm_scores(corpus).to_pandas().sort_values("doc_id")
+    b = (
+        bigram_lm_scores(corpus, model_ds=corpus, miss="zero")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (a["lm_score"].to_numpy() == b["lm_score"].to_numpy()).all()
+
+
 def test_quantile_disc_rank_rule_matches_duckdb_at_boundaries():
     """q_length_trim replicates DuckDB quantile_disc as 'value at rank
     ceil(q*n)' with the FLOAT product (np.ceil(q*n)) — pin the parity on
