@@ -547,12 +547,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_rollup_orders",
     "q_supplier_rank",
     "q_label_centroids",
-    # deduplication family (passage/semantic: new in r04; line dedup:
-    # new in r05)
+    # deduplication family (semantic: new in r04; line/span dedup: new
+    # in r05 — span_dedup is sliding-window ExactSubstr and supersedes
+    # the stride-chunked q_passage_dedup in the window; passage_dedup
+    # stays in the full sweep)
     "q_exact_dedup_stats",
     "q_minhash_dup_pairs",
     "q_simhash_dup_pairs",
-    "q_passage_dedup",
+    "q_span_dedup",
     "q_semantic_dedup",
     "q_line_dedup",
     "q_contamination",

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "q_bigram_lm_filter",
     "q_length_trim",
     "q_target_lm_selection",
+    "q_span_dedup",
 ]
 
 

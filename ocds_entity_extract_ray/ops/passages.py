@@ -241,6 +241,176 @@ def dedup_passages(
     )
 
 
+# --- sliding-window duplicated-span dedup (ExactSubstr proper) ---------------
+
+
+def dedup_spans(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 8,
+    broadcast_max_dups: int = 5_000_000,
+    num_buckets: int = 32,
+    force_branch: str | None = None,
+) -> ray.data.Dataset:
+    """Sliding-window duplicated-SPAN removal — Lee et al.'s ExactSubstr
+    rule at word granularity: a ``window_words``-word window is taken at
+    EVERY word offset (not :func:`dedup_passages`' stride-w chunks, which
+    miss duplicates that straddle a chunk boundary); any window whose
+    exact text occurs more than once corpus-wide (within- or
+    cross-document, multiplicity over ALL offsets) marks all w of its
+    word positions, and every marked word is removed. A duplicated run
+    of length >= w is thus excised wherever it sits, at any alignment —
+    the map-reduce-able form of the paper's suffix-array scan. Returns
+    one row per document: ``(id_col, n_words, dup_words, cleaned_text)``;
+    ``cleaned_text`` is NULL when every word is covered.
+
+    Scale shape: window hashing is doc-local; the only full-corpus
+    shuffle carries ``(window-hash, doc_id, offset)`` 24 B/word rows
+    (sliding windows are near-distinct, so pre-aggregating hashes buys
+    nothing — this IS the ExactSubstr cost profile), and only the
+    DUPLICATED occurrences come back out of the bucketed groupby
+    (dup-bounded: small on a clean corpus, boilerplate pays for itself).
+    They are applied adaptively: per-doc offset dict broadcast under
+    ``broadcast_max_dups`` occurrences, else packed to per-doc int64
+    offset blobs and LEFT-OUTER hash-joined back to the documents.
+    ``force_branch`` ("broadcast" | "join") pins the apply path for
+    parity tests. Hash collisions conflate two distinct windows
+    (~2^-64/pair); the SQL twin groups by the same md5-low64 so the
+    oracle agrees exactly either way. O(n*w) hashing per doc is the
+    price of offset-exactness — keep w small (8-16) by design.
+
+    TWO SCANS of ``docs`` (detect, then apply): a caller whose ``docs``
+    is an expensive lazy chain should materialize it first, and a
+    NON-DETERMINISTIC chain MUST be, or pass 1's offsets are applied to
+    different documents in pass 2."""
+    w = window_words
+    if w < 2:
+        raise ValueError("window_words must be >= 2 (1 degenerates to word dedup)")
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, offs, hs = [], [], []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            ws = text.split(" ")
+            for i in range(len(ws) - w + 1):
+                ids.append(did)
+                offs.append(i)
+                hs.append(_h64(" ".join(ws[i : i + w]).encode()))
+        return pd.DataFrame(
+            {
+                "_h": pd.Series(hs, dtype=np.uint64),
+                id_col: pd.Series(ids, dtype=np.int64),
+                "_i": pd.Series(offs, dtype=np.int64),
+            }
+        )
+
+    def per_bucket_dups(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.loc[bucket["_h"].duplicated(keep=False), [id_col, "_i"]]
+
+    empty = pd.DataFrame(
+        {id_col: pd.Series(dtype="int64"), "_i": pd.Series(dtype="int64")}
+    )
+    dup_occ = bucketed_map_groups(
+        docs.map_batches(occurrences, batch_format="pandas"),
+        "_h",
+        per_bucket_dups,
+        num_buckets=num_buckets,
+        empty_result=empty,
+    ).materialize()
+    n_dup = dup_occ.count()
+
+    def rebuild(doc_ids, texts, drops) -> pd.DataFrame:
+        """Parallel iterables: ids, texts, per-doc duplicated-offset
+        collections (0-based window starts)."""
+        ids_o, n_w, dup_w, cleaned = [], [], [], []
+        for did, text, offsets in zip(doc_ids, texts, drops):
+            ws = text.split(" ")
+            n = len(ws)
+            offs = np.asarray(list(offsets), dtype=np.int64)
+            if offs.size:
+                # interval union via a diff array: window at offset i
+                # covers word positions [i, i+w)
+                d = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(d, offs, 1)
+                np.add.at(d, offs + w, -1)
+                covered = np.cumsum(d[:n]) > 0
+                ndw = int(covered.sum())
+                kept = [wd for wd, c in zip(ws, covered) if not c]
+            else:
+                ndw = 0
+                kept = ws  # " ".join(split) round-trips the text exactly
+            ids_o.append(did)
+            n_w.append(n)
+            dup_w.append(ndw)
+            cleaned.append(" ".join(kept) if kept else None)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids_o, dtype=np.int64),
+                "n_words": pd.Series(n_w, dtype=np.int64),
+                "dup_words": pd.Series(dup_w, dtype=np.int64),
+                "cleaned_text": pd.Series(cleaned, dtype=object),
+            }
+        )
+
+    from .agg import use_fast_branch
+
+    if use_fast_branch(
+        force_branch,
+        fast="broadcast",
+        slow="join",
+        count=n_dup,
+        cap=broadcast_max_dups,
+    ):
+        by_doc: dict = {}
+        if n_dup:
+            df = dup_occ.to_pandas()
+            for did, i in zip(df[id_col], df["_i"]):
+                by_doc.setdefault(int(did), []).append(int(i))
+        ref = ray.put(by_doc)
+
+        def clean_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = _fetch(ref)
+            ids = batch[id_col]
+            return rebuild(ids, batch[text_col], (lookup.get(int(d), ()) for d in ids))
+
+        return docs.map_batches(clean_bcast, batch_format="pandas")
+
+    from .joins import hash_join
+
+    def pack(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (int(did), g["_i"].to_numpy(dtype=np.int64).tobytes())
+            for did, g in bucket.groupby(id_col, sort=False)
+        ]
+        return pd.DataFrame(
+            {
+                "_sdoc": pd.Series([r[0] for r in rows], dtype=np.int64),
+                "_off_blob": pd.Series([r[1] for r in rows], dtype=object),
+            }
+        )
+
+    empty_pack = pd.DataFrame(
+        {"_sdoc": pd.Series(dtype="int64"), "_off_blob": pd.Series(dtype=object)}
+    )
+    blobs = bucketed_map_groups(
+        dup_occ, id_col, pack, num_buckets=num_buckets, empty_result=empty_pack
+    )
+    joined = hash_join(docs, blobs, "left_outer", on=(id_col,), right_on=("_sdoc",))
+
+    def clean_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        def unpack(blob):
+            if blob is None or (isinstance(blob, float) and pd.isna(blob)):
+                return ()
+            return np.frombuffer(blob, dtype=np.int64).tolist()
+
+        return rebuild(
+            batch[id_col], batch[text_col], (unpack(b) for b in batch["_off_blob"])
+        )
+
+    return joined.map_batches(clean_joined, batch_format="pandas")
+
+
 # --- cross-corpus line dedup (CCNet rule) ------------------------------------
 
 

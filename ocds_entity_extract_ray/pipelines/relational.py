@@ -6724,6 +6724,60 @@ ORDER BY doc_id
 SQL_QUERIES["q_line_dedup"] = (q_line_dedup, Q_LINE_DEDUP_SQL)
 
 
+def q_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window duplicated-SPAN removal (Lee et al. ExactSubstr at
+    word granularity): an 8-word window at EVERY word offset — unlike
+    q_passage_dedup's stride-16 chunks, a duplicated run is excised at
+    ANY alignment, including spans that straddle chunk boundaries. Every
+    word covered by any window whose exact text occurs >1 time
+    corpus-wide is removed. Rows: affected documents only, with word
+    counts and the excised text. The only full-corpus shuffle carries
+    (md5-low64, doc_id, offset) rows; text shuffles zero times on the
+    (default) broadcast branch."""
+    from ..ops.passages import dedup_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_spans(docs, window_words=8).to_pandas()
+    out = out[out["dup_words"] > 0]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SPAN_DEDUP_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         array_length(ws)::BIGINT AS n_words
+  FROM documents),
+spine AS (
+  SELECT doc_id, ws, n_words, unnest(range(1, n_words - 8 + 2)) AS i
+  FROM docs WHERE n_words >= 8),
+wins AS (
+  SELECT doc_id, i,
+         md5_number_lower(array_to_string(ws[i::INT : (i + 7)::INT], ' ')) AS h
+  FROM spine),
+dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p
+  FROM wins JOIN dups USING (h)),
+words AS (
+  SELECT doc_id, unnest(ws) AS wd,
+         generate_subscripts(ws, 1)::BIGINT AS p
+  FROM docs),
+kept AS (
+  SELECT w.doc_id, STRING_AGG(w.wd, ' ' ORDER BY w.p) AS cleaned_text
+  FROM words w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.p = cov.p
+  WHERE cov.p IS NULL
+  GROUP BY w.doc_id),
+stats AS (SELECT doc_id, COUNT(*)::BIGINT AS dup_words FROM cov GROUP BY doc_id)
+SELECT d.doc_id, d.n_words, s.dup_words, k.cleaned_text
+FROM docs d
+JOIN stats s USING (doc_id)
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+"""
+
+SQL_QUERIES["q_span_dedup"] = (q_span_dedup, Q_SPAN_DEDUP_SQL)
+
+
 def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup (Abbas et al.): fixed-point k-means clusters, then prune
     vectors cosine-similar to a lower-id vector in the same final

@@ -390,3 +390,78 @@ def test_passage_dedup_matches_reference_on_random_corpora(ray_session):
                 assert (r["n_passages"], r["n_dropped"]) == want[:2], (trial, kwargs)
                 cleaned = r["cleaned_text"] if pd.notna(r["cleaned_text"]) else None
                 assert cleaned == want[2], (trial, kwargs, r["doc_id"])
+
+
+# --- sliding-window span dedup (ExactSubstr at every offset) ------------------
+
+S = "s1 s2 s3 s4"  # the planted shared 4-word span
+
+
+@pytest.fixture(scope="module")
+def span_corpus(ray_session):
+    rows = [
+        # span at offset 0 (chunk-aligned)
+        {"doc_id": 1, "text": S + " u1 u2"},
+        # the SAME span at offset 2 — straddles the stride-4 chunk
+        # boundary, so dedup_passages(words_per_passage=4) cannot see it
+        {"doc_id": 2, "text": "p1 p2 " + S + " p3"},
+        # shorter than the window: untouched even though it is a prefix
+        # of the duplicated span
+        {"doc_id": 3, "text": "s1 s2 s3"},
+        # within-document duplicate: both occurrences cover every word
+        {"doc_id": 4, "text": S + " " + S},
+        # fully unique
+        {"doc_id": 5, "text": "q1 q2 q3 q4 q5"},
+    ]
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+EXPECTED_SPANS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4, 5],
+        "n_words": [6, 7, 3, 8, 5],
+        "dup_words": [4, 4, 0, 8, 0],
+        "cleaned_text": ["u1 u2", "p1 p2 p3", "s1 s2 s3", None, "q1 q2 q3 q4 q5"],
+    }
+)
+
+
+def _normalize_spans(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_words", "dup_words"):
+        out[c] = out[c].astype(np.int64)
+    out["cleaned_text"] = out["cleaned_text"].where(out["cleaned_text"].notna(), None)
+    return out
+
+
+def test_span_dedup_planted_catches_straddling_span(span_corpus):
+    from ocds_entity_extract_ray.ops.passages import dedup_spans
+
+    got = _normalize_spans(dedup_spans(span_corpus, window_words=4).to_pandas())
+    pd.testing.assert_frame_equal(got, EXPECTED_SPANS)
+
+
+def test_span_dedup_join_branch_parity(span_corpus):
+    from ocds_entity_extract_ray.ops.passages import dedup_spans
+
+    got = _normalize_spans(
+        dedup_spans(
+            span_corpus, window_words=4, force_branch="join", num_buckets=4
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, EXPECTED_SPANS)
+
+
+def test_span_dedup_closes_the_chunk_alignment_gap(span_corpus):
+    """The gap dedup_spans exists to close: stride-4 passage chunking
+    leaves doc 2's straddling copy of the span fully intact."""
+    got = _normalize(dedup_passages(span_corpus, words_per_passage=4).to_pandas())
+    doc2 = got[got["doc_id"] == 2].iloc[0]
+    assert doc2["n_dropped"] == 0 and S in doc2["cleaned_text"]
+
+
+def test_span_dedup_rejects_degenerate_window(span_corpus):
+    from ocds_entity_extract_ray.ops.passages import dedup_spans
+
+    with pytest.raises(ValueError, match="window_words"):
+        dedup_spans(span_corpus, window_words=1)
