@@ -378,6 +378,16 @@ def dedup_spans(
 
     from .joins import hash_join
 
+    if not n_dup:
+        # Nothing to excise. The blob side would be a ZERO-block dataset
+        # (sorting an empty dataset emits no blocks at all, so its schema
+        # is None) and acero rejects a schema-less join side; a map-only
+        # identity rebuild is the same answer without the join.
+        return docs.map_batches(
+            lambda b: rebuild(b[id_col], b[text_col], ((),) * len(b)),
+            batch_format="pandas",
+        )
+
     def pack(bucket: pd.DataFrame) -> pd.DataFrame:
         rows = [
             (int(did), g["_i"].to_numpy(dtype=np.int64).tobytes())
@@ -544,6 +554,15 @@ def dedup_lines(
 
     # distributed apply: per-doc dropped-position blobs, left-outer join
     from .joins import hash_join
+
+    if not n_losers:
+        # Same zero-block guard as dedup_spans: sorting an empty loser
+        # set emits no blocks (schema None) and acero rejects that join
+        # side; with nothing to drop the apply is a map-only identity.
+        return docs.map_batches(
+            lambda b: rebuild(b[id_col], b[text_col], ((),) * len(b)),
+            batch_format="pandas",
+        )
 
     def pack(bucket: pd.DataFrame) -> pd.DataFrame:
         rows = [

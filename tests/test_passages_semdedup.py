@@ -465,3 +465,27 @@ def test_span_dedup_rejects_degenerate_window(span_corpus):
 
     with pytest.raises(ValueError, match="window_words"):
         dedup_spans(span_corpus, window_words=1)
+
+
+def test_span_and_line_dedup_join_branch_zero_dups(ray_session):
+    """Forced join branch on a duplicate-free corpus: the blob side is a
+    ZERO-block dataset (schema None) that acero would reject — both ops
+    must short-circuit to the identity rebuild instead of joining."""
+    from ocds_entity_extract_ray.ops.passages import dedup_lines, dedup_spans
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e", "f g h i j"]})
+    )
+    spans = _normalize_spans(
+        dedup_spans(docs, window_words=4, force_branch="join", num_buckets=4).to_pandas()
+    )
+    assert list(spans["dup_words"]) == [0, 0]
+    assert list(spans["cleaned_text"]) == ["a b c d e", "f g h i j"]
+
+    lines = (
+        dedup_lines(docs, words_per_line=2, force_branch="join", num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(lines["n_dropped"].astype(int)) == [0, 0]
+    assert list(lines["clean_text"]) == ["a b\nc d\ne", "f g\nh i\nj"]
