@@ -86,6 +86,26 @@ def _kg_triples_from_records(sf_dir: str):
     return materialize_triples(entities)
 
 
+def _kg_triples_from_warc(sf_dir: str):
+    """Rows-only: the KG pipeline fed from WARC segments (the Common
+    Crawl wire format, sources/warc.py) — pages materialized as
+    per-record-gzipped WARC, streamed back through WARCDatasource, then
+    the flagship extractor. Byte-parity of the triple set with the
+    parquet-fed run is pytest-pinned (tests/test_warc.py)."""
+    from ocds_entity_extract_ray.pipelines.kg import build_entities
+    from ocds_entity_extract_ray.sources.warc import read_warc, write_warc
+    from ocds_entity_extract_ray.stages.triples_stage import materialize_triples
+    from ocds_entity_extract_ray.state.paths import scratch_path
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    pages_dir = _corpus(n)
+    warc_dir = write_warc(pages_dir, scratch_path(f"warc_{n}"), gzip_members=True)
+    clist, pidx = _kg_inputs()
+    pages = read_warc(warc_dir).drop_columns(["warc_ts"])
+    entities = build_entities(pages, clist, pidx, num_buckets=64)
+    return materialize_triples(entities)
+
+
 def _kg_text_hashes(sf_dir: str):
     """Rows-only: the byte-identity invariant surface — per-url sha256 of
     the extracted text (input_hint)."""
@@ -607,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     full.update(ROWS_ONLY_QUERIES)
     full["kg_triples"] = _kg_triples
     full["kg_triples_from_records"] = _kg_triples_from_records
+    full["kg_triples_from_warc"] = _kg_triples_from_warc
     full["kg_text_hashes"] = _kg_text_hashes
     full["kg_degree_hist"] = _kg_degree_hist
     full["kg_entity_pagerank"] = _kg_entity_pagerank
