@@ -544,7 +544,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # flagship KG pipeline (rows-only: conformance-tested vs the
     # sequential oracle port; no SQL twin exists for the full extractor)
     "kg_triples",
-    "kg_triples_from_records",
+    # r05 session-6 rotation: the WARC-fed S1 variant replaces the
+    # records-fed one (r04-green; stays in the full sweep)
+    "kg_triples_from_warc",
     "kg_text_hashes",
     "kg_incremental_triples",
     # TPC-H relational core
@@ -571,7 +573,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # in r05 — span_dedup is sliding-window ExactSubstr and supersedes
     # the stride-chunked q_passage_dedup in the window; passage_dedup
     # stays in the full sweep)
-    "q_exact_dedup_stats",
+    # exact_dedup_stats (green since r02) rotated out for the keep-best
+    # canonical-selection variant added this session
+    "q_canonical_docs",
     "q_minhash_dup_pairs",
     "q_simhash_dup_pairs",
     "q_span_dedup",
@@ -602,7 +606,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_pii_redaction",
     # sampling / splits / mixing
     "q_temperature_mix",
-    "q_cap_docs_per_source",
+    # cap_docs_per_source (green since r03) rotated out for the seeded
+    # epoch-shuffle order added this session
+    "q_epoch_shuffle",
     # CDC / diff
     "q_latest_event_per_user",
     "q_table_diff",

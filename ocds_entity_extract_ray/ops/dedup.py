@@ -185,6 +185,66 @@ def exact_dup_groups(
     return bucketed_map_groups(hashed, "_h", per_bucket, num_buckets=64)
 
 
+def canonical_per_duplicate(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Canonical-representative selection per exact-dup cluster: keep the
+    BEST copy — longest text, min id tiebreak — and report the cluster
+    size. This is the curation policy complement to ``exact_dedup``
+    (keep-first-by-id): a crawl's shortest copy is usually the truncated
+    one, so canonicalization keeps the longest. Returns
+    (id, n_dups) for EVERY distinct text (n_dups == 1 for singletons).
+
+    Scale shape: one bucketed exchange carrying (id, 128-bit hash,
+    codepoint length) = 32 B/row; the text never moves. Per-block rows
+    are pre-deduped on (id, hash) so a double-ingested shard ships (and
+    counts) once; inside a bucket the distinct pass runs again before the
+    argmax + count, mirroring exact_dedup's ID CONTRACT (same-id
+    different-text is undefined behavior)."""
+    from .agg import bucketed_map_groups
+
+    def hash_block(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").to_numpy()
+        h1, h2 = _md5_halves(texts)
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "_h1": h1,
+                "_h2": h2,
+                "_len": np.fromiter(
+                    (len(t) for t in texts), dtype=np.int64, count=len(texts)
+                ),
+            }
+        )
+        return out.drop_duplicates([id_col, "_h1", "_h2"])
+
+    hashed = ds.map_batches(hash_block, batch_format="pandas")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        u = bucket.drop_duplicates([id_col, "_h1", "_h2"])
+        n = (
+            u.groupby(["_h1", "_h2"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_dups"})
+        )
+        best = u.sort_values(
+            ["_len", id_col], ascending=[False, True], kind="mergesort"
+        ).drop_duplicates(["_h1", "_h2"])
+        out = best.merge(n, on=["_h1", "_h2"])[[id_col, "n_dups"]]
+        return out.astype({id_col: "int64", "n_dups": "int64"})
+
+    empty = pd.DataFrame(
+        {id_col: pd.Series(dtype="int64"), "n_dups": pd.Series(dtype="int64")}
+    )
+    return bucketed_map_groups(
+        hashed, "_h1", per_bucket, num_buckets=num_buckets, empty_result=empty
+    )
+
+
 # --- shingling / MinHash ------------------------------------------------------
 
 

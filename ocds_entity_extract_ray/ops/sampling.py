@@ -304,3 +304,62 @@ def cap_per_key(
     return bucketed_map_groups(
         pre, key_col, select_k, num_buckets=num_buckets, empty_result=empty_result
     )
+
+
+def epoch_shuffle_head(
+    ds: ray.data.Dataset,
+    id_col: str,
+    *,
+    epochs: int,
+    k: int,
+) -> pd.DataFrame:
+    """Reproducible per-epoch training order: each epoch e induces a
+    GLOBAL pseudo-random permutation of the corpus by the sort key
+    ``md5_number_lower(f"{e}:{id}")`` (id tiebreak) — the standard
+    seeded-epoch-shuffle a trainer needs to be restartable: any worker
+    can recompute any row's key without coordination, and a resumed run
+    reproduces the exact order of the crashed one. Returns the first
+    ``k`` rows of every epoch's order as (epoch, pos, id).
+
+    Scale shape: NO shuffle — the key is a pure row function, and the
+    head-of-order query is a per-block top-k prune (ops/agg.py:topk_rows,
+    <= k rows per block reach the driver) per epoch. Materializing a FULL
+    epoch order would be one range-partitioned sort on the same key; the
+    head is what a resume/inspection surface actually reads."""
+    import hashlib
+
+    from .agg import topk_rows
+
+    frames = []
+    for e in range(epochs):
+        def key_block(b: pd.DataFrame, e: int = e) -> pd.DataFrame:
+            ids = b[id_col].to_numpy()
+            keys = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(f"{e}:{i}".encode()).digest()[8:], "little"
+                    )
+                    for i in ids
+                ),
+                dtype=np.uint64,
+                count=len(ids),
+            )
+            # the key is uint64 but pandas sorts the int64 view SIGNED:
+            # flip the sign bit so the wrapped negative range orders last
+            return pd.DataFrame(
+                {"_ord": (keys ^ np.uint64(1 << 63)).view(np.int64), id_col: ids}
+            )
+
+        empty = pd.DataFrame(
+            {"_ord": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64")}
+        )
+        keyed = ds.map_batches(key_block, batch_format="pandas")
+        top = topk_rows(
+            keyed, k, by=["_ord", id_col], ascending=[True, True], empty=empty
+        )
+        top = top.drop(columns=["_ord"])
+        top.insert(0, "epoch", np.int64(e))
+        top.insert(1, "pos", np.arange(1, len(top) + 1, dtype=np.int64))
+        frames.append(top)
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"epoch": "int64", "pos": "int64", id_col: "int64"})

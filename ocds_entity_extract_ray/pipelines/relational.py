@@ -800,6 +800,63 @@ FROM documents
 """
 
 
+def q_canonical_docs(sf_dir: str) -> pd.DataFrame:
+    """Canonical-representative selection per exact-dup text cluster
+    (ops/dedup.py:canonical_per_duplicate): keep the LONGEST copy (min id
+    tiebreak) and report every cluster's size — the RefinedWeb-style
+    keep-best policy, vs exact_dedup's keep-first. One 32 B/row bucketed
+    exchange; the twin partitions on BOTH md5 halves, the engine's exact
+    128-bit identity."""
+    from ..ops.dedup import canonical_per_duplicate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = canonical_per_duplicate(docs, "text", "doc_id", num_buckets=16)
+    out = out.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_CANONICAL_DOCS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5_number_lower(text) AS h1, md5_number_upper(text) AS h2,
+         length(text)::BIGINT AS L
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY h1, h2 ORDER BY L DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h1, h2) AS n_dups
+  FROM h)
+SELECT doc_id, n_dups::BIGINT AS n_dups FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Reproducible per-epoch training order
+    (ops/sampling.py:epoch_shuffle_head): 3 seeded global permutations of
+    the documents table by md5_number_lower('epoch:id'), first 40 rows of
+    each epoch's order. No shuffle — the key is a pure row function and
+    the head is a per-block top-k prune; a resumed trainer recomputes any
+    position without coordination."""
+    from ..ops.sampling import epoch_shuffle_head
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle_head(docs, "doc_id", epochs=3, k=40)
+
+
+Q_EPOCH_SHUFFLE_SQL = """
+WITH k AS (
+  SELECT epoch, doc_id,
+         md5_number_lower(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS key
+  FROM range(0, 3) t(epoch) CROSS JOIN documents),
+r AS (
+  SELECT epoch, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY key, doc_id) AS pos
+  FROM k)
+SELECT epoch::BIGINT AS epoch, pos::BIGINT AS pos, doc_id
+FROM r WHERE pos <= 40 ORDER BY epoch, pos
+"""
+
+
 def q_slugify_nations(sf_dir: str) -> pd.DataFrame:
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     out = nation.map_batches(
@@ -1187,6 +1244,8 @@ SQL_QUERIES.update(
         "q_minhash_dup_pairs": (q_minhash_dup_pairs, Q_MINHASH_PAIRS_SQL),
         "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_PAIRS_SQL),
         "q_simhash_dup_pairs": (q_simhash_dup_pairs, Q_SIMHASH_PAIRS_SQL),
+        "q_canonical_docs": (q_canonical_docs, Q_CANONICAL_DOCS_SQL),
+        "q_epoch_shuffle": (q_epoch_shuffle, Q_EPOCH_SHUFFLE_SQL),
     }
 )
 

@@ -3462,3 +3462,77 @@ def test_video_dup_pairs_finds_trimmed_copy(ray_session):
     assert not any(
         {a, b} & {2, 3} for a, b in zip(pairs["id_a"], pairs["id_b"])
     )
+
+
+def test_canonical_per_duplicate(ray_session):
+    from ocds_entity_extract_ray.ops.dedup import canonical_per_duplicate
+
+    rows = [
+        # cluster A: 3 copies, one LONGER variant with a higher id — the
+        # longest must win over the min id
+        {"doc_id": 5, "text": "payload alpha"},
+        {"doc_id": 9, "text": "payload alpha"},
+        {"doc_id": 7, "text": "payload alpha"},
+        {"doc_id": 11, "text": "payload alpha extended"},
+        # cluster B: equal lengths — min id tiebreak
+        {"doc_id": 20, "text": "beta"},
+        {"doc_id": 18, "text": "beta"},
+        # singleton
+        {"doc_id": 30, "text": "gamma solo"},
+    ]
+    # NOTE the long variant is a DIFFERENT text (own cluster of 1)
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = (
+        canonical_per_duplicate(ds, "text", "doc_id", num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["n_dups"]))
+    assert got == {5: 3, 11: 1, 18: 2, 30: 1}
+    assert out["n_dups"].dtype == "int64" and out["doc_id"].dtype == "int64"
+
+    # partition independence: 1 block vs row-per-block
+    one = canonical_per_duplicate(
+        ds.repartition(1), "text", "doc_id", num_buckets=4
+    ).to_pandas()
+    many = canonical_per_duplicate(
+        ds.repartition(7), "text", "doc_id", num_buckets=4
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "n_dups"]].itertuples(index=False)))
+    assert key(one) == key(many) == sorted(got.items())
+
+    # ID CONTRACT: byte-identical repeated (id, text) rows count ONCE
+    dup_ds = ray.data.from_pandas(pd.DataFrame(rows + rows))
+    redup = canonical_per_duplicate(dup_ds, "text", "doc_id", num_buckets=4).to_pandas()
+    assert key(redup) == sorted(got.items())
+
+
+def test_epoch_shuffle_head(ray_session):
+    import hashlib
+
+    from ocds_entity_extract_ray.ops.sampling import epoch_shuffle_head
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": range(200)}))
+    out = epoch_shuffle_head(ds, "doc_id", epochs=2, k=10)
+    assert list(out.columns) == ["epoch", "pos", "doc_id"]
+    assert len(out) == 20
+    # reference order: full md5 sort per epoch (unsigned), first 10
+    for e in (0, 1):
+        keys = sorted(
+            range(200),
+            key=lambda i: (
+                int.from_bytes(hashlib.md5(f"{e}:{i}".encode()).digest()[8:], "little"),
+                i,
+            ),
+        )[:10]
+        got = out.loc[out["epoch"] == e].sort_values("pos")["doc_id"].tolist()
+        assert got == keys
+    # epochs genuinely permute differently
+    assert (
+        out.loc[out["epoch"] == 0].sort_values("pos")["doc_id"].tolist()
+        != out.loc[out["epoch"] == 1].sort_values("pos")["doc_id"].tolist()
+    )
+    # partition independence
+    out7 = epoch_shuffle_head(ds.repartition(7), "doc_id", epochs=2, k=10)
+    assert out7.equals(out)

@@ -131,7 +131,7 @@ def test_driver_window_is_representative_cross_section():
     assert rows_only_in_window == [
         # KG extractor: conformance-tested vs the sequential oracle port
         "kg_triples",
-        "kg_triples_from_records",
+        "kg_triples_from_warc",
         "kg_text_hashes",
         "kg_incremental_triples",
         # media dedup: planted-truth-gated (the query itself raises on a
