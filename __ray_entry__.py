@@ -106,6 +106,77 @@ def _kg_triples_from_warc(sf_dir: str):
     return materialize_triples(entities)
 
 
+def _kg_reject_audit(sf_dir: str):
+    """Rows-only: the pipeline's reject / dead-letter channel
+    (stages/audit.py) — deterministically plant k malformed pages of each
+    failure class next to the clean corpus, audit every page through the
+    SAME parser the mention stage uses, and return the (status, n_pages,
+    n_records) rollup. Planted-truth-gated: the query itself raises if
+    any planted reject is missed or any clean page is misclassified."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ocds_entity_extract_ray.sources.readers import read_pages
+    from ocds_entity_extract_ray.sources.synth import PAGES_SCHEMA
+    from ocds_entity_extract_ray.stages.audit import page_audit, reject_summary
+    from ocds_entity_extract_ray.state.paths import scratch_path
+
+    n = max(200, int(_CORPUS_DOCS_PER_SF * _sf_of(sf_dir)))
+    k = max(2, n // 100)
+    pages_dir = _corpus(n)
+
+    import datetime
+    import os
+
+    ts = datetime.datetime(2021, 1, 1)
+    bad_rows = []
+    for i in range(k):
+        bad_rows.append(
+            {
+                "url": f"https://bad.example/truncated/{i}",
+                "warc_ts": ts,
+                "html": b'<script type="application/ld+json">{"cut": </script>',
+                "text": "",
+                "lang": "xx",
+            }
+        )
+        bad_rows.append(
+            {
+                "url": f"https://bad.example/nonobject/{i}",
+                "warc_ts": ts,
+                "html": b'<script type="application/ld+json">[1, "no"]</script>',
+                "text": "",
+                "lang": "xx",
+            }
+        )
+        bad_rows.append(
+            {
+                "url": f"https://bad.example/garbage/{i}",
+                "warc_ts": ts,
+                "html": b"\xff\xfe\x00 not html at all " + str(i).encode(),
+                "text": "",
+                "lang": "xx",
+            }
+        )
+    bad_dir = scratch_path(f"bad_pages_{k}")
+    os.makedirs(bad_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(bad_rows, schema=PAGES_SCHEMA),
+        os.path.join(bad_dir, "bad.parquet"),
+    )
+
+    pages = read_pages(pages_dir, columns=["url", "html"]).union(
+        ray.data.read_parquet(bad_dir, columns=["url", "html"])
+    )
+    out = reject_summary(page_audit(pages))
+    got = dict(zip(out["status"], out["n_pages"]))
+    want = {"bad_json": k, "non_object": k, "no_jsonld": k, "ok": n}
+    if got != want:
+        raise AssertionError(f"kg_reject_audit: planted truth missed: {got} != {want}")
+    return out
+
+
 def _kg_text_hashes(sf_dir: str):
     """Rows-only: the byte-identity invariant surface — per-url sha256 of
     the extracted text (input_hint)."""
@@ -634,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     full["kg_triples"] = _kg_triples
     full["kg_triples_from_records"] = _kg_triples_from_records
     full["kg_triples_from_warc"] = _kg_triples_from_warc
+    full["kg_reject_audit"] = _kg_reject_audit
     full["kg_text_hashes"] = _kg_text_hashes
     full["kg_degree_hist"] = _kg_degree_hist
     full["kg_entity_pagerank"] = _kg_entity_pagerank

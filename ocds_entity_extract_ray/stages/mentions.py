@@ -60,6 +60,36 @@ def _pickles_under(obj, cap: int) -> bool:
     return True
 
 
+def iter_page_events(url: str, html) -> "object":
+    """One page -> a stream of parse EVENTS — the single parser behind
+    both the mention stage (which consumes only the 'record' events) and
+    the audit stage (stages/audit.py, which counts all of them), so the
+    reject accounting can never diverge from what extraction actually
+    skipped.
+
+    Events: ('record', order_key, record_dict) for each extracted record;
+    ('bad_json', None, None) for a JSON-LD block that fails to parse;
+    ('non_object', None, None) for a parsed payload entry that is not an
+    object. Order keys are GLOBALLY unique per record (url, url#1, ...)
+    or first-writer-wins ties become merge-order-dependent."""
+    n_rec = 0
+    for block in extract_jsonld_blocks_bytes(html):
+        try:
+            payload = json.loads(block)
+        except json.JSONDecodeError:
+            yield ("bad_json", None, None)
+            continue
+        # real JSON-LD is often a top-level array; accept both
+        records = payload if isinstance(payload, list) else [payload]
+        for record in records:
+            if not isinstance(record, dict):
+                yield ("non_object", None, None)
+                continue
+            ok = url if n_rec == 0 else f"{url}#{n_rec}"
+            n_rec += 1
+            yield ("record", ok, record)
+
+
 class MentionExtractor:
     """Actor-pool stage: pages batch -> partially-combined mention states."""
 
@@ -88,25 +118,11 @@ class MentionExtractor:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         for url, html in zip(urls, htmls):
-            n_rec = 0
-            for block in extract_jsonld_blocks_bytes(html):
-                try:
-                    payload = json.loads(block)
-                except json.JSONDecodeError:
-                    continue
-                # real JSON-LD is often a top-level array; accept both and
-                # skip non-object payloads
-                records = payload if isinstance(payload, list) else [payload]
-                for record in records:
-                    if isinstance(record, dict):
-                        # order keys must be GLOBALLY unique per record or
-                        # first-writer-wins ties become merge-order-dependent:
-                        # suffix the url for 2nd+ records on one page
-                        ok = url if n_rec == 0 else f"{url}#{n_rec}"
-                        n_rec += 1
-                        yield from emit_record(
-                            record, ok, self.classifier_list, self.product_index
-                        )
+            for kind, ok, record in iter_page_events(url, html):
+                if kind == "record":
+                    yield from emit_record(
+                        record, ok, self.classifier_list, self.product_index
+                    )
 
     def _emit_from_records(self, batch: pa.Table):
         import hashlib
@@ -114,7 +130,12 @@ class MentionExtractor:
         ocids = batch["ocid"].to_pylist()
         blobs = batch["record_json"].to_pylist()
         for ocid, blob in zip(ocids, blobs):
-            record = json.loads(blob)
+            try:
+                record = json.loads(blob)
+            except json.JSONDecodeError:
+                continue  # malformed blob must not kill the stage
+            if not isinstance(record, dict):
+                continue
             # ocid-less records get a content-derived (stable, unique) key
             ok = ocid or "sha:" + hashlib.sha1(blob.encode()).hexdigest()[:16]
             yield from emit_record(record, ok, self.classifier_list, self.product_index)

@@ -1,0 +1,119 @@
+"""Reject/dead-letter audit channel (stages/audit.py) + the mention-stage
+hardening that shares its parser."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data
+
+from ocds_entity_extract_ray.stages.audit import page_audit, reject_summary
+from ocds_entity_extract_ray.stages.mentions import MentionExtractor, iter_page_events
+
+
+def _pages_ds(rows):
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+    )
+
+
+GOOD = (
+    b'<html><script type="application/ld+json">'
+    b'{"ocid": "x-1", "compiledRelease": {"parties": []}}</script></html>'
+)
+TWO_BLOCKS = (
+    b'<script type="application/ld+json">{"a": 1}</script>'
+    b'<script type="application/ld+json">[{"b": 2}, {"c": 3}]</script>'
+)
+TRUNCATED = b'<script type="application/ld+json">{"cut": </script>'
+NON_OBJECT = b'<script type="application/ld+json">[1, "no"]</script>'
+GARBAGE = b"\xff\xfe\x00garbage"
+
+
+def test_page_audit_statuses(ray_session):
+    ds = _pages_ds(
+        [
+            ("u/good", GOOD),
+            ("u/two", TWO_BLOCKS),
+            ("u/trunc", TRUNCATED),
+            ("u/nonobj", NON_OBJECT),
+            ("u/garbage", GARBAGE),
+            # mixed: one parsed record AND one bad block -> bad_json wins
+            ("u/mixed", GOOD + TRUNCATED),
+        ]
+    )
+    out = page_audit(ds).to_pandas().set_index("url")
+    assert out.loc["u/good", "status"] == "ok"
+    assert out.loc["u/good", "n_records"] == 1
+    assert out.loc["u/two", "status"] == "ok"
+    assert out.loc["u/two", "n_records"] == 3  # object + two array members
+    assert out.loc["u/trunc", "status"] == "bad_json"
+    assert out.loc["u/nonobj", "status"] == "non_object"
+    assert out.loc["u/nonobj", "n_non_object"] == 2
+    assert out.loc["u/garbage", "status"] == "no_jsonld"
+    assert out.loc["u/mixed", "status"] == "bad_json"
+    assert out.loc["u/mixed", "n_records"] == 1
+
+    roll = reject_summary(page_audit(ds))
+    got = dict(zip(roll["status"], roll["n_pages"]))
+    assert got == {"ok": 2, "bad_json": 2, "non_object": 1, "no_jsonld": 1}
+    # every status row present even when zero
+    assert list(roll.columns) == ["status", "n_pages", "n_records"]
+
+
+def test_audit_and_mention_stage_share_one_parser():
+    """A page's audited n_records must equal the number of record events
+    the mention stage consumes — both read iter_page_events."""
+    for html in (GOOD, TWO_BLOCKS, TRUNCATED, NON_OBJECT, GARBAGE, GOOD + TRUNCATED):
+        events = list(iter_page_events("u", html))
+        n_rec = sum(1 for k, _o, _r in events if k == "record")
+        # order keys unique and url-prefixed
+        oks = [o for k, o, _r in events if k == "record"]
+        assert len(set(oks)) == len(oks)
+        assert all(o == "u" or o.startswith("u#") for o in oks)
+        if html is GARBAGE:
+            assert n_rec == 0 and events == []
+
+
+def test_malformed_record_json_is_skipped(ray_session):
+    """records-source hardening: a corrupt record_json blob (or a
+    non-object one) must be skipped, not kill the stage."""
+    import pyarrow as pa
+
+    import json
+
+    from ocds_entity_extract_ray.sources.synth import make_record
+
+    valid = json.dumps(make_record(3))
+    batch = pa.table(
+        {
+            "ocid": pa.array(["a", "b", "c"], pa.string()),
+            "record_json": pa.array([valid, '{"cut": ', "[1, 2]"], pa.string()),
+        }
+    )
+    out = MentionExtractor(None, {})(batch)  # must not raise
+    # exactly the valid record's states survive: same as feeding it alone
+    alone = MentionExtractor(None, {})(batch.slice(0, 1))
+    assert sorted(out["key"].to_pylist()) == sorted(alone["key"].to_pylist())
+    assert len(out) > 0
+
+
+def test_kg_reject_audit_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.queries()["kg_reject_audit"]("/root/testdata/sf0.001")
+    assert isinstance(out, pd.DataFrame)
+    assert set(out["status"]) == {"ok", "bad_json", "non_object", "no_jsonld"}
+    ok = out.set_index("status")
+    assert ok.loc["ok", "n_pages"] == 200
+    assert (ok.loc[["bad_json", "non_object", "no_jsonld"], "n_records"] == 0).all()
