@@ -631,7 +631,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # windows / sessions / temporal (running_total: the r04 dtype class,
     # freshly ::BIGINT-cast; late_events: new in r04; moving_sum rotated
     # out in r05 — running_total covers the same window+dtype shape)
-    "q_events_tumbling",
+    # events_tumbling (green since r02) rotated out for the incremental
+    # streaming-window state store added this session (same family,
+    # strictly stronger: multi-tick persisted state == the batch twin)
+    "q_streaming_window_ingest",
     "q_running_total",
     "q_late_events",
     "q_scd2_user_value",

@@ -57,6 +57,7 @@ def tumbling_window_late(
     freq: str = "h",
     lateness: pd.Timedelta = pd.Timedelta(days=14),
     num_ranges: int = 64,
+    initial_watermark_us: int | None = None,
 ) -> pd.DataFrame:
     """Tumbling windows with an allowed-lateness watermark (DROP
     semantics): an event is LATE iff its event time is more than
@@ -82,6 +83,10 @@ def tumbling_window_late(
     import numpy as np
 
     late_us = np.int64(int(lateness / pd.Timedelta(microseconds=1)))
+    # a resumed stream (ops/streaming.py) seeds the watermark from its
+    # persisted state so tick N+1 continues exactly where tick N stopped;
+    # the default is "before everything" (no row can be late initially)
+    w0 = np.int64(-(2**62) if initial_watermark_us is None else initial_watermark_us)
 
     def proj(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -133,7 +138,9 @@ def tumbling_window_late(
     prefix = dict(
         zip(
             mx["_range"].astype(int),
-            mx["mx"].astype("int64").cummax().shift(1, fill_value=np.int64(-(2**62))),
+            np.maximum(
+                mx["mx"].astype("int64").cummax().shift(1, fill_value=w0), w0
+            ),
         )
     )
 

@@ -705,6 +705,82 @@ ORDER BY event_type, window_start
 """
 
 
+def q_streaming_window_ingest(sf_dir: str) -> pd.DataFrame:
+    """Incremental streaming-window state store
+    (ops/streaming.py:windowed_ingest_tick): the events log arrives as
+    THREE arrival-contiguous micro-batch ticks, each merged into a
+    persisted bucketed state dir with the watermark carried across ticks
+    (crash-safe stage+swap, exactly-once journal). The final state is
+    hash-exact against the SINGLE-PASS SQL twin — the
+    incremental==batch theorem, verified end to end by the driver.
+    Daily windows / 7-day lateness (vs q_late_events' hourly/14d single
+    pass)."""
+    import shutil
+
+    from ..ops.streaming import windowed_ingest_tick, windowed_state
+    from ..ops.textstats import _h64
+    from ..state.paths import scratch_path
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "ts", "value"]
+    )
+
+    def with_arrival(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["arrival_seq"] = np.array(
+            [_h64(str(i).encode()) for i in b["event_id"]], dtype=np.uint64
+        )
+        return b
+
+    ev = events.map_batches(with_arrival, batch_format="pandas").materialize()
+    state = scratch_path(f"stream_state_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(state, ignore_errors=True)
+
+    third = (1 << 64) // 3
+    bounds = [(0, third), (third, 2 * third), (2 * third, None)]
+    for i, (lo, hi) in enumerate(bounds):
+
+        def pick(b: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
+            arr = b["arrival_seq"].to_numpy().astype(np.uint64)
+            m = arr >= np.uint64(lo)
+            if hi is not None:
+                m &= arr < np.uint64(hi)
+            return b[m]
+
+        windowed_ingest_tick(
+            state,
+            ev.map_batches(pick, batch_format="pandas"),
+            tick_id=f"tick{i}",
+            freq="D",
+            lateness=pd.Timedelta(days=7),
+        )
+    out = windowed_state(state).rename(columns={"key": "event_type"})
+    return out.reset_index(drop=True)
+
+
+Q_STREAMING_INGEST_SQL = """
+WITH wm AS (
+  SELECT event_type, ts, value,
+         MAX(ts) OVER (
+           ORDER BY md5_number_lower(event_id::VARCHAR), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS watermark
+  FROM events
+), flagged AS (
+  SELECT event_type, date_trunc('day', ts) AS window_start,
+         CASE WHEN ts < watermark - INTERVAL 7 DAY THEN 1 ELSE 0 END AS is_late,
+         ROUND(value * 100, 0)::BIGINT AS cents
+  FROM wm
+)
+SELECT event_type, window_start,
+       SUM(1 - is_late)::BIGINT AS n_events,
+       SUM(CASE WHEN is_late = 0 THEN cents ELSE 0 END)::BIGINT AS sum_value_cents,
+       SUM(is_late)::BIGINT AS n_late
+FROM flagged GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
 def q_sessions(sf_dir: str) -> pd.DataFrame:
     events = _read(sf_dir, "events", columns=["user_id", "ts"])
     out = sessionize(events, gap_minutes=30).to_pandas()
@@ -1223,6 +1299,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "q_avg_acctbal_by_segment": (q_avg_acctbal_by_segment, Q_AVG_SQL),
     "q_events_tumbling": (q_events_tumbling, Q_TUMBLING_SQL),
     "q_late_events": (q_late_events, Q_LATE_EVENTS_SQL),
+    "q_streaming_window_ingest": (q_streaming_window_ingest, Q_STREAMING_INGEST_SQL),
     "q_sessions": (q_sessions, Q_SESSIONS_SQL),
     "q_event_hist": (q_event_hist, Q_EVENT_HIST_SQL),
     "q_lang_hist": (q_lang_hist, Q_LANG_HIST_SQL),
