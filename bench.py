@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     "q_length_trim",
     "q_target_lm_selection",
     "q_span_dedup",
+    # round-5 session-6 additions
+    "q_canonical_docs",
+    "q_epoch_shuffle",
+    "q_streaming_window_ingest",
 ]
 
 

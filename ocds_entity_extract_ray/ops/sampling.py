@@ -321,45 +321,53 @@ def epoch_shuffle_head(
     reproduces the exact order of the crashed one. Returns the first
     ``k`` rows of every epoch's order as (epoch, pos, id).
 
-    Scale shape: NO shuffle — the key is a pure row function, and the
-    head-of-order query is a per-block top-k prune (ops/agg.py:topk_rows,
-    <= k rows per block reach the driver) per epoch. Materializing a FULL
+    Scale shape: NO shuffle and ONE scan — each block emits its local
+    top-k candidates for EVERY epoch (<= epochs x k rows per block reach
+    the driver), the driver finalizes per epoch. Materializing a FULL
     epoch order would be one range-partitioned sort on the same key; the
     head is what a resume/inspection surface actually reads."""
-    import hashlib
+    from .agg import to_pandas_safe
+    from .textstats import _h64  # the repo-wide md5-low64 convention
 
-    from .agg import topk_rows
-
-    frames = []
-    for e in range(epochs):
-        def key_block(b: pd.DataFrame, e: int = e) -> pd.DataFrame:
-            ids = b[id_col].to_numpy()
+    def candidates(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        frames = []
+        for e in range(epochs):
             keys = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(f"{e}:{i}".encode()).digest()[8:], "little"
-                    )
-                    for i in ids
-                ),
+                (_h64(f"{e}:{i}".encode()) for i in ids),
                 dtype=np.uint64,
                 count=len(ids),
             )
             # the key is uint64 but pandas sorts the int64 view SIGNED:
             # flip the sign bit so the wrapped negative range orders last
-            return pd.DataFrame(
-                {"_ord": (keys ^ np.uint64(1 << 63)).view(np.int64), id_col: ids}
+            f = pd.DataFrame(
+                {
+                    "epoch": np.int64(e),
+                    "_ord": (keys ^ np.uint64(1 << 63)).view(np.int64),
+                    id_col: ids,
+                }
             )
+            frames.append(
+                f.sort_values(["_ord", id_col], kind="mergesort").head(k)
+            )
+        return pd.concat(frames, ignore_index=True)
 
-        empty = pd.DataFrame(
-            {"_ord": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64")}
-        )
-        keyed = ds.map_batches(key_block, batch_format="pandas")
-        top = topk_rows(
-            keyed, k, by=["_ord", id_col], ascending=[True, True], empty=empty
-        )
-        top = top.drop(columns=["_ord"])
-        top.insert(0, "epoch", np.int64(e))
-        top.insert(1, "pos", np.arange(1, len(top) + 1, dtype=np.int64))
-        frames.append(top)
-    out = pd.concat(frames, ignore_index=True)
-    return out.astype({"epoch": "int64", "pos": "int64", id_col: "int64"})
+    empty = pd.DataFrame(
+        {
+            "epoch": pd.Series(dtype="int64"),
+            "_ord": pd.Series(dtype="int64"),
+            id_col: pd.Series(dtype="int64"),
+        }
+    )
+    cand = to_pandas_safe(ds.map_batches(candidates, batch_format="pandas"), empty)
+    out = (
+        cand.sort_values(["epoch", "_ord", id_col], kind="mergesort")
+        .groupby("epoch", sort=True)
+        .head(k)
+        .drop(columns=["_ord"])
+        .reset_index(drop=True)
+    )
+    out.insert(1, "pos", out.groupby("epoch", sort=False).cumcount() + 1)
+    return out.astype({"epoch": "int64", "pos": "int64", id_col: "int64"})[
+        ["epoch", "pos", id_col]
+    ]

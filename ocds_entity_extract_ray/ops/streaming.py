@@ -36,7 +36,6 @@ window pass, not the event stream.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -77,10 +76,11 @@ def _write_meta(state_dir: str, meta: dict) -> None:
 
 
 def _bucket_ids(keys, windows_us, num_buckets: int) -> np.ndarray:
+    from .textstats import _h64  # the repo-wide md5-low64 convention
+
     out = np.empty(len(keys), dtype=np.int64)
     for i, (k, w) in enumerate(zip(keys, windows_us)):
-        d = hashlib.md5(f"{k}\x00{int(w)}".encode()).digest()
-        out[i] = int.from_bytes(d[:8], "little") % num_buckets
+        out[i] = _h64(f"{k}\x00{int(w)}".encode()) % num_buckets
     return out
 
 
@@ -177,7 +177,9 @@ def windowed_ingest_tick(
         }
 
     w0 = int(meta["watermark_us"])
-    agg = tumbling_window_late(
+    # the window pass's per-range max already holds the tick's high
+    # watermark — no second execution of the events pipeline
+    agg, tick_max = tumbling_window_late(
         events,
         key_col=key_col,
         ts_col=ts_col,
@@ -187,32 +189,9 @@ def windowed_ingest_tick(
         freq=freq,
         lateness=lateness,
         initial_watermark_us=w0,
+        return_high_watermark=True,
     )
-
-    # the tick's high watermark: max event time seen (drives tick N+1)
-    if len(agg):
-        from .agg import grouped_agg
-
-        mx = grouped_agg(
-            events.map_batches(
-                lambda b: pd.DataFrame(
-                    {
-                        "_one": np.int64(1),
-                        "ts_us": b[ts_col]
-                        .astype("datetime64[ns]")
-                        .astype("int64")
-                        .to_numpy()
-                        // 1000,
-                    }
-                ),
-                batch_format="pandas",
-            ),
-            ["_one"],
-            {"mx": ("ts_us", "max")},
-        )
-        new_wm = max(w0, int(mx["mx"][0]))
-    else:
-        new_wm = w0
+    new_wm = w0 if tick_max is None else max(w0, int(tick_max))
 
     win_us = agg["window_start"].astype("datetime64[us]").astype("int64").to_numpy()
     agg = agg.assign(_b=_bucket_ids(agg["key"].to_numpy(), win_us, num_buckets))
@@ -258,7 +237,17 @@ def windowed_ingest_tick(
 
 
 def windowed_state(state_dir: str) -> pd.DataFrame:
-    """Current aggregate state, total-ordered (key, window_start)."""
+    """Current aggregate state, total-ordered (key, window_start).
+    Refuses a half-swapped store: a crash mid-swap leaves some buckets
+    merged and some not — no consistent tick boundary — so the staged
+    tick must be re-applied (which finishes the swap) before reading."""
+    meta = _read_meta(state_dir)
+    if meta is not None and meta.get("phase") == "staged":
+        raise RuntimeError(
+            f"windowed_state: tick {meta.get('staging_tick')!r} is staged "
+            f"but not fully applied — re-apply it to finish the swap "
+            f"before reading"
+        )
     files = sorted(
         f
         for f in os.listdir(state_dir)

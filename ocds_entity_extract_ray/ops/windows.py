@@ -58,6 +58,7 @@ def tumbling_window_late(
     lateness: pd.Timedelta = pd.Timedelta(days=14),
     num_ranges: int = 64,
     initial_watermark_us: int | None = None,
+    return_high_watermark: bool = False,
 ) -> pd.DataFrame:
     """Tumbling windows with an allowed-lateness watermark (DROP
     semantics): an event is LATE iff its event time is more than
@@ -105,6 +106,9 @@ def tumbling_window_late(
             }
         )
 
+    # return_high_watermark=True returns (frame, max event ts_us or None)
+    # — the per-range max pass already computes it, so incremental ingest
+    # (ops/streaming.py) need not re-execute the events pipeline for it
     proj_ds = events.map_batches(proj, batch_format="pandas").materialize()
     empty = pd.DataFrame(
         {
@@ -116,7 +120,7 @@ def tumbling_window_late(
         }
     )
     if proj_ds.count() == 0:
-        return empty
+        return (empty, None) if return_high_watermark else empty
 
     span = grouped_agg(
         proj_ds.map_batches(lambda b: b.assign(_one=1), batch_format="pandas"),
@@ -193,7 +197,10 @@ def tumbling_window_late(
     for c in ("n_events", "sum_value_cents", "n_late"):
         out[c] = out[c].astype("int64")
     out["window_start"] = out["window_start"].astype("datetime64[us]")
-    return out.sort_values(["key", "window_start"]).reset_index(drop=True)
+    out = out.sort_values(["key", "window_start"]).reset_index(drop=True)
+    if return_high_watermark:
+        return out, int(mx["mx"].astype("int64").max())
+    return out
 
 
 def window_over(

@@ -150,6 +150,13 @@ def write_warc(
             if fh.read().strip() == tag:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # rewriting with a different source/layout: clear prior segments (and
+    # the stale marker) FIRST — leftovers from the old config would sit
+    # beside the new files and read_warc would silently yield every
+    # record twice (or stale records from the previous corpus)
+    for f in os.listdir(out_dir):
+        if f.endswith((".warc", ".warc.gz", ".tmp")) or f == "_COMPLETE":
+            os.unlink(os.path.join(out_dir, f))
 
     files = sorted(
         os.path.join(r, f)
@@ -210,6 +217,10 @@ class _StreamParser:
     record is released before the next is parsed."""
 
     _CHUNK = 1 << 20
+    # WARC headers are a handful of short lines; a separator not found
+    # within this bound means the stream is not WARC (or is corrupt) —
+    # raise promptly instead of buffering a whole segment hunting for it
+    _MAX_HEADER = 1 << 20
 
     def __init__(self, f, path: str):
         self._f = f
@@ -233,6 +244,12 @@ class _StreamParser:
                 out = bytes(self._buf[:idx])
                 del self._buf[: idx + len(_SEP)]
                 return out
+            if len(self._buf) > self._MAX_HEADER:
+                raise ValueError(
+                    f"read_warc: no record-header terminator within "
+                    f"{self._MAX_HEADER} bytes in {self._path} — not a "
+                    f"WARC stream?"
+                )
             if not self._fill():
                 if self._buf and bytes(self._buf).strip(b"\r\n"):
                     raise ValueError(
@@ -240,7 +257,16 @@ class _StreamParser:
                     )
                 return None
 
+    # hostile-header guard (the decode_jpeg SOF class): a record DECLARING
+    # a huge Content-Length must raise before the parser buffers it all
+    _MAX_RECORD = 1 << 30
+
     def _read_exact(self, n: int) -> bytes:
+        if n > self._MAX_RECORD:
+            raise ValueError(
+                f"read_warc: record declares Content-Length {n} > "
+                f"{self._MAX_RECORD} cap in {self._path}"
+            )
         while len(self._buf) < n:
             if not self._fill():
                 raise ValueError(
@@ -296,9 +322,18 @@ class _StreamParser:
                     f"read_warc: response record without an HTTP header "
                     f"terminator in {self._path}"
                 )
+            try:
+                date = _parse_warc_date(headers["warc-date"])
+            except (KeyError, ValueError):
+                raise ValueError(
+                    f"read_warc: response record with a missing or "
+                    f"malformed WARC-Date "
+                    f"({headers.get('warc-date', '<absent>')!r}) in "
+                    f"{self._path}"
+                ) from None
             yield (
                 headers.get("warc-target-uri", ""),
-                _parse_warc_date(headers["warc-date"]),
+                date,
                 payload[idx + len(_SEP):],
             )
 
@@ -316,7 +351,10 @@ class WARCDatasource(FileBasedDatasource):
     class detects the codec from the extension), so per-record-gzipped
     Common Crawl segments and plain WARC share this one parser."""
 
-    _FILE_EXTENSIONS = ["warc", "warc.gz", "gz"]
+    # NOT bare "gz": Ray matches extensions by suffix, so "warc.gz"
+    # already admits *.warc.gz, while "gz" would pull in the .cdx.gz
+    # offset indexes that sit beside real Common Crawl segments
+    _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
     def __init__(self, paths, *, batch_rows: int = 256, **kwargs):
         # extension filter is opt-in on the base class — without it the

@@ -89,6 +89,39 @@ def page_audit(pages: ray.data.Dataset) -> ray.data.Dataset:
     return pages.map_batches(audit_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def record_audit(records: ray.data.Dataset) -> ray.data.Dataset:
+    """records source (ocid, record_json) -> the same audit surface the
+    pages path gets: one row per record with status ok / bad_json /
+    non_object, through the SAME classifier the mention stage's records
+    path skips with (stages/mentions.py:classify_record_blob)."""
+    from .mentions import classify_record_blob
+
+    def audit_batch(batch: pa.Table) -> pa.Table:
+        ocids = batch["ocid"].to_pylist()
+        statuses = [
+            classify_record_blob(b)[0] for b in batch["record_json"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": pa.array(ocids, pa.string()),
+                "n_records": pa.array(
+                    [1 if s == "ok" else 0 for s in statuses], pa.int64()
+                ),
+                "n_bad_json": pa.array(
+                    [1 if s == "bad_json" else 0 for s in statuses], pa.int64()
+                ),
+                "n_non_object": pa.array(
+                    [1 if s == "non_object" else 0 for s in statuses], pa.int64()
+                ),
+                "status": pa.array(statuses, pa.string()),
+            }
+        )
+
+    return records.map_batches(
+        audit_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def reject_summary(audit: ray.data.Dataset) -> pd.DataFrame:
     """Audit rows -> (status, n_pages, n_records) rollup, every status
     present (zero-filled) so dashboards see explicit zeros."""
@@ -99,6 +132,15 @@ def reject_summary(audit: ray.data.Dataset) -> pd.DataFrame:
         ["status"],
         {"n_pages": ("url", "count"), "n_records": ("n_records", "sum")},
         final="driver",
+        # zero-block input concatenates column-less without this (the
+        # to_pandas_safe failure mode) and the status merge would KeyError
+        empty_result=pd.DataFrame(
+            {
+                "status": pd.Series(dtype="object"),
+                "n_pages": pd.Series(dtype="int64"),
+                "n_records": pd.Series(dtype="int64"),
+            }
+        ),
     )
     base = pd.DataFrame({"status": list(_STATUSES)})
     out = base.merge(out, on="status", how="left").fillna(0)

@@ -13,6 +13,7 @@ two-stage salted aggregation, SURVEY §7.3).
 from __future__ import annotations
 
 import json
+import logging
 
 import pyarrow as pa
 import ray.data
@@ -21,6 +22,8 @@ from ..extraction.emit import emit_record
 from ..extraction.state import dumps_state, merge_state, state_key
 from ..functions.hashing import stable_bucket
 from ..functions.textextract import extract_jsonld_blocks_bytes
+
+_LOG = logging.getLogger(__name__)
 
 MENTION_SCHEMA = pa.schema(
     [("bucket", pa.int32()), ("key", pa.string()), ("state", pa.string())]
@@ -58,6 +61,21 @@ def _pickles_under(obj, cap: int) -> bool:
     except _SizeCapReached:
         return False
     return True
+
+
+def classify_record_blob(blob: str):
+    """One records-source row -> ('ok', record_dict) or
+    ('bad_json' | 'non_object', None) — the single classifier behind both
+    the mention stage's records path and stages/audit.py:record_audit, so
+    the reject accounting matches what extraction skipped (the same
+    one-parser contract iter_page_events gives the pages path)."""
+    try:
+        record = json.loads(blob)
+    except json.JSONDecodeError:
+        return "bad_json", None
+    if not isinstance(record, dict):
+        return "non_object", None
+    return "ok", record
 
 
 def iter_page_events(url: str, html) -> "object":
@@ -130,11 +148,14 @@ class MentionExtractor:
         ocids = batch["ocid"].to_pylist()
         blobs = batch["record_json"].to_pylist()
         for ocid, blob in zip(ocids, blobs):
-            try:
-                record = json.loads(blob)
-            except json.JSONDecodeError:
-                continue  # malformed blob must not kill the stage
-            if not isinstance(record, dict):
+            status, record = classify_record_blob(blob)
+            if status != "ok":
+                # skipped, not crashed — and ACCOUNTED: run
+                # stages/audit.py:record_audit over the same source for
+                # the queryable reject channel (shares this classifier)
+                _LOG.warning(
+                    "records source: skipping %s record (ocid=%r)", status, ocid
+                )
                 continue
             # ocid-less records get a content-derived (stable, unique) key
             ok = ocid or "sha:" + hashlib.sha1(blob.encode()).hexdigest()[:16]

@@ -117,3 +117,31 @@ def test_kg_reject_audit_query(ray_session):
     ok = out.set_index("status")
     assert ok.loc["ok", "n_pages"] == 200
     assert (ok.loc[["bad_json", "non_object", "no_jsonld"], "n_records"] == 0).all()
+
+
+def test_record_audit_matches_mention_skips(ray_session):
+    """records-source reject channel: statuses come from the SAME
+    classifier the mention stage skips with."""
+    import json
+
+    import pyarrow as pa
+
+    from ocds_entity_extract_ray.sources.synth import make_record
+    from ocds_entity_extract_ray.stages.audit import record_audit
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "ocid": pa.array(["a", "b", "c"], pa.string()),
+                "record_json": pa.array(
+                    [json.dumps(make_record(1)), '{"cut": ', "[1, 2]"], pa.string()
+                ),
+            }
+        )
+    )
+    out = record_audit(ds).to_pandas().set_index("url")
+    assert out.loc["a", "status"] == "ok" and out.loc["a", "n_records"] == 1
+    assert out.loc["b", "status"] == "bad_json"
+    assert out.loc["c", "status"] == "non_object"
+    roll = reject_summary(record_audit(ds))
+    assert dict(zip(roll["status"], roll["n_pages"]))["no_jsonld"] == 0

@@ -134,6 +134,9 @@ def test_crash_mid_swap_recovers(ray_session, tmp_path, monkeypatch):
         windowed_ingest_tick(
             state, ray.data.from_pandas(order.iloc[100:]), tick_id="t2", freq="D"
         )
+    # and so is READING the half-swapped state (torn totals)
+    with pytest.raises(RuntimeError, match="staged but not fully applied"):
+        windowed_state(state)
     # re-applying t1 finishes the swap from the stage (no recompute)
     r = windowed_ingest_tick(
         state, ray.data.from_pandas(order.iloc[100:]), tick_id="t1", freq="D"

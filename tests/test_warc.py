@@ -156,3 +156,48 @@ def test_kg_triples_parity_warc_vs_parquet(ray_session, pages_dir, tmp_path):
     via_warc = triples(read_warc(warc_dir).drop_columns(["warc_ts"]))
     assert via_warc == via_parquet
     assert len(via_warc) > 0
+
+
+def test_read_warc_ignores_cdx_sidecars(ray_session, pages_dir, tmp_path):
+    """The exact Common Crawl layout: .cdx.gz offset indexes sit beside
+    segments — the extension filter must skip them, not parse them."""
+    import gzip as _gzip
+    import os
+
+    out = str(tmp_path / "warc")
+    write_warc(pages_dir, out, gzip_members=True)
+    with open(os.path.join(out, "index.cdx.gz"), "wb") as fh:
+        fh.write(_gzip.compress(b"cdx offsets, definitely not WARC\n"))
+    assert read_warc(out).count() == N
+
+
+def test_write_warc_config_change_clears_stale_segments(
+    ray_session, pages_dir, tmp_path
+):
+    """Re-writing the same out_dir with a different layout must not leave
+    the old segments beside the new ones (double-read corpus)."""
+    import os
+
+    out = str(tmp_path / "warc")
+    write_warc(pages_dir, out, gzip_members=False)
+    write_warc(pages_dir, out, gzip_members=True)
+    exts = {f.rsplit(".", 1)[-1] for f in os.listdir(out) if not f.startswith("_")}
+    assert exts == {"gz"}
+    assert read_warc(out).count() == N
+
+
+def test_parser_caps_hostile_lengths():
+    # declared Content-Length beyond the record cap raises promptly
+    ts = datetime.datetime(2021, 1, 1)
+    rec = _response_record("https://a.example/1", ts, b"x")
+    huge = rec.replace(b"Content-Length: 95", b"Content-Length: 1099511627776", 1)
+    # (the replace targets the WARC header; fall back if sizes differ)
+    if huge == rec:
+        huge = rec.replace(
+            b"Content-Length: ", b"Content-Length: 1099511627776 #", 1
+        )
+    with pytest.raises(ValueError):
+        _parse_bytes(huge)
+    # a stream with no CRLFCRLF within the header cap raises, not buffers
+    with pytest.raises(ValueError, match="no record-header terminator"):
+        _parse_bytes(b"WARC/1.0\r\n" + b"A" * (2 << 20))
