@@ -101,6 +101,24 @@ def _response_record(url: str, ts: datetime.datetime, html: bytes) -> bytes:
     return headers + _SEP + http + _SEP
 
 
+def _conversion_record(url: str, ts: datetime.datetime, text: bytes) -> bytes:
+    """A WET 'conversion' record: the extracted plain text of one page,
+    no HTTP envelope (Common Crawl's *.warc.wet convention)."""
+    date = _warc_date(ts)
+    headers = _CRLF.join(
+        [
+            b"WARC/1.0",
+            b"WARC-Type: conversion",
+            b"WARC-Record-ID: " + _record_id("wet:" + url, date).encode(),
+            b"WARC-Date: " + date.encode(),
+            b"WARC-Target-URI: " + url.encode(),
+            b"Content-Type: text/plain",
+            b"Content-Length: " + str(len(text)).encode(),
+        ]
+    )
+    return headers + _SEP + text + _SEP
+
+
 def _warcinfo_record(filename: str) -> bytes:
     body = (
         b"software: ocds_entity_extract_ray" + _CRLF
@@ -129,22 +147,23 @@ def _gzip_member(record: bytes) -> bytes:
     return buf.getvalue()
 
 
-def write_warc(
+def _write_segments(
     pages_path: str,
     out_dir: str,
     *,
-    gzip_members: bool = False,
-    overwrite: bool = False,
+    ext: str,
+    tag: str,
+    row_to_record,
+    gzip_members: bool,
+    overwrite: bool,
 ) -> str:
-    """Materialize a pages parquet corpus as WARC segments: one
-    ``.warc``/``.warc.gz`` per input shard, one Ray task per shard (the
-    same file-granular parallelism the reader consumes). Record order is
-    the shard's row order — the writer is fully deterministic."""
-    import ray
+    """Shared segment writer for WARC and WET sinks: one output segment
+    per input parquet shard, one Ray task per shard (the same
+    file-granular parallelism the reader consumes). Record order is the
+    shard's row order — fully deterministic."""
     import ray.data
 
     marker = os.path.join(out_dir, "_COMPLETE")
-    tag = f"{pages_path}:{int(gzip_members)}:v1"
     if not overwrite and os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == tag:
@@ -152,10 +171,12 @@ def write_warc(
     os.makedirs(out_dir, exist_ok=True)
     # rewriting with a different source/layout: clear prior segments (and
     # the stale marker) FIRST — leftovers from the old config would sit
-    # beside the new files and read_warc would silently yield every
+    # beside the new files and the reader would silently yield every
     # record twice (or stale records from the previous corpus)
     for f in os.listdir(out_dir):
-        if f.endswith((".warc", ".warc.gz", ".tmp")) or f == "_COMPLETE":
+        if f.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".tmp")) or (
+            f == "_COMPLETE"
+        ):
             os.unlink(os.path.join(out_dir, f))
 
     files = sorted(
@@ -165,8 +186,9 @@ def write_warc(
         if f.endswith(".parquet")
     )
     if not files:
-        raise FileNotFoundError(f"write_warc: no parquet shards under {pages_path}")
-    ext = ".warc.gz" if gzip_members else ".warc"
+        raise FileNotFoundError(
+            f"_write_segments: no parquet shards under {pages_path}"
+        )
 
     def convert(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -184,7 +206,7 @@ def write_warc(
                     t["warc_ts"].to_pylist(),
                     t["html"].to_pylist(),
                 ):
-                    rec = _response_record(url, ts, html)
+                    rec = row_to_record(url, ts, html)
                     fh.write(_gzip_member(rec) if gzip_members else rec)
             os.replace(dst + ".tmp", dst)  # no torn segment on task retry
             outs.append(name)
@@ -200,6 +222,54 @@ def write_warc(
     with open(marker, "w") as fh:
         fh.write(tag)
     return out_dir
+
+
+def write_warc(
+    pages_path: str,
+    out_dir: str,
+    *,
+    gzip_members: bool = False,
+    overwrite: bool = False,
+) -> str:
+    """Materialize a pages parquet corpus as WARC response segments."""
+    return _write_segments(
+        pages_path,
+        out_dir,
+        ext=".warc.gz" if gzip_members else ".warc",
+        tag=f"{pages_path}:{int(gzip_members)}:v1",
+        row_to_record=_response_record,
+        gzip_members=gzip_members,
+        overwrite=overwrite,
+    )
+
+
+def write_wet(
+    pages_path: str,
+    out_dir: str,
+    *,
+    gzip_members: bool = True,
+    overwrite: bool = False,
+) -> str:
+    """Materialize the EXTRACTED TEXT of a pages corpus as WET segments
+    (Common Crawl's ``*.warc.wet`` convention: 'conversion' records,
+    text/plain, no HTTP envelope). The text is the engine's own
+    byte-identity surface — ``functions/textextract.extract_text_one`` —
+    so ``read_wet(write_wet(pages))`` round-trips the per-url invariant
+    in CC's wire format (pytest-pinned)."""
+    from ..functions.textextract import extract_text_one
+
+    def to_record(url, ts, html) -> bytes:
+        return _conversion_record(url, ts, extract_text_one(html).encode("utf-8"))
+
+    return _write_segments(
+        pages_path,
+        out_dir,
+        ext=".wet.gz" if gzip_members else ".wet",
+        tag=f"{pages_path}:wet:{int(gzip_members)}:v1",
+        row_to_record=to_record,
+        gzip_members=gzip_members,
+        overwrite=overwrite,
+    )
 
 
 # --- reading ------------------------------------------------------------------
@@ -286,9 +356,15 @@ class _StreamParser:
                 f"(got {tail!r})"
             )
 
-    def records(self) -> Iterator[tuple[str, datetime.datetime, bytes]]:
-        """Yield (url, ts, html) for every response record; skip other
-        record types by their declared Content-Length."""
+    def records(
+        self, record_type: str = "response"
+    ) -> Iterator[tuple[str, datetime.datetime, bytes]]:
+        """Yield (url, ts, payload) for every record of ``record_type``;
+        skip other record types by their declared Content-Length.
+        ``response`` payloads have their HTTP envelope stripped (the body
+        is what remains); ``conversion`` payloads (WET extracted text)
+        are the block verbatim."""
+        strip_http = record_type == "response"
         while True:
             header_block = self._read_until_sep()
             if header_block is None:
@@ -314,28 +390,26 @@ class _StreamParser:
                 ) from None
             payload = self._read_exact(length)
             self._consume_boundary()
-            if headers.get("warc-type") != "response":
+            if headers.get("warc-type") != record_type:
                 continue  # warcinfo / request / metadata / ...
-            idx = payload.find(_SEP)
-            if idx < 0:
-                raise ValueError(
-                    f"read_warc: response record without an HTTP header "
-                    f"terminator in {self._path}"
-                )
+            if strip_http:
+                idx = payload.find(_SEP)
+                if idx < 0:
+                    raise ValueError(
+                        f"read_warc: response record without an HTTP header "
+                        f"terminator in {self._path}"
+                    )
+                payload = payload[idx + len(_SEP):]
             try:
                 date = _parse_warc_date(headers["warc-date"])
             except (KeyError, ValueError):
                 raise ValueError(
-                    f"read_warc: response record with a missing or "
+                    f"read_warc: {record_type} record with a missing or "
                     f"malformed WARC-Date "
                     f"({headers.get('warc-date', '<absent>')!r}) in "
                     f"{self._path}"
                 ) from None
-            yield (
-                headers.get("warc-target-uri", ""),
-                date,
-                payload[idx + len(_SEP):],
-            )
+            yield (headers.get("warc-target-uri", ""), date, payload)
 
 
 try:  # Ray is an import-time optional here so the parser is unit-testable
@@ -344,51 +418,82 @@ except ImportError:  # pragma: no cover
     FileBasedDatasource = object  # type: ignore[assignment,misc]
 
 
+WET_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("text", pa.string()),
+    ]
+)
+
+
 class WARCDatasource(FileBasedDatasource):
-    """Streaming WARC source: one read task per segment file, Arrow
+    """Streaming WARC/WET source: one read task per segment file, Arrow
     batches of ``batch_rows`` records flowing out as they parse. ``.gz``
     paths decompress through Arrow's multi-member gzip stream (the base
     class detects the codec from the extension), so per-record-gzipped
-    Common Crawl segments and plain WARC share this one parser."""
+    Common Crawl segments and plain files share this one parser.
+    ``record_type='response'`` yields (url, warc_ts, html:binary);
+    ``'conversion'`` (WET) yields (url, warc_ts, text:string)."""
 
     # NOT bare "gz": Ray matches extensions by suffix, so "warc.gz"
     # already admits *.warc.gz, while "gz" would pull in the .cdx.gz
     # offset indexes that sit beside real Common Crawl segments
-    _FILE_EXTENSIONS = ["warc", "warc.gz"]
+    _FILE_EXTENSIONS = {
+        "response": ["warc", "warc.gz"],
+        "conversion": ["wet", "wet.gz"],
+    }
 
-    def __init__(self, paths, *, batch_rows: int = 256, **kwargs):
+    def __init__(
+        self,
+        paths,
+        *,
+        batch_rows: int = 256,
+        record_type: str = "response",
+        **kwargs,
+    ):
+        if record_type not in self._FILE_EXTENSIONS:
+            raise ValueError(f"unknown record_type {record_type!r}")
         # extension filter is opt-in on the base class — without it the
         # reader would trip over sidecar files (_COMPLETE markers, cdx)
-        kwargs.setdefault("file_extensions", self._FILE_EXTENSIONS)
+        kwargs.setdefault("file_extensions", self._FILE_EXTENSIONS[record_type])
         super().__init__(paths, **kwargs)
         self._batch_rows = batch_rows
+        self._record_type = record_type
 
     def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
+        conv = self._record_type == "conversion"
         urls: list[str] = []
         tss: list[datetime.datetime] = []
-        htmls: list[bytes] = []
+        payloads: list = []
 
         def flush() -> pa.Table:
             t = pa.table(
                 {
                     "url": pa.array(urls, pa.string()),
                     "warc_ts": pa.array(tss, pa.timestamp("us")),
-                    "html": pa.array(htmls, pa.binary()),
+                    **(
+                        {"text": pa.array(payloads, pa.string())}
+                        if conv
+                        else {"html": pa.array(payloads, pa.binary())}
+                    ),
                 }
             )
-            urls.clear(), tss.clear(), htmls.clear()
+            urls.clear(), tss.clear(), payloads.clear()
             return t
 
-        for url, ts, html in _StreamParser(f, path).records():
+        for url, ts, payload in _StreamParser(f, path).records(self._record_type):
             urls.append(url)
             tss.append(ts)
-            htmls.append(html)
+            # WET text is UTF-8 by convention; replace (never crash) on a
+            # foreign segment's mojibake — our own writer is always valid
+            payloads.append(payload.decode("utf-8", "replace") if conv else payload)
             if len(urls) >= self._batch_rows:
                 yield flush()
         if urls:
             yield flush()
-        else:
-            yield WARC_SCHEMA.empty_table()  # typed empty: no schema-less blocks
+        else:  # typed empty: no schema-less blocks
+            yield (WET_SCHEMA if conv else WARC_SCHEMA).empty_table()
 
 
 def read_warc(paths: str | list[str], *, batch_rows: int = 256):
@@ -397,3 +502,13 @@ def read_warc(paths: str | list[str], *, batch_rows: int = 256):
     import ray.data
 
     return ray.data.read_datasource(WARCDatasource(paths, batch_rows=batch_rows))
+
+
+def read_wet(paths: str | list[str], *, batch_rows: int = 256):
+    """WET segments -> Dataset[url, warc_ts, text] — the extracted-text
+    corpus in Common Crawl's own format."""
+    import ray.data
+
+    return ray.data.read_datasource(
+        WARCDatasource(paths, batch_rows=batch_rows, record_type="conversion")
+    )
