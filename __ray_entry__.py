@@ -672,7 +672,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis (gopher/ngram_char_fracs: new in r04; c4: new in
     # r05; langid rotated out — q_doc_quality exercises the same
     # segmentation kernel and langid stays in the full sweep)
-    "q_doc_quality",
+    # doc_quality (green since r02) rotated out for the crawl-drift
+    # monitor added this session (text-analysis family stays covered by
+    # c4/gopher/ngram_char_fracs/bigram below)
+    "q_crawl_drift",
     "q_c4_quality",
     "q_gopher_quality",
     "q_ngram_char_fracs",

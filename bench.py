@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q_canonical_docs",
     "q_epoch_shuffle",
     "q_streaming_window_ingest",
+    "q_crawl_drift",
 ]
 
 

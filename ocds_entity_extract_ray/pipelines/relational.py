@@ -1701,6 +1701,78 @@ GROUP BY w ORDER BY n DESC, word LIMIT 50
 """
 
 
+def q_crawl_drift(sf_dir: str) -> pd.DataFrame:
+    """Dataset-shift monitoring: token-distribution drift between two
+    crawl slices (doc_id parity stands in for last-crawl vs this-crawl).
+    Top 20 terms by absolute count difference — the report a curation
+    team reads before retraining on a refreshed crawl. One wordcount
+    shuffle with (term, side) partials; all-integer drift, so the twin is
+    hash-exact; per-bucket top-k prune keeps the driver at 20 rows per
+    bucket (vocabulary NEVER lands whole on the driver)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        side = (b["doc_id"].to_numpy() % 2).astype("int64")
+        words = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        f = pd.DataFrame(
+            {"word": words, "side": side}
+        ).explode("word").dropna(subset=["word"])
+        g = f.groupby(["word", "side"], sort=False).size().reset_index(name="c")
+        return pd.DataFrame(
+            {
+                "word": g["word"].to_numpy(),
+                "n_a": (g["c"] * (g["side"] == 0)).astype("int64").to_numpy(),
+                "n_b": (g["c"] * (g["side"] == 1)).astype("int64").to_numpy(),
+            }
+        )
+
+    per_word = grouped_agg(
+        docs,
+        ["word"],
+        {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")},
+        pre=pre,
+        final="bucketed",
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "word": pd.Series(dtype="object"),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.assign(drift=(bucket["n_a"] - bucket["n_b"]).abs())
+        return bucket.sort_values(
+            ["drift", "word"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    out = per_word.map_batches(topk, batch_format="pandas").to_pandas()
+    for c in ("n_a", "n_b", "drift"):
+        out[c] = out[c].astype("int64")
+    return (
+        out.sort_values(["drift", "word"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)[["word", "n_a", "n_b", "drift"]]
+    )
+
+
+Q_CRAWL_DRIFT_SQL = """
+WITH w AS (
+  SELECT doc_id % 2 AS side,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents),
+c AS (
+  SELECT word,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM w GROUP BY word)
+SELECT word, n_a, n_b, ABS(n_a - n_b)::BIGINT AS drift
+FROM c ORDER BY drift DESC, word LIMIT 20
+"""
+
+
 def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact discrete quantiles (p25/p50/p75) of event value per type:
     hash-bucketed per-key collection + deterministic index pick (matches
@@ -2175,6 +2247,7 @@ FROM t ORDER BY doc_id
 SQL_QUERIES.update(
     {
         "q_word_count": (q_word_count, Q_WORD_COUNT_SQL),
+        "q_crawl_drift": (q_crawl_drift, Q_CRAWL_DRIFT_SQL),
         "q_value_quantiles": (q_value_quantiles, Q_QUANTILES_SQL),
         "q_doc_packing": (q_doc_packing, Q_DOC_PACKING_SQL),
         "q12_priority_lines": (q12_priority_lines, Q12_SQL),
