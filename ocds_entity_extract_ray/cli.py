@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--product-index", help="product catalog parquet (id, name, description)")
     p.add_argument("-t", "--test", action="store_true",
                    help="test mode: print per-table counts + a sample, write nothing")
+    p.add_argument("--audit", action="store_true",
+                   help="also run the reject channel: non-ok pages -> OUT/audit/, "
+                        "rollup in the report (one extra scan of the input)")
     p.add_argument("--resumable", action="store_true",
                    help="shard-granular checkpointing (skip completed input shards)")
     p.add_argument("--incremental", metavar="STORE_DIR",
@@ -144,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             source_path, args.out, classifier_list, product_index,
             num_buckets=args.num_buckets,
             source="records" if args.records else "pages",
+            audit=args.audit,
         )
     print(json.dumps(report))
     return 0

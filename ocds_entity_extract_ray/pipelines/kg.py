@@ -74,9 +74,16 @@ def run_kg(
     resume: bool = True,
     compute: str = "tasks",
     source: str = "pages",
+    audit: bool = False,
 ) -> dict:
     """End-to-end run with per-stage metrics. Returns the run report
-    {docs, entities, triples, secs, docs_per_sec, triples_per_sec, ...}."""
+    {docs, entities, triples, secs, docs_per_sec, triples_per_sec, ...}.
+
+    ``audit=True`` (pages source) additionally runs the reject channel
+    (stages/audit.py) over the input: non-ok pages land in
+    ``out_dir/audit/`` as parquet and the (status, n_pages, n_records)
+    rollup lands in ``report['audit']`` — one extra scan of the input,
+    opt-in because a healthy recurring feed doesn't pay it every run."""
     # the resume fingerprint covers every input that shapes the OUTPUT:
     # page files (name+size+mtime) AND the classifier/product-index/source
     # config — a rerun with -x overrides or a new index recomputes
@@ -144,6 +151,27 @@ def run_kg(
             {"secs": round(secs, 3)},
         )
     report["triples"] = tri_manifest["total_rows"]
+
+    if audit and source == "pages":
+        from ..stages.audit import page_audit, reject_summary
+
+        audited = page_audit(
+            read_pages(pages_path, columns=["url", "html"])
+        ).materialize()
+        summary = reject_summary(audited)
+        rejects = audited.filter(
+            lambda r: r["status"] != "ok"
+        )  # reject-bounded output, not corpus-bounded
+        rejects_dir = os.path.join(out_dir, "audit")
+        if rejects.count() > 0:
+            rejects.write_parquet(rejects_dir, mode="overwrite")
+        report["audit"] = {
+            row["status"]: {
+                "n_pages": int(row["n_pages"]),
+                "n_records": int(row["n_records"]),
+            }
+            for _i, row in summary.iterrows()
+        }
 
     total_secs = time.monotonic() - t0
     report["secs"] = round(total_secs, 3)

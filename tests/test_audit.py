@@ -145,3 +145,41 @@ def test_record_audit_matches_mention_skips(ray_session):
     assert out.loc["c", "status"] == "non_object"
     roll = reject_summary(record_audit(ds))
     assert dict(zip(roll["status"], roll["n_pages"]))["no_jsonld"] == 0
+
+
+def test_run_kg_audit_output(ray_session, tmp_path):
+    """run_kg(audit=True): rollup in the report, non-ok rows on disk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocds_entity_extract_ray.pipelines.kg import run_kg
+    from ocds_entity_extract_ray.sources.synth import (
+        PAGES_SCHEMA,
+        make_record,
+        render_page,
+    )
+
+    rows = [render_page(i, make_record(i)) for i in range(30)]
+    rows.append(
+        {
+            "url": "https://bad.example/1",
+            "warc_ts": rows[0]["warc_ts"],
+            "html": b'<script type="application/ld+json">{"cut": </script>',
+            "text": "",
+            "lang": "xx",
+        }
+    )
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+        os.path.join(src, "p.parquet"),
+    )
+    out = str(tmp_path / "kg")
+    report = run_kg(src, out, None, {}, num_buckets=8, resume=False, audit=True)
+    assert report["audit"]["ok"]["n_pages"] == 30
+    assert report["audit"]["bad_json"]["n_pages"] == 1
+    audit_rows = pq.read_table(os.path.join(out, "audit")).to_pylist()
+    assert [r["url"] for r in audit_rows] == ["https://bad.example/1"]
