@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q_epoch_shuffle",
     "q_streaming_window_ingest",
     "q_crawl_drift",
+    "q_url_blocklist",
 ]
 
 

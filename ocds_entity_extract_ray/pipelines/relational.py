@@ -6049,6 +6049,68 @@ ORDER BY host
 SQL_QUERIES["q_url_domain_stats"] = (q_url_domain_stats, Q_URL_DOMAIN_STATS_SQL)
 
 
+def q_url_blocklist(sf_dir: str) -> pd.DataFrame:
+    """UT1-style domain blocklist filtering: block the 2 highest-volume
+    registrable domains (the spam-domain cut every crawl curation makes)
+    and flag every host by SUFFIX match — a blocked base domain takes its
+    subdomains with it (www.srcN.example.com is blocked via
+    srcN.example.com). Blocklist derivation is deterministic (top-2 base
+    domains by page count, ties by name) so the twin is exact.
+
+    Shape: one parse map + one per-host grouped count (host-cardinality;
+    at 100 TB make it bucketed + top-k pruned like q_word_count — the
+    blocklist itself is always tiny); the flag pass broadcasts the
+    blocklist in the closure."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def to_host(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": _synth_parse_urls(b)["host"].to_numpy()})
+
+    per_host = grouped_agg(
+        docs.map_batches(to_host, batch_format="pandas"),
+        ["host"],
+        {"n_pages": ("host", "count")},
+        final="driver",
+    )
+    per_host["n_pages"] = per_host["n_pages"].astype("int64")
+    base = per_host["host"].str.split(".", n=1).str[1]
+    by_base = (
+        per_host.assign(base=base)
+        .groupby("base", as_index=False)["n_pages"]
+        .sum()
+        .sort_values(["n_pages", "base"], ascending=[False, True], kind="mergesort")
+    )
+    blocklist = by_base["base"].head(2).tolist()
+    blocked = per_host["host"].map(
+        lambda h: any(h == b or h.endswith("." + b) for b in blocklist)
+    )
+    out = per_host.assign(blocked=blocked.astype(bool))
+    return out.sort_values("host").reset_index(drop=True)[
+        ["host", "n_pages", "blocked"]
+    ]
+
+
+Q_URL_BLOCKLIST_SQL = f"""
+WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
+), {_url_parse_ctes(keep="")},
+per_host AS (
+  SELECT host, COUNT(*)::BIGINT AS n_pages FROM n GROUP BY host),
+by_base AS (
+  SELECT regexp_replace(host, '^[^.]*\\.', '') AS base, SUM(n_pages) AS n
+  FROM per_host GROUP BY base),
+bl AS (
+  SELECT base FROM by_base ORDER BY n DESC, base LIMIT 2)
+SELECT host, n_pages,
+       EXISTS (
+         SELECT 1 FROM bl
+         WHERE per_host.host = bl.base OR per_host.host LIKE '%.' || bl.base
+       ) AS blocked
+FROM per_host ORDER BY host
+"""
+
+SQL_QUERIES["q_url_blocklist"] = (q_url_blocklist, Q_URL_BLOCKLIST_SQL)
+
+
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Classic cohort-retention matrix over the event stream: users
     cohorted by their FIRST event day, activity bucketed into weeks since
