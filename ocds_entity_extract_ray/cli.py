@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--test", action="store_true",
                    help="test mode: print per-table counts + a sample, write nothing")
     p.add_argument("--audit", action="store_true",
-                   help="also run the reject channel: non-ok pages -> OUT/audit/, "
-                        "rollup in the report (one extra scan of the input)")
+                   help="also run the reject channel: non-ok pages/records -> "
+                        "OUT/audit/, rollup in the report (one extra scan of "
+                        "the input; --pages and --records sources)")
     p.add_argument("--resumable", action="store_true",
                    help="shard-granular checkpointing (skip completed input shards)")
     p.add_argument("--incremental", metavar="STORE_DIR",
@@ -112,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"sink": "ndjson", "out": args.out, "tables": counts}))
         return 0
 
+    if args.audit and (args.incremental or args.resumable):
+        # refuse rather than silently drop the flag (the operator would
+        # read an all-ok report that never looked)
+        print(
+            "error: --audit supports the plain --pages/--records run; "
+            "run it as a separate pass for --incremental/--resumable",
+            file=sys.stderr,
+        )
+        return 2
     if args.incremental:
         import os
 

@@ -152,19 +152,30 @@ def run_kg(
         )
     report["triples"] = tri_manifest["total_rows"]
 
-    if audit and source == "pages":
-        from ..stages.audit import page_audit, reject_summary
+    if audit:
+        import shutil
 
-        audited = page_audit(
-            read_pages(pages_path, columns=["url", "html"])
-        ).materialize()
+        from ..stages.audit import page_audit, record_audit, reject_summary
+
+        if source == "records":
+            audited = record_audit(read_records(pages_path)).materialize()
+        else:
+            audited = page_audit(
+                read_pages(pages_path, columns=["url", "html"])
+            ).materialize()
         summary = reject_summary(audited)
-        rejects = audited.filter(
-            lambda r: r["status"] != "ok"
-        )  # reject-bounded output, not corpus-bounded
+        n_rejects = int(summary.loc[summary["status"] != "ok", "n_pages"].sum())
+        # stale-output guard (the _write_segments class of bug): a clean
+        # re-run must not leave a previous run's reject rows contradicting
+        # the all-ok report
         rejects_dir = os.path.join(out_dir, "audit")
-        if rejects.count() > 0:
-            rejects.write_parquet(rejects_dir, mode="overwrite")
+        shutil.rmtree(rejects_dir, ignore_errors=True)
+        if n_rejects > 0:
+            # reject-bounded output, not corpus-bounded; count came from
+            # the summary, so this is the only pass over the filter
+            audited.filter(expr="status != 'ok'").write_parquet(
+                rejects_dir, mode="overwrite"
+            )
         report["audit"] = {
             row["status"]: {
                 "n_pages": int(row["n_pages"]),

@@ -1742,20 +1742,31 @@ def q_crawl_drift(sf_dir: str) -> pd.DataFrame:
         ),
     )
 
-    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
-        bucket = bucket.assign(drift=(bucket["n_a"] - bucket["n_b"]).abs())
-        return bucket.sort_values(
-            ["drift", "word"], ascending=[False, True], kind="mergesort"
-        ).head(20)
+    from ..ops.agg import topk_rows
 
-    out = per_word.map_batches(topk, batch_format="pandas").to_pandas()
+    with_drift = per_word.map_batches(
+        lambda b: b.assign(drift=(b["n_a"] - b["n_b"]).abs().astype("int64")),
+        batch_format="pandas",
+    )
+    # topk_rows: per-block prune + typed-empty-safe driver finalize (a
+    # token-free corpus emits only schema-less blocks)
+    out = topk_rows(
+        with_drift,
+        20,
+        by=["drift", "word"],
+        ascending=[False, True],
+        empty=pd.DataFrame(
+            {
+                "word": pd.Series(dtype="object"),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+                "drift": pd.Series(dtype="int64"),
+            }
+        ),
+    )
     for c in ("n_a", "n_b", "drift"):
         out[c] = out[c].astype("int64")
-    return (
-        out.sort_values(["drift", "word"], ascending=[False, True], kind="mergesort")
-        .head(20)
-        .reset_index(drop=True)[["word", "n_a", "n_b", "drift"]]
-    )
+    return out.reset_index(drop=True)[["word", "n_a", "n_b", "drift"]]
 
 
 Q_CRAWL_DRIFT_SQL = """
@@ -6073,7 +6084,10 @@ def q_url_blocklist(sf_dir: str) -> pd.DataFrame:
         final="driver",
     )
     per_host["n_pages"] = per_host["n_pages"].astype("int64")
-    base = per_host["host"].str.split(".", n=1).str[1]
+    # EXACTLY the twin's regexp_replace semantics: a dotless host (bare
+    # TLD / localhost) is its OWN base — str.split would yield NaN and
+    # pandas groupby silently drops NaN keys, diverging from SQL
+    base = per_host["host"].str.replace(r"^[^.]*\.", "", regex=True)
     by_base = (
         per_host.assign(base=base)
         .groupby("base", as_index=False)["n_pages"]

@@ -292,9 +292,10 @@ class _StreamParser:
     # raise promptly instead of buffering a whole segment hunting for it
     _MAX_HEADER = 1 << 20
 
-    def __init__(self, f, path: str):
+    def __init__(self, f, path: str, what: str = "read_warc"):
         self._f = f
         self._path = path
+        self._what = what  # entry-point name for error messages
         self._buf = bytearray()
         self._eof = False
 
@@ -316,14 +317,14 @@ class _StreamParser:
                 return out
             if len(self._buf) > self._MAX_HEADER:
                 raise ValueError(
-                    f"read_warc: no record-header terminator within "
+                    f"{self._what}: no record-header terminator within "
                     f"{self._MAX_HEADER} bytes in {self._path} — not a "
                     f"WARC stream?"
                 )
             if not self._fill():
                 if self._buf and bytes(self._buf).strip(b"\r\n"):
                     raise ValueError(
-                        f"read_warc: truncated record header in {self._path}"
+                        f"{self._what}: truncated record header in {self._path}"
                     )
                 return None
 
@@ -334,13 +335,13 @@ class _StreamParser:
     def _read_exact(self, n: int) -> bytes:
         if n > self._MAX_RECORD:
             raise ValueError(
-                f"read_warc: record declares Content-Length {n} > "
+                f"{self._what}: record declares Content-Length {n} > "
                 f"{self._MAX_RECORD} cap in {self._path}"
             )
         while len(self._buf) < n:
             if not self._fill():
                 raise ValueError(
-                    f"read_warc: truncated record payload in {self._path} "
+                    f"{self._what}: truncated record payload in {self._path} "
                     f"(wanted {n} bytes, stream ended at {len(self._buf)})"
                 )
         out = bytes(self._buf[:n])
@@ -352,7 +353,7 @@ class _StreamParser:
         tail = self._read_exact(len(_SEP))
         if tail != _SEP:
             raise ValueError(
-                f"read_warc: missing record boundary in {self._path} "
+                f"{self._what}: missing record boundary in {self._path} "
                 f"(got {tail!r})"
             )
 
@@ -372,7 +373,7 @@ class _StreamParser:
             lines = header_block.split(_CRLF)
             if not lines[0].startswith(b"WARC/"):
                 raise ValueError(
-                    f"read_warc: bad version line {lines[0][:40]!r} in "
+                    f"{self._what}: bad version line {lines[0][:40]!r} in "
                     f"{self._path}"
                 )
             headers: dict[str, str] = {}
@@ -385,7 +386,7 @@ class _StreamParser:
                 length = int(headers["content-length"])
             except (KeyError, ValueError):
                 raise ValueError(
-                    f"read_warc: record without a valid Content-Length in "
+                    f"{self._what}: record without a valid Content-Length in "
                     f"{self._path}"
                 ) from None
             payload = self._read_exact(length)
@@ -396,7 +397,7 @@ class _StreamParser:
                 idx = payload.find(_SEP)
                 if idx < 0:
                     raise ValueError(
-                        f"read_warc: response record without an HTTP header "
+                        f"{self._what}: response record without an HTTP header "
                         f"terminator in {self._path}"
                     )
                 payload = payload[idx + len(_SEP):]
@@ -404,7 +405,7 @@ class _StreamParser:
                 date = _parse_warc_date(headers["warc-date"])
             except (KeyError, ValueError):
                 raise ValueError(
-                    f"read_warc: {record_type} record with a missing or "
+                    f"{self._what}: {record_type} record with a missing or "
                     f"malformed WARC-Date "
                     f"({headers.get('warc-date', '<absent>')!r}) in "
                     f"{self._path}"
@@ -482,7 +483,8 @@ class WARCDatasource(FileBasedDatasource):
             urls.clear(), tss.clear(), payloads.clear()
             return t
 
-        for url, ts, payload in _StreamParser(f, path).records(self._record_type):
+        parser = _StreamParser(f, path, "read_wet" if conv else "read_warc")
+        for url, ts, payload in parser.records(self._record_type):
             urls.append(url)
             tss.append(ts)
             # WET text is UTF-8 by convention; replace (never crash) on a
