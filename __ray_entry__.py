@@ -693,7 +693,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_curation_v2",
     "q_kmeans_clusters",
     "q_zorder_orders",
-    "q_url_domain_stats",
+    # url_domain_stats (green since r03) rotated out for the robots.txt
+    # gate added this session (same URL-parse kernel underneath)
+    "q_robots_filter",
     "q_profile_orders",
 )
 

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q_streaming_window_ingest",
     "q_crawl_drift",
     "q_url_blocklist",
+    "q_robots_filter",
 ]
 
 

@@ -6125,6 +6125,97 @@ FROM per_host ORDER BY host
 SQL_QUERIES["q_url_blocklist"] = (q_url_blocklist, Q_URL_BLOCKLIST_SQL)
 
 
+def _synth_robots_txt(host: str) -> str:
+    """Deterministic per-host robots.txt body (keyed on the repo-wide
+    md5-low64 of the host): half the hosts disallow /a but re-allow /a/b
+    (longest-match + allow-tie exercise), half disallow /a/b. A decoy
+    group for another UA proves group selection. The SQL twin mirrors
+    the PARSED rules via the same md5_number_lower(host) % 2 switch."""
+    from ..ops.textstats import _h64
+
+    decoy = "User-agent: badbot\nDisallow: /\n\n"
+    if _h64(host.encode()) % 2 == 0:
+        return decoy + "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+    return decoy + "User-agent: *\nDisallow: /a/b\n"
+
+
+def q_robots_filter(sf_dir: str) -> pd.DataFrame:
+    """Crawl-permission gate (ops/robots.py): per-host robots.txt bodies
+    are PARSED (RFC 9309 user-agent groups) and every URL evaluated under
+    longest-prefix-match with the allow-wins tie rule; output is the
+    per-host allowed/blocked split a fetch frontier consults. The twin
+    re-derives the parsed rule sets from the same host-hash switch, so
+    parser + evaluator are oracled end to end.
+
+    Shape: stateless map (robots bodies are host-keyed side data, parsed
+    once per host per batch here because they are synthesized; a real
+    crawl broadcasts the parsed dict) + one per-host grouped count."""
+    from ..ops.robots import evaluate_robots, parse_robots_txt
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        p = _synth_parse_urls(b)
+        rules = {
+            h: parse_robots_txt(_synth_robots_txt(h))
+            for h in pd.unique(p["host"].to_numpy())
+        }
+        ok = evaluate_robots(p, rules)
+        return pd.DataFrame(
+            {
+                "host": p["host"].to_numpy(),
+                "allowed": ok.astype("int64"),
+                "blocked": (~ok).astype("int64"),
+            }
+        )
+
+    out = grouped_agg(
+        docs.map_batches(flag, batch_format="pandas"),
+        ["host"],
+        {"n_allowed": ("allowed", "sum"), "n_blocked": ("blocked", "sum")},
+        final="driver",
+    )
+    for c in ("n_allowed", "n_blocked"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+Q_ROBOTS_FILTER_SQL = f"""
+WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
+), {_url_parse_ctes(keep="doc_id")},
+hosts AS (SELECT DISTINCT host FROM f),
+rules AS (
+  SELECT host, '/a' AS prefix, 0 AS allow FROM hosts
+    WHERE md5_number_lower(host) % 2 = 0
+  UNION ALL
+  SELECT host, '/a/b', 1 FROM hosts WHERE md5_number_lower(host) % 2 = 0
+  UNION ALL
+  SELECT host, '/a/b', 0 FROM hosts WHERE md5_number_lower(host) % 2 = 1
+),
+matched AS (
+  SELECT f.doc_id, f.host, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC
+         ) AS rn
+  FROM f JOIN rules r
+    ON f.host = r.host AND f.path LIKE r.prefix || '%'
+),
+verdicts AS (
+  SELECT f.doc_id, f.host,
+         COALESCE(m.allow, 1) AS allow  -- no matching rule -> allowed
+  FROM f LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+    ON f.doc_id = m.doc_id
+)
+SELECT host,
+       SUM(CASE WHEN allow = 1 THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       SUM(CASE WHEN allow = 0 THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+FROM verdicts GROUP BY host ORDER BY host
+"""
+
+SQL_QUERIES["q_robots_filter"] = (q_robots_filter, Q_ROBOTS_FILTER_SQL)
+
+
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Classic cohort-retention matrix over the event stream: users
     cohorted by their FIRST event day, activity bucketed into weeks since

@@ -3536,3 +3536,47 @@ def test_epoch_shuffle_head(ray_session):
     # partition independence
     out7 = epoch_shuffle_head(ds.repartition(7), "doc_id", epochs=2, k=10)
     assert out7.equals(out)
+
+
+def test_parse_robots_txt_groups_and_rules():
+    from ocds_entity_extract_ray.ops.robots import parse_robots_txt
+
+    body = (
+        "# comment\n"
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: helper\nUser-agent: *\n"   # shared group
+        "Disallow: /private # trailing comment\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"                            # empty = no rule
+        "Crawl-delay: 10\n"                      # ignored key
+        "User-agent: other\nDisallow: /also-not-ours\n"
+    )
+    assert parse_robots_txt(body) == [("/private", False), ("/private/ok", True)]
+    assert parse_robots_txt("") == []
+    assert parse_robots_txt("Disallow: /orphan") == []  # rules before any UA
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wildcard"):
+        parse_robots_txt("User-agent: *\nDisallow: /a*\n")
+
+
+def test_evaluate_robots_longest_match_and_ties():
+    import numpy as np
+
+    from ocds_entity_extract_ray.ops.robots import evaluate_robots
+
+    frame = pd.DataFrame(
+        {
+            "host": ["h"] * 5 + ["empty"],
+            "path": ["/a", "/a/b", "/a/bc", "/z", "/ab", "/x"],
+        }
+    )
+    rules = {
+        "h": [("/a", False), ("/a/b", True), ("/ab", True), ("/ab", False)],
+    }
+    ok = evaluate_robots(frame, rules)
+    # /a -> disallow; /a/b -> longest allow; /a/bc -> /a/b allow;
+    # /z -> no match allowed; /ab -> tie at len 3, allow wins;
+    # unknown host -> allowed
+    assert ok.tolist() == [False, True, True, True, True, True]
+    assert isinstance(ok, np.ndarray)
