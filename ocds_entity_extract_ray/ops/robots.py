@@ -33,8 +33,11 @@ def parse_robots_txt(text: str) -> list[tuple[str, bool]]:
     """robots.txt body -> ordered [(path_prefix, allow)] for UA ``*``."""
     rules: list[tuple[str, bool]] = []
     in_star_group = False
-    seen_rule_in_group = False
-    for raw in (text or "").splitlines():
+    prev_was_ua = False
+    # BOM-prefixed robots.txt is common in real crawls; str.strip() does
+    # NOT remove U+FEFF, and a BOM'd first 'User-agent' key would
+    # silently drop the whole * group (the gate would fail open)
+    for raw in (text or "").lstrip("﻿").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
@@ -42,14 +45,19 @@ def parse_robots_txt(text: str) -> list[tuple[str, bool]]:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            # a new group starts when user-agent follows rules
-            if seen_rule_in_group:
+            # RFC 9309 group = a RUN of consecutive user-agent lines,
+            # then its rules. ANY intervening directive (allow/disallow,
+            # but also ignored ones like crawl-delay/sitemap) ends the
+            # run — a later user-agent line starts a NEW group, never a
+            # continuation
+            if not prev_was_ua:
                 in_star_group = False
-                seen_rule_in_group = False
             if value == "*":
                 in_star_group = True
-        elif key in ("allow", "disallow"):
-            seen_rule_in_group = True
+            prev_was_ua = True
+            continue
+        prev_was_ua = False
+        if key in ("allow", "disallow"):
             if not in_star_group:
                 continue
             if "*" in value or value.endswith("$"):
@@ -76,16 +84,18 @@ def evaluate_robots(
     allowed = np.ones(len(frame), dtype=bool)
     if not len(frame):
         return allowed
-    hosts = frame[host_col].to_numpy()
-    paths = frame[path_col]
-    for host in pd.unique(hosts):
+    # a URL with no path is the root: '' never prefix-matches '/', so an
+    # un-normalized empty path would dodge even 'Disallow: /'
+    paths = frame[path_col].replace("", "/").reset_index(drop=True)
+    # one O(N) groupby pass instead of an O(H*N) equality scan per host
+    host_groups = frame.reset_index(drop=True).groupby(host_col).indices
+    for host, idx in host_groups.items():
         rules = rules_by_host.get(host, [])
         if not rules:
             continue
-        m = hosts == host
-        p = paths[m]
-        best_len = np.full(int(m.sum()), -1, dtype=np.int64)
-        best_allow = np.ones(int(m.sum()), dtype=bool)
+        p = paths.iloc[idx]
+        best_len = np.full(len(idx), -1, dtype=np.int64)
+        best_allow = np.ones(len(idx), dtype=bool)
         for prefix, allow in rules:
             hit = p.str.startswith(prefix).to_numpy()
             ln = len(prefix)
@@ -95,5 +105,5 @@ def evaluate_robots(
             )
             best_len = np.where(better, ln, best_len)
             best_allow = np.where(better, allow, best_allow)
-        allowed[m] = np.where(best_len >= 0, best_allow, True)
+        allowed[idx] = np.where(best_len >= 0, best_allow, True)
     return allowed

@@ -3580,3 +3580,18 @@ def test_evaluate_robots_longest_match_and_ties():
     # unknown host -> allowed
     assert ok.tolist() == [False, True, True, True, True, True]
     assert isinstance(ok, np.ndarray)
+
+
+def test_parse_robots_group_boundaries_and_bom():
+    from ocds_entity_extract_ray.ops.robots import evaluate_robots, parse_robots_txt
+
+    # an ignored directive (Crawl-delay) ends the UA run: badbot's group
+    # must NOT merge into *'s
+    body = "User-agent: *\nCrawl-delay: 10\n\nUser-agent: badbot\nDisallow: /\n"
+    assert parse_robots_txt(body) == []
+    # BOM'd body still parses the * group
+    assert parse_robots_txt("﻿User-agent: *\nDisallow: /\n") == [("/", False)]
+    # path-less URL ('' path) is the root and honors Disallow: /
+    frame = pd.DataFrame({"host": ["h", "h"], "path": ["", "/x"]})
+    ok = evaluate_robots(frame, {"h": [("/", False)]})
+    assert ok.tolist() == [False, False]
