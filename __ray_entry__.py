@@ -692,7 +692,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # composed curation, clustering, layout, URLs, profiling
     "q_curation_v2",
     "q_kmeans_clusters",
-    "q_zorder_orders",
+    # zorder (green since r03) rotated out for the composed
+    # crawl-admission funnel added this session
+    "q_crawl_admission",
     # url_domain_stats (green since r03) rotated out for the robots.txt
     # gate added this session (same URL-parse kernel underneath)
     "q_robots_filter",

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q_crawl_drift",
     "q_url_blocklist",
     "q_robots_filter",
+    "q_crawl_admission",
 ]
 
 

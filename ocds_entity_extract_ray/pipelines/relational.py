@@ -6216,6 +6216,149 @@ FROM verdicts GROUP BY host ORDER BY host
 SQL_QUERIES["q_robots_filter"] = (q_robots_filter, Q_ROBOTS_FILTER_SQL)
 
 
+def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
+    """The COMPOSED crawl-admission pipeline under one oracle (the
+    crawl-side q_curation_v2): frontier dedup by canonical URL (earliest
+    doc wins) -> domain blocklist (top-2 base domains by candidate
+    volume, suffix match) -> robots.txt gate (longest-prefix,
+    allow-wins) on the domain survivors. Per host: candidates, blocked
+    by domain, blocked by robots, admitted — the funnel a fetch
+    scheduler reads. Stage order is load-bearing and the twin replicates
+    it exactly: robots only evaluates what the blocklist passed."""
+    from ..ops.agg import latest_by_key
+    from ..ops.robots import evaluate_robots, parse_robots_txt
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        p = _synth_parse_urls(b)
+        return pd.DataFrame(
+            {
+                "norm": p["norm"].to_numpy(),
+                "host": p["host"].to_numpy(),
+                "path": p["path"].to_numpy(),
+                "doc_id": p["doc_id"].to_numpy(),
+            }
+        ).astype({"doc_id": "int64"})
+
+    cand = latest_by_key(
+        docs.map_batches(parse, batch_format="pandas"),
+        "norm",
+        ["doc_id"],
+        ascending=True,
+        num_buckets=16,
+        empty_result=pd.DataFrame(
+            {
+                "norm": pd.Series(dtype="object"),
+                "host": pd.Series(dtype="object"),
+                "path": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+            }
+        ),
+    )
+
+    per_host = grouped_agg(
+        cand, ["host"], {"n_candidates": ("norm", "count")}, final="driver"
+    )
+    per_host["n_candidates"] = per_host["n_candidates"].astype("int64")
+    base = per_host["host"].str.replace(r"^[^.]*\.", "", regex=True)
+    by_base = (
+        per_host.assign(base=base)
+        .groupby("base", as_index=False)["n_candidates"]
+        .sum()
+        .sort_values(
+            ["n_candidates", "base"], ascending=[False, True], kind="mergesort"
+        )
+    )
+    blocklist = by_base["base"].head(2).tolist()
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        dom = b["host"].map(
+            lambda h: any(h == x or h.endswith("." + x) for x in blocklist)
+        ).to_numpy()
+        rules = {
+            h: parse_robots_txt(_synth_robots_txt(h))
+            for h in pd.unique(b["host"].to_numpy())
+        }
+        ok = evaluate_robots(b, rules)
+        return pd.DataFrame(
+            {
+                "host": b["host"].to_numpy(),
+                "cand": np.ones(len(b), dtype="int64"),
+                "dom_blocked": dom.astype("int64"),
+                "robots_blocked": (~dom & ~ok).astype("int64"),
+                "admitted": (~dom & ok).astype("int64"),
+            }
+        )
+
+    out = grouped_agg(
+        cand.map_batches(gate, batch_format="pandas"),
+        ["host"],
+        {
+            "n_candidates": ("cand", "sum"),
+            "n_blocked_domain": ("dom_blocked", "sum"),
+            "n_blocked_robots": ("robots_blocked", "sum"),
+            "n_admitted": ("admitted", "sum"),
+        },
+        final="driver",
+    )
+    for c in ("n_candidates", "n_blocked_domain", "n_blocked_robots", "n_admitted"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+Q_CRAWL_ADMISSION_SQL = f"""
+WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
+), {_url_parse_ctes(keep="doc_id")},
+cand AS MATERIALIZED (
+  SELECT doc_id, host, path, norm FROM (
+    SELECT f.doc_id, f.host, f.path, n.norm,
+           ROW_NUMBER() OVER (PARTITION BY n.norm ORDER BY f.doc_id) AS rn
+    FROM f JOIN n USING (doc_id))
+  WHERE rn = 1),
+per_host AS (SELECT host, COUNT(*)::BIGINT AS n_candidates FROM cand GROUP BY host),
+by_base AS (
+  SELECT regexp_replace(host, '^[^.]*\\.', '') AS base, SUM(n_candidates) AS nn
+  FROM per_host GROUP BY base),
+bl AS (SELECT base FROM by_base ORDER BY nn DESC, base LIMIT 2),
+rules AS (
+  SELECT host, '/a' AS prefix, 0 AS allow FROM per_host
+    WHERE md5_number_lower(host) % 2 = 0
+  UNION ALL
+  SELECT host, '/a/b', 1 FROM per_host WHERE md5_number_lower(host) % 2 = 0
+  UNION ALL
+  SELECT host, '/a/b', 0 FROM per_host WHERE md5_number_lower(host) % 2 = 1
+),
+matched AS (
+  SELECT cand.norm, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.norm
+           ORDER BY length(r.prefix) DESC, r.allow DESC
+         ) AS rn
+  FROM cand JOIN rules r
+    ON cand.host = r.host AND cand.path LIKE r.prefix || '%'
+),
+flagged AS (
+  SELECT cand.host,
+    EXISTS (SELECT 1 FROM bl
+            WHERE cand.host = bl.base OR cand.host LIKE '%.' || bl.base)
+      AS dom_blocked,
+    COALESCE(m.allow, 1) = 1 AS robots_ok
+  FROM cand LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+    ON cand.norm = m.norm)
+SELECT host,
+  COUNT(*)::BIGINT AS n_candidates,
+  SUM(CASE WHEN dom_blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked_domain,
+  SUM(CASE WHEN NOT dom_blocked AND NOT robots_ok THEN 1 ELSE 0 END)::BIGINT
+    AS n_blocked_robots,
+  SUM(CASE WHEN NOT dom_blocked AND robots_ok THEN 1 ELSE 0 END)::BIGINT
+    AS n_admitted
+FROM flagged GROUP BY host ORDER BY host
+"""
+
+SQL_QUERIES["q_crawl_admission"] = (q_crawl_admission, Q_CRAWL_ADMISSION_SQL)
+
+
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Classic cohort-retention matrix over the event stream: users
     cohorted by their FIRST event day, activity bucketed into weeks since

@@ -140,3 +140,20 @@ def test_driver_window_is_representative_cross_section():
         "q_audio_dup_pairs",
         "q_video_dup_pairs",
     ]
+
+
+def test_crawl_admission_funnel_is_non_vacuous(ray_session):
+    """Every stage of the composed admission funnel must fire: frontier
+    dedup collapses candidates below page count, the blocklist blocks,
+    robots blocks domain-survivors, and something is still admitted."""
+    fn, _sql = SQL_QUERIES["q_crawl_admission"]
+    out = fn(SF_DIR)
+    n_pages = 1000  # documents rows at sf0.001
+    assert int(out["n_candidates"].sum()) < n_pages
+    assert int(out["n_blocked_domain"].sum()) > 0
+    assert int(out["n_blocked_robots"].sum()) > 0
+    assert int(out["n_admitted"].sum()) > 0
+    # partition of the candidates
+    assert (
+        out["n_blocked_domain"] + out["n_blocked_robots"] + out["n_admitted"]
+    ).equals(out["n_candidates"])
