@@ -31,6 +31,8 @@ def sniff(payload: bytes) -> str | None:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:4] == b"RAWV":
         return "rawv"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -292,9 +294,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch BMP/PPM/PNG/JPEG (baseline + progressive) decode by
-    magic; raises NotImplementedError for codecs this container genuinely
-    cannot decode (WebP, AVIF, arithmetic-coded JPEG etc.)."""
+    """Dispatch BMP/PPM/PNG/JPEG (baseline + progressive) / GIF /
+    WebP-lossless decode by magic; raises NotImplementedError for codecs
+    this container genuinely cannot decode (lossy VP8, AVIF,
+    arithmetic-coded JPEG etc.)."""
     kind = sniff(payload or b"")
     if kind == "bmp":
         return decode_bmp(payload)
@@ -310,9 +313,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if kind == "webp":
+        from .vp8l import decode_webp
+
+        # lossless VP8L decodes natively; lossy VP8 / VP8X raise inside
+        return decode_webp(payload)[:, :, :3].copy()
     raise NotImplementedError(
         f"compressed image codec ({kind or 'unknown'}) not supported — "
-        "BMP/PPM/PNG/JPEG/GIF decode natively in this build"
+        "BMP/PPM/PNG/JPEG/GIF/WebP-lossless decode natively in this build"
     )
 
 

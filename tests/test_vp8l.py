@@ -1,0 +1,127 @@
+"""WebP-lossless (VP8L) codec: round trips across the full decode-path
+matrix, a HAND-BUILT wire fixture (bit-level, so symmetric encoder/
+decoder misreadings cannot pass), strictness, and the decode_image seam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocds_entity_extract_ray.ops.vp8l import decode_webp, encode_webp_lossless
+
+RNG = np.random.RandomState(7)
+IMG = RNG.randint(0, 256, (19, 23, 4), dtype=np.uint8)
+
+
+def _rt(img, **kw):
+    out = decode_webp(encode_webp_lossless(img, **kw))
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    assert (out == img).all()
+
+
+def test_plain_and_subtract_green_and_cache():
+    _rt(IMG)
+    _rt(IMG, subtract_green=True)
+    _rt(IMG, cache_bits=6)
+    _rt(IMG[:1, :1])  # 1x1
+    _rt(IMG[:1])      # single row
+    _rt(IMG[:, :1])   # single column
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_every_predictor_mode(mode):
+    _rt(IMG, predictor_mode=mode)
+
+
+def test_color_transform_and_combination():
+    _rt(IMG, color_transform=(33, -52, 17))
+    _rt(IMG, color_transform=(-128, 127, 1))
+    _rt(IMG, subtract_green=True, predictor_mode=11)
+
+
+@pytest.mark.parametrize("ncol", [2, 3, 9, 40, 200])
+def test_palette_bundled_and_plain(ncol):
+    pal = RNG.randint(0, 256, (ncol, 4), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)
+    pimg = pal[RNG.randint(0, len(pal), (11, 29))]
+    _rt(pimg, palette=True)
+
+
+def test_lz77_and_cache_paths():
+    rimg = np.tile(RNG.randint(0, 256, (2, 31, 4), dtype=np.uint8), (8, 1, 1))
+    _rt(rimg, use_lz77=True)
+    _rt(rimg, use_lz77=True, cache_bits=4)
+
+
+def _pack_lsb(bits):
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        out[i >> 3] |= b << (i & 7)
+    return bytes(out)
+
+
+def test_hand_built_wire_fixture():
+    """1x1 VP8L stream derived BIT BY BIT from the spec (not produced by
+    this repo's encoder): five simple prefix codes, single-symbol each,
+    so the pixel costs zero data bits. A symmetric bit-order or layout
+    misreading in encoder+decoder cannot make this pass."""
+    bits = []
+    bits += [0] * 14                      # width - 1 = 0
+    bits += [0] * 14                      # height - 1 = 0
+    bits += [0]                           # alpha hint
+    bits += [0, 0, 0]                     # version = 0
+    bits += [0]                           # no transforms
+    bits += [0]                           # no color cache
+    bits += [0]                           # no meta prefix codes
+
+    def simple_one(sym8):                 # simple code, ONE 8-bit symbol
+        return [1, 0, 1] + [(sym8 >> i) & 1 for i in range(8)]
+
+    bits += simple_one(0x42)              # green literal 0x42
+    bits += simple_one(0x10)              # red 0x10
+    bits += simple_one(0x20)              # blue 0x20
+    bits += simple_one(0xFF)              # alpha 0xFF
+    bits += [1, 0, 0, 0]                  # distance: simple, 1 sym, 1-bit, 0
+    # data: every code is single-symbol -> zero bits for the pixel
+
+    payload = bytes([0x2F]) + _pack_lsb(bits)
+    vp8l = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    riff = b"WEBP" + vp8l
+    data = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    out = decode_webp(data)
+    assert out.shape == (1, 1, 4)
+    # ARGB (FF, 10, 42, 20) -> RGBA (10, 42, 20, FF)
+    assert out[0, 0].tolist() == [0x10, 0x42, 0x20, 0xFF]
+
+
+def test_strictness_and_gates():
+    good = encode_webp_lossless(IMG)
+    with pytest.raises(ValueError):
+        decode_webp(good[:30])  # truncated bitstream
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVE")  # not WebP
+    # lossy VP8 is gated, not mis-decoded
+    lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 12
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+
+
+def test_decode_image_seam_and_phash():
+    """The crawl path: decode_image dispatches WebP by magic and the
+    perceptual hash of the decoded pixels matches the raw-pixel hash."""
+    from ocds_entity_extract_ray.ops.codecs import decode_image
+    from ocds_entity_extract_ray.ops.multimodal import phash64_signed
+
+    rgb = decode_image(encode_webp_lossless(IMG))
+    assert (rgb == IMG[:, :, :3]).all()
+    big = np.repeat(np.repeat(IMG, 3, axis=0), 3, axis=1)  # >=32px for pHash
+    assert phash64_signed(
+        decode_image(encode_webp_lossless(big))
+    ) == phash64_signed(big[:, :, :3])
+
+
+def test_encoder_is_deterministic():
+    a = encode_webp_lossless(IMG, subtract_green=True, cache_bits=5)
+    b = encode_webp_lossless(IMG, subtract_green=True, cache_bits=5)
+    assert a == b
