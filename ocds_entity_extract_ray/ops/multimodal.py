@@ -339,7 +339,9 @@ def synthetic_media_dups(
     queries: item ``g`` gets media_id ``2*g``; every ``dup_every``-th item
     also emits a TRANSFORMED copy at media_id ``2*g + 1`` —
 
-      image: JPEG q85 re-encode of the BMP original (pHash ~6-8 bits off),
+      image: re-encode of the BMP original, cycling JPEG q85 (pHash
+             ~6-8 bits off) / WebP-lossless / GIF (bit-exact pixels) so
+             every compressed decoder runs under the driver query,
       audio: half-amplitude re-recording (landmarks are scale-invariant),
       video: copy with the first two frames trimmed (frame pHashes are
              position-independent keys).
@@ -356,14 +358,27 @@ def synthetic_media_dups(
     for g in range(n_groups):
         rng = np.random.RandomState(7000 + g)
         if modality == "image":
-            from .jpeg import encode_jpeg
-
             # 8x8 random tiles upsampled 8x: block-smooth (JPEG-friendly,
-            # tile edges align with the 8x8 DCT grid) yet distinct per g
+            # tile edges align with the 8x8 DCT grid) yet distinct per g.
+            # The planted copy cycles through the three COMPRESSED
+            # decoders (JPEG lossy / WebP-lossless / GIF) so the
+            # driver-visible dedup query exercises every real codec path
             small = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
             img = np.kron(small, np.ones((8, 8, 1), dtype=np.uint8))
             orig = codecs.encode_bmp(img)
-            dup = encode_jpeg(img, quality=85)
+            if g % 3 == 0:
+                from .jpeg import encode_jpeg
+
+                dup = encode_jpeg(img, quality=85)
+            elif g % 3 == 1:
+                from .vp8l import encode_webp_lossless
+
+                rgba = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+                dup = encode_webp_lossless(rgba, subtract_green=True)
+            else:
+                from .gif import encode_gif
+
+                dup = encode_gif(img)  # <= 64 colors by construction
             meta = _json.dumps({"w": 64, "h": 64}, sort_keys=True)
         elif modality == "audio":
             rate, n = 8000, 16000
