@@ -151,6 +151,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
         first_8bit = br.read(1)
         sym0 = br.read(8 if first_8bit else 1)
         lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:
+            raise ValueError("vp8l: bad simple code symbols")
         if num_symbols == 1:
             lengths[sym0] = 1  # single-symbol: decode() reads 0 bits
             d = _PrefixDecoder(lengths)
@@ -198,6 +200,14 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
             symbol += 11 + br.read(7)
     if symbol > alphabet_size:
         raise ValueError("vp8l: code-length repeat overflow")
+    # completeness: an over- or under-subscribed code decodes to aliased
+    # or unreachable symbols SILENTLY — reject like real decoders do
+    # (a single-symbol code is the legal exception: 0 bits per read)
+    nz = [ln for ln in lengths if ln]
+    if len(nz) > 1:
+        kraft = sum(1 << (15 - ln) for ln in nz)
+        if kraft != 1 << 15:
+            raise ValueError("vp8l: incomplete or over-subscribed prefix code")
     return _PrefixDecoder(lengths)
 
 
@@ -273,8 +283,11 @@ def _predict(mode: int, L, T, TL, TR):
         return np.clip(v, 0, 255).astype(np.uint8)
     if mode == 13:  # ClampAddSubtractHalf
         a = _avg2(L, T).astype(np.int32)
-        v = a + (a - TL.astype(np.int32)) // 2
-        return np.clip(v, 0, 255).astype(np.uint8)
+        d = a - TL.astype(np.int32)
+        # C division truncates toward zero; Python // floors — they
+        # differ for negative odd deltas (spec/libwebp use C semantics)
+        half = np.where(d >= 0, d // 2, -((-d) // 2))
+        return np.clip(a + half, 0, 255).astype(np.uint8)
     raise ValueError(f"vp8l: bad predictor mode {mode}")
 
 
@@ -310,15 +323,16 @@ def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
 def _apply_inverse_color_transform(
     img: np.ndarray, cts: np.ndarray, bs: int
 ) -> None:
-    """cts (bh, bw, 4 ARGB): green_to_red in the RED channel,
-    green_to_blue in GREEN, red_to_blue in BLUE (this codec's encoder
-    mirrors the same layout; invertibility is property-tested)."""
+    """cts (bh, bw, 4 ARGB): per the spec/libwebp element packing
+    (ColorTransformElement unpacked from the ARGB word), green_to_red
+    lives in the BLUE channel (lowest byte), green_to_blue in GREEN,
+    red_to_blue in RED."""
     h, w, _ = img.shape
     by = np.arange(h) // bs
     bx = np.arange(w) // bs
-    g2r = cts[by][:, bx, 1]
+    g2r = cts[by][:, bx, 3]
     g2b = cts[by][:, bx, 2]
-    r2b = cts[by][:, bx, 3]
+    r2b = cts[by][:, bx, 1]
     a, r, g, b = (img[..., i].astype(np.int32) for i in range(4))
     r = (r + _ct_delta(g2r, img[..., 2])) & 0xFF
     b2 = (b + _ct_delta(g2b, img[..., 2]) + _ct_delta(r2b, r.astype(np.uint8))) & 0xFF
@@ -805,6 +819,20 @@ def encode_webp_lossless(
     ``palette`` requires <= 256 distinct colors (bundles when <= 16)."""
     rgba = np.asarray(rgba, dtype=np.uint8)
     h, w, _ = rgba.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError(
+            f"vp8l encode: dimensions {w}x{h} outside the format's "
+            f"14-bit limit (1..16384)"
+        )
+    if palette and (
+        subtract_green or predictor_mode is not None or color_transform is not None
+    ):
+        raise ValueError(
+            "vp8l encode: palette cannot combine with other transforms "
+            "here — bundling changes the coded geometry under the "
+            "predictor/CT block grid (real encoders use palette XOR the "
+            "pixel transforms too)"
+        )
     argb = np.stack(
         [rgba[..., 3], rgba[..., 0], rgba[..., 1], rgba[..., 2]], axis=2
     )
@@ -833,7 +861,9 @@ def encode_webp_lossless(
             raise ValueError("vp8l encode: image too large for one CT block")
         bw.write(size_bits - 2, 3)
         cts = np.zeros((1, 1, 4), dtype=np.uint8)
-        cts[0, 0] = (255, g2r & 0xFF, g2b & 0xFF, r2b & 0xFF)
+        # ARGB element packing: g2r in blue (lowest byte), g2b in green,
+        # r2b in red — mirrors _apply_inverse_color_transform
+        cts[0, 0] = (255, r2b & 0xFF, g2b & 0xFF, g2r & 0xFF)
         _write_image_stream(bw, cts)
         # forward = exact inverse of _apply_inverse_color_transform
         a = argb.copy()

@@ -7657,7 +7657,11 @@ def _media_dups_ds(modality: str, sf_dir: str) -> ray.data.Dataset:
 
     # multiple of 4 so row count n + ceil(n/4) inverts exactly to n*4//5
     n_groups = max(12, (int(1200 * sf) // 4) * 4)
-    path = scratch_path(f"media_{modality}_{n_groups}")
+    # v2: cache key carries a GENERATOR VERSION — changing
+    # synthetic_media_dups' output (e.g. the JPEG/WebP/GIF dup-format
+    # cycle) must invalidate a warm scratch cache or the new payloads
+    # never actually run under the query
+    path = scratch_path(f"media_{modality}_{n_groups}_v2")
     fname = os.path.join(path, "part-0.parquet")
     if not os.path.exists(fname):
         import uuid as _uuid

@@ -125,3 +125,43 @@ def test_encoder_is_deterministic():
     a = encode_webp_lossless(IMG, subtract_green=True, cache_bits=5)
     b = encode_webp_lossless(IMG, subtract_green=True, cache_bits=5)
     assert a == b
+
+
+def test_review_pins():
+    """Pins for the review findings: dimension bounds, simple-code symbol
+    range, incomplete-code rejection, palette-combination guard, and the
+    C-truncation predictor-13 rule."""
+    with pytest.raises(ValueError, match="14-bit"):
+        encode_webp_lossless(np.zeros((1, 16385, 4), np.uint8))
+    with pytest.raises(ValueError, match="palette cannot combine"):
+        encode_webp_lossless(
+            np.zeros((4, 4, 4), np.uint8), palette=True, predictor_mode=2
+        )
+    # predictor 13 truncates toward zero: avg2=10, TL=15 -> 10 + (-5)/2 = 8
+    from ocds_entity_extract_ray.ops.vp8l import _predict
+
+    L = np.array([10, 10, 10, 10], np.uint8)
+    T = np.array([10, 10, 10, 10], np.uint8)
+    TL = np.array([15, 15, 15, 15], np.uint8)
+    assert _predict(13, L, T, TL, T).tolist() == [8, 8, 8, 8]
+
+    # a malformed stream: distance code = simple 1-symbol with symbol 200
+    # (alphabet 40) must raise ValueError, not IndexError
+    def pack(bits):
+        out = bytearray((len(bits) + 7) // 8)
+        for i, b in enumerate(bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+    def simple_one(sym8):
+        return [1, 0, 1] + [(sym8 >> i) & 1 for i in range(8)]
+
+    bits = [0] * 32 + [0, 0, 0]
+    for s in (0x42, 0x10, 0x20, 0xFF):
+        bits += simple_one(s)
+    bits += simple_one(200)  # distance alphabet is 40: out of range
+    payload = bytes([0x2F]) + pack(bits)
+    vp8l = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    riff = b"WEBP" + vp8l
+    with pytest.raises(ValueError, match="simple code"):
+        decode_webp(b"RIFF" + len(riff).to_bytes(4, "little") + riff)
