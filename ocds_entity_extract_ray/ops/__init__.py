@@ -22,9 +22,12 @@ from .joins import (
 )
 from .multimodal import featurize_images, resize_images, sample_frames, transcribe_audio
 from .quantiles import approx_quantiles
+from .robots import evaluate_robots, parse_robots_txt
 from .rangejoin import range_join
 from .sampling import assign_splits, hash_sample, stratified_hash_sample, temperature_targets
 from .scan import pack_documents
+from .streaming import windowed_ingest_tick, windowed_state
+from .vp8l import decode_webp, encode_webp_lossless
 from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -103,6 +106,12 @@ __all__ = [
     "sessionize",
     "simhash64",
     "simhash_dup_pairs",
+    "parse_robots_txt",
+    "evaluate_robots",
+    "windowed_ingest_tick",
+    "windowed_state",
+    "decode_webp",
+    "encode_webp_lossless",
     "stratified_hash_sample",
     "temperature_targets",
     "token_count",
