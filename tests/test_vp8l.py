@@ -165,3 +165,26 @@ def test_review_pins():
     riff = b"WEBP" + vp8l
     with pytest.raises(ValueError, match="simple code"):
         decode_webp(b"RIFF" + len(riff).to_bytes(4, "little") + riff)
+
+
+def test_property_round_trip_random_options():
+    """Hypothesis-style sweep without the fixture overhead: 40 seeded
+    (image, option) combinations round-trip exactly — shapes from 1x1 to
+    33x31, every option that composes."""
+    import itertools
+
+    shapes = [(1, 1), (2, 3), (7, 5), (16, 16), (33, 31), (4, 29)]
+    opts = [
+        {},
+        {"subtract_green": True},
+        {"cache_bits": 3},
+        {"predictor_mode": 12},
+        {"color_transform": (-7, 100, -100)},
+        {"subtract_green": True, "predictor_mode": 7, "cache_bits": 2},
+        {"use_lz77": True},
+    ]
+    rng = np.random.RandomState(99)
+    for (hh, ww), kw in itertools.product(shapes, opts):
+        img = rng.randint(0, 256, (hh, ww, 4), dtype=np.uint8)
+        out = decode_webp(encode_webp_lossless(img, **kw))
+        assert (out == img).all(), (hh, ww, kw)
