@@ -45,19 +45,21 @@ def parse_robots_txt(text: str) -> list[tuple[str, bool]]:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            # RFC 9309 group = a RUN of consecutive user-agent lines,
-            # then its rules. ANY intervening directive (allow/disallow,
-            # but also ignored ones like crawl-delay/sitemap) ends the
-            # run — a later user-agent line starts a NEW group, never a
-            # continuation
-            if not prev_was_ua:
+            # RFC 9309 §2.2.1: a group is a run of user-agent lines then
+            # rules; a user-agent line AFTER rules starts a new group.
+            # §2.2.4: other records (crawl-delay, sitemap, unknown keys)
+            # "MUST NOT interfere with parsing" — they are TRANSPARENT,
+            # so user-agent runs merge across them (the reference-parser
+            # behavior; also the fail-CLOSED direction for a gate, since
+            # a merged group can only add rules to *, never drop them)
+            if prev_was_ua is False:
                 in_star_group = False
             if value == "*":
                 in_star_group = True
             prev_was_ua = True
             continue
-        prev_was_ua = False
         if key in ("allow", "disallow"):
+            prev_was_ua = False
             if not in_star_group:
                 continue
             if "*" in value or value.endswith("$"):

@@ -6084,17 +6084,7 @@ def q_url_blocklist(sf_dir: str) -> pd.DataFrame:
         final="driver",
     )
     per_host["n_pages"] = per_host["n_pages"].astype("int64")
-    # EXACTLY the twin's regexp_replace semantics: a dotless host (bare
-    # TLD / localhost) is its OWN base — str.split would yield NaN and
-    # pandas groupby silently drops NaN keys, diverging from SQL
-    base = per_host["host"].str.replace(r"^[^.]*\.", "", regex=True)
-    by_base = (
-        per_host.assign(base=base)
-        .groupby("base", as_index=False)["n_pages"]
-        .sum()
-        .sort_values(["n_pages", "base"], ascending=[False, True], kind="mergesort")
-    )
-    blocklist = by_base["base"].head(2).tolist()
+    blocklist = _top2_base_domains(per_host, "n_pages")
     blocked = per_host["host"].map(
         lambda h: any(h == b or h.endswith("." + b) for b in blocklist)
     )
@@ -6104,16 +6094,52 @@ def q_url_blocklist(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def _top2_base_domains(per_host: pd.DataFrame, count_col: str) -> list[str]:
+    """Top-2 registrable base domains by volume (ties by name) — ONE
+    implementation behind q_url_blocklist AND q_crawl_admission so engine
+    and twins cannot drift. EXACTLY the twins' regexp_replace semantics:
+    a dotless host (bare TLD / localhost) is its OWN base — str.split
+    would yield NaN and pandas groupby silently drops NaN keys."""
+    base = per_host["host"].str.replace(r"^[^.]*\.", "", regex=True)
+    by_base = (
+        per_host.assign(base=base)
+        .groupby("base", as_index=False)[count_col]
+        .sum()
+        .sort_values([count_col, "base"], ascending=[False, True], kind="mergesort")
+    )
+    return by_base["base"].head(2).tolist()
+
+
+def _blocklist_ctes_sql(src: str, count_col: str) -> str:
+    """by_base + bl CTEs (top-2 base domains, ties by name) over a
+    (host, count) CTE — the SQL twin of _top2_base_domains, shared by
+    the blocklist and admission twins so they cannot diverge."""
+    return f"""by_base AS (
+  SELECT regexp_replace(host, '^[^.]*\\.', '') AS base, SUM({count_col}) AS nn
+  FROM {src} GROUP BY base),
+bl AS (SELECT base FROM by_base ORDER BY nn DESC, base LIMIT 2)"""
+
+
+def _robots_rules_cte_sql(hosts_src: str) -> str:
+    """The parsed _synth_robots_txt rule sets as a rules CTE, keyed on
+    the same md5_number_lower(host) %% 2 switch — shared by the robots
+    and admission twins so they cannot diverge."""
+    return f"""rules AS (
+  SELECT host, '/a' AS prefix, 0 AS allow FROM {hosts_src}
+    WHERE md5_number_lower(host) % 2 = 0
+  UNION ALL
+  SELECT host, '/a/b', 1 FROM {hosts_src} WHERE md5_number_lower(host) % 2 = 0
+  UNION ALL
+  SELECT host, '/a/b', 0 FROM {hosts_src} WHERE md5_number_lower(host) % 2 = 1
+)"""
+
+
 Q_URL_BLOCKLIST_SQL = f"""
 WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
 ), {_url_parse_ctes(keep="")},
 per_host AS (
   SELECT host, COUNT(*)::BIGINT AS n_pages FROM n GROUP BY host),
-by_base AS (
-  SELECT regexp_replace(host, '^[^.]*\\.', '') AS base, SUM(n_pages) AS n
-  FROM per_host GROUP BY base),
-bl AS (
-  SELECT base FROM by_base ORDER BY n DESC, base LIMIT 2)
+{_blocklist_ctes_sql("per_host", "n_pages")}
 SELECT host, n_pages,
        EXISTS (
          SELECT 1 FROM bl
@@ -6184,14 +6210,7 @@ Q_ROBOTS_FILTER_SQL = f"""
 WITH urls AS MATERIALIZED ({_SYNTH_URLS_SQL}
 ), {_url_parse_ctes(keep="doc_id")},
 hosts AS (SELECT DISTINCT host FROM f),
-rules AS (
-  SELECT host, '/a' AS prefix, 0 AS allow FROM hosts
-    WHERE md5_number_lower(host) % 2 = 0
-  UNION ALL
-  SELECT host, '/a/b', 1 FROM hosts WHERE md5_number_lower(host) % 2 = 0
-  UNION ALL
-  SELECT host, '/a/b', 0 FROM hosts WHERE md5_number_lower(host) % 2 = 1
-),
+{_robots_rules_cte_sql("hosts")},
 matched AS (
   SELECT f.doc_id, f.host, r.allow,
          ROW_NUMBER() OVER (
@@ -6241,6 +6260,9 @@ def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
             }
         ).astype({"doc_id": "int64"})
 
+    empty_host_counts = pd.DataFrame(
+        {"host": pd.Series(dtype="object"), "n_candidates": pd.Series(dtype="int64")}
+    )
     cand = latest_by_key(
         docs.map_batches(parse, batch_format="pandas"),
         "norm",
@@ -6255,22 +6277,18 @@ def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
                 "doc_id": pd.Series(dtype="int64"),
             }
         ),
-    )
+    ).materialize()  # consumed TWICE (blocklist counts + gate pass) —
+    # without this the read + parse + frontier-dedup shuffle runs twice
 
     per_host = grouped_agg(
-        cand, ["host"], {"n_candidates": ("norm", "count")}, final="driver"
+        cand,
+        ["host"],
+        {"n_candidates": ("norm", "count")},
+        final="driver",
+        empty_result=empty_host_counts,
     )
     per_host["n_candidates"] = per_host["n_candidates"].astype("int64")
-    base = per_host["host"].str.replace(r"^[^.]*\.", "", regex=True)
-    by_base = (
-        per_host.assign(base=base)
-        .groupby("base", as_index=False)["n_candidates"]
-        .sum()
-        .sort_values(
-            ["n_candidates", "base"], ascending=[False, True], kind="mergesort"
-        )
-    )
-    blocklist = by_base["base"].head(2).tolist()
+    blocklist = _top2_base_domains(per_host, "n_candidates")
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
         dom = b["host"].map(
@@ -6301,6 +6319,15 @@ def q_crawl_admission(sf_dir: str) -> pd.DataFrame:
             "n_admitted": ("admitted", "sum"),
         },
         final="driver",
+        empty_result=pd.DataFrame(
+            {
+                "host": pd.Series(dtype="object"),
+                "n_candidates": pd.Series(dtype="int64"),
+                "n_blocked_domain": pd.Series(dtype="int64"),
+                "n_blocked_robots": pd.Series(dtype="int64"),
+                "n_admitted": pd.Series(dtype="int64"),
+            }
+        ),
     )
     for c in ("n_candidates", "n_blocked_domain", "n_blocked_robots", "n_admitted"):
         out[c] = out[c].astype("int64")
@@ -6317,18 +6344,8 @@ cand AS MATERIALIZED (
     FROM f JOIN n USING (doc_id))
   WHERE rn = 1),
 per_host AS (SELECT host, COUNT(*)::BIGINT AS n_candidates FROM cand GROUP BY host),
-by_base AS (
-  SELECT regexp_replace(host, '^[^.]*\\.', '') AS base, SUM(n_candidates) AS nn
-  FROM per_host GROUP BY base),
-bl AS (SELECT base FROM by_base ORDER BY nn DESC, base LIMIT 2),
-rules AS (
-  SELECT host, '/a' AS prefix, 0 AS allow FROM per_host
-    WHERE md5_number_lower(host) % 2 = 0
-  UNION ALL
-  SELECT host, '/a/b', 1 FROM per_host WHERE md5_number_lower(host) % 2 = 0
-  UNION ALL
-  SELECT host, '/a/b', 0 FROM per_host WHERE md5_number_lower(host) % 2 = 1
-),
+{_blocklist_ctes_sql("per_host", "n_candidates")},
+{_robots_rules_cte_sql("per_host")},
 matched AS (
   SELECT cand.norm, r.allow,
          ROW_NUMBER() OVER (

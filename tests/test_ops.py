@@ -3585,10 +3585,15 @@ def test_evaluate_robots_longest_match_and_ties():
 def test_parse_robots_group_boundaries_and_bom():
     from ocds_entity_extract_ray.ops.robots import evaluate_robots, parse_robots_txt
 
-    # an ignored directive (Crawl-delay) ends the UA run: badbot's group
-    # must NOT merge into *'s
+    # RFC 9309 §2.2.4: ignored directives (Crawl-delay, Sitemap, unknown
+    # keys) are TRANSPARENT — user-agent runs merge across them (the
+    # reference-parser behavior, and fail-closed for a gate), so here *
+    # and badbot form ONE group and the Disallow applies to *
     body = "User-agent: *\nCrawl-delay: 10\n\nUser-agent: badbot\nDisallow: /\n"
-    assert parse_robots_txt(body) == []
+    assert parse_robots_txt(body) == [("/", False)]
+    # but a UA line AFTER rules starts a NEW group (§2.2.1)
+    body2 = "User-agent: *\nDisallow: /x\nUser-agent: badbot\nDisallow: /\n"
+    assert parse_robots_txt(body2) == [("/x", False)]
     # BOM'd body still parses the * group
     assert parse_robots_txt("﻿User-agent: *\nDisallow: /\n") == [("/", False)]
     # path-less URL ('' path) is the root and honors Disallow: /
